@@ -1,0 +1,237 @@
+"""Deduplication operators for training-data pipelines (north-star E1).
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a text column.
+All deterministic (seeded hash families, no RNG at runtime) so results are
+reproducible run-to-run — a hard requirement for auditable data pipelines.
+
+Scale design (the point of each choice):
+
+- Shingle/minhash/simhash computation is pure Column expressions per row —
+  embarrassingly parallel, no shuffle, whole-stage codegen.
+- Candidate generation shuffles only (band_hash -> doc_id) pairs, never
+  documents: the LSH band join carries 16 bytes/row, so the shuffle at
+  100 TB is ~per-doc-constant, not per-byte.
+- Bucket fan-out is the quadratic danger: ``max_bucket_size`` caps it
+  (oversized buckets = near-identical boilerplate clusters; cap + report
+  rather than silently OOM). The capped-bucket count is exposed via the
+  returned DataFrame of :func:`lsh_buckets` so callers can log it.
+- Verification (exact Jaccard / signature agreement) runs only on candidate
+  pairs — a tiny fraction of n^2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_from_s3_to_postgresql_template_spark.functions.text import normalize_text_col, shingles_col, tokens_col
+
+__all__ = [
+    "dedup_exact_by_hash",
+    "minhash_signature_col",
+    "minhash_candidates",
+    "simhash_col",
+    "simhash_candidates",
+    "ngram_jaccard_pairs",
+]
+
+
+def dedup_exact_by_hash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized content: keep the min-id row per distinct
+    text. GroupBy on the text itself (not the hash) is collision-proof; the
+    shuffle key is the string — for 100 TB shuffle-weight, group on
+    ``xxhash64(normalized)`` and resolve rare collisions in a second pass."""
+    return (
+        df.withColumn("__norm", normalize_text_col(text_col))
+        .groupBy("__norm")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__norm")
+    )
+
+
+def minhash_signature_col(text_col: Column | str, num_hashes: int = 32, k: int = 3) -> Column:
+    """MinHash signature (array<bigint>, length ``num_hashes``) over token
+    k-gram shingles. Hash family: ``xxhash64(i, shingle)`` — i.i.d.-enough,
+    seeded, engine-native. One expression, no UDF."""
+    sh = shingles_col(text_col, k)
+    mins = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def _band_df(
+    df: DataFrame, id_col: str, sig_col: str, num_bands: int, rows_per_band: int
+) -> DataFrame:
+    """Explode a signature into (band_id, band_hash, id) rows."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(*[F.col(sig_col)[b * rows_per_band + r] for r in range(rows_per_band)]).alias("band_hash"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(bands).alias("band")).select(
+        id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
+    )
+
+
+def lsh_buckets(
+    df: DataFrame, id_col: str, sig_col: str, num_bands: int, rows_per_band: int,
+    max_bucket_size: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Group ids by LSH band buckets. Returns (buckets, oversized) — callers
+    must surface ``oversized`` (buckets skipped by the cap) rather than
+    pretending full coverage."""
+    bands = _band_df(df, id_col, sig_col, num_bands, rows_per_band)
+    grouped = bands.groupBy("band_id", "band_hash").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids"), F.count(F.lit(1)).alias("bucket_size")
+    )
+    ok = grouped.filter((F.col("bucket_size") > 1) & (F.col("bucket_size") <= max_bucket_size))
+    oversized = grouped.filter(F.col("bucket_size") > max_bucket_size).select(
+        "band_id", "band_hash", "bucket_size"
+    )
+    return ok, oversized
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    k: int = 3,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with estimated Jaccard >= threshold.
+
+    Pipeline: signature (no shuffle) -> band explode -> bucket groupBy (the
+    only wide op, tiny rows) -> in-bucket pairs -> signature-agreement
+    estimate -> threshold filter. Output: (id_a, id_b, est_jaccard), id_a < id_b.
+    """
+    rows_per_band = num_hashes // num_bands
+    sigs = df.select(F.col(id_col), minhash_signature_col(text_col, num_hashes, k).alias("sig"))
+    buckets, _ = lsh_buckets(sigs, id_col, "sig", num_bands, rows_per_band, max_bucket_size)
+    pairs = (
+        buckets.select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(num_hashes))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash_col(text_col: Column | str, bits: int = 64) -> Column:
+    """SimHash (bigint): sign-aggregated per-bit token-hash votes.
+
+    Per token: ±1 vote on each of ``bits`` positions from ``xxhash64(token)``;
+    document hash = bit b set iff sum of votes > 0. One fold expression over
+    the token array — no UDF, no shuffle.
+    """
+    toks = tokens_col(text_col)
+    zeros = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
+    votes = F.aggregate(
+        toks,
+        zeros,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    ((F.shiftright(F.xxhash64(t), b) % 2 != 0).cast("long") * 2 - 1)
+                    for b in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        # shiftleft(1L, 63) wraps to Long.MIN_VALUE in the JVM — the sign
+        # bit — which is exactly what bit 63 of the hash should be.
+        bit_val = F.shiftleft(F.lit(1).cast("long"), b)
+        out = out + F.when(F.element_at(votes, b + 1) > 0, bit_val).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on ``bands`` 16-bit chunks (a pair
+    within Hamming distance ``bands-1`` shares >=1 identical chunk — the
+    standard pigeonhole blocking), verify exact Hamming distance in-bucket.
+    Output: (id_a, id_b, hamming)."""
+    sh = df.select(F.col(id_col), simhash_col(text_col).alias("simhash"))
+    chunk_bits = 64 // bands
+    mask = (1 << chunk_bits) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_id"),
+                (F.shiftright("simhash", i * chunk_bits).bitwiseAND(F.lit(mask))).alias("chunk_val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    exploded = sh.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
+        id_col, "simhash", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk_val").alias("chunk_val")
+    )
+    a = exploded.select(
+        F.col("chunk_id"), F.col("chunk_val"),
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"),
+    )
+    b = exploded.select(
+        F.col("chunk_id"), F.col("chunk_val"),
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"),
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-k-gram Jaccard for candidate pairs only (the verify step
+    after LSH blocking — never run this on all n^2 pairs).
+    ``candidate_pairs``: (id_a, id_b). Output adds exact ``jaccard``."""
+    sh = df.select(
+        F.col(id_col), F.array_distinct(shingles_col(text_col, k)).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        candidate_pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

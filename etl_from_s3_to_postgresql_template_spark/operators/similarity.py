@@ -1,0 +1,126 @@
+"""Approximate-nearest-neighbor search over embedding columns (north-star E2).
+
+Two strategies with one output contract (q_id, n_id, cosine, rank):
+
+- **Brute force** (the correctness baseline): queries × candidates cosine,
+  window top-k. Exact; cost O(|Q| * N). Right answer when |Q| is small —
+  broadcast the queries and the "cross join" is a map-side operation with
+  zero shuffle of the big side.
+- **LSH-bucketed** (the scale path): random-hyperplane (sign) sketches ->
+  band blocking -> cosine only within shared buckets -> top-k. Sub-linear
+  candidate sets; recall tuned by (num_planes, num_bands). Hyperplanes are
+  generated from a fixed seed on the driver and inlined as literals — a few
+  KB in the plan, deterministic across runs.
+
+For 100 TB/billions of vectors the same shape holds: sketches are a narrow
+projection (one pass), bucket join shuffles (bucket_key, id) pairs, and only
+in-bucket pairs touch full vectors (via a co-partitioned join on id).
+An IVF variant (k-means coarse quantizer) drops in behind the same contract
+once MLlib KMeans fits the centroid budget — noted for a later round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from etl_from_s3_to_postgresql_template_spark.functions.vectors import as_double_vec, cosine_col, dot_col
+
+__all__ = ["brute_force_topk", "lsh_topk", "hyperplanes"]
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    q_id: str = "q_id",
+    n_id: str = "n_id",
+    q_vec: str = "q_vec",
+    n_vec: str = "n_vec",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k. ``queries`` is broadcast (it must be small — that
+    is the contract of brute force); cosine is rounded before ranking so
+    rank order is stable under float summation differences, with id as the
+    final tie-break."""
+    pairs = candidates.crossJoin(F.broadcast(queries)).filter(F.col(q_id) != F.col(n_id))
+    cos = F.round(cosine_col(as_double_vec(F.col(q_vec)), as_double_vec(F.col(n_vec))), round_to)
+    w = W.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(n_id))
+    return (
+        pairs.select(F.col(q_id), F.col(n_id), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side, inlined as literals)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def _sketch_col(vec_col, planes: list[list[float]]):
+    """Sign-bit sketch: array<int> of 0/1 per hyperplane."""
+    v = as_double_vec(vec_col)
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append((dot_col(v, plane) > 0).cast("int"))
+    return F.array(*bits)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 16,
+    num_bands: int = 4,
+    q_id: str = "q_id",
+    n_id: str = "n_id",
+    q_vec: str = "q_vec",
+    n_vec: str = "n_vec",
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate cosine top-k via sign-LSH band blocking.
+
+    A candidate reaches the scoring stage iff it shares >=1 band with the
+    query. Bands of ``num_planes // num_bands`` bits each; more bands =
+    higher recall, more candidates.
+    """
+    planes = hyperplanes(dim, num_planes, seed)
+    rows_per_band = num_planes // num_bands
+
+    def banded(df: DataFrame, id_c: str, vec_c: str, out_id: str) -> DataFrame:
+        sk = df.select(F.col(id_c), F.col(vec_c), _sketch_col(F.col(vec_c), planes).alias("sk"))
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.xxhash64(*[F.col("sk")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("band_hash"),
+                )
+                for b in range(num_bands)
+            ]
+        )
+        return sk.select(F.col(id_c).alias(out_id), F.col(vec_c), F.explode(bands).alias("band")).select(
+            out_id, vec_c, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
+        )
+
+    qb = banded(queries, q_id, q_vec, q_id)
+    cb = banded(candidates, n_id, n_vec, n_id)
+    pairs = (
+        qb.join(cb, ["band_id", "band_hash"])
+        .filter(F.col(q_id) != F.col(n_id))
+        .select(q_id, n_id, q_vec, n_vec)
+        .dropDuplicates([q_id, n_id])
+    )
+    cos = F.round(cosine_col(as_double_vec(F.col(q_vec)), as_double_vec(F.col(n_vec))), round_to)
+    w = W.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(n_id))
+    return (
+        pairs.select(F.col(q_id), F.col(n_id), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

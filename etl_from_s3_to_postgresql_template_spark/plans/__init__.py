@@ -1,0 +1,16 @@
+"""Named query plans: the driver-contract surface.
+
+``registry.QUERIES`` maps query-name -> (spark, sf_dir) -> DataFrame;
+``registry.ORACLE`` maps query-name -> equivalent DuckDB SQL. Import the
+submodules for their registration side effects.
+"""
+
+from etl_from_s3_to_postgresql_template_spark.plans import registry
+from etl_from_s3_to_postgresql_template_spark.plans import core_ops  # noqa: F401
+from etl_from_s3_to_postgresql_template_spark.plans import query_pack  # noqa: F401
+from etl_from_s3_to_postgresql_template_spark.plans import llm_ops  # noqa: F401
+
+QUERIES = registry.QUERIES
+ORACLE = registry.ORACLE
+
+__all__ = ["QUERIES", "ORACLE", "registry"]

@@ -1,0 +1,215 @@
+"""Training-data-pipeline queries over documents/embeddings (north-star
+E1-E3): dedup, similarity search, text analysis. Oracle-paired wherever the
+semantics are SQL-expressible; LSH/blocking ops are rows-only checks (the
+driver records the weaker check; pytest verifies them against brute force).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_from_s3_to_postgresql_template_spark.functions.text import (
+    fingerprint_col,
+    lang_id_col,
+    quality_columns,
+    token_count_col,
+)
+from etl_from_s3_to_postgresql_template_spark.operators.dedup import (
+    dedup_exact_by_hash,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from etl_from_s3_to_postgresql_template_spark.operators.similarity import brute_force_topk, lsh_topk
+from etl_from_s3_to_postgresql_template_spark.plans.registry import query
+from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count_col("text").alias("n_tokens"))
+
+
+@query(
+    "text_quality",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CAST(length(text) AS BIGINT) AS n_chars_calc,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+             CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                  x -> x IN ('the','and','of','to','in','is','a','that'))) AS BIGINT) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars_calc, n_tokens,
+           ROUND((n_chars_calc - (n_tokens - 1)) / n_tokens, 4) AS avg_token_len,
+           ROUND(n_alpha / greatest(n_chars_calc, 1), 4) AS alpha_ratio,
+           ROUND(n_digit / greatest(n_chars_calc, 1), 4) AS digit_ratio,
+           ROUND(n_punct / greatest(n_chars_calc, 1), 4) AS punct_ratio,
+           ROUND(n_stop / greatest(n_tokens, 1), 4) AS stopword_ratio
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 quality scoring: length/alpha/digit/punct/stopword signals as one
+    projection pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_columns("text")
+    return docs.select("doc_id", *[c.alias(name) for name, c in q.items()])
+
+
+@query(
+    "text_lang_id",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents
+    ), hits AS (
+      SELECT doc_id,
+        len(list_filter(tk, x -> x IN ('der','die','und','das','von','zu','mit','den'))) AS de,
+        len(list_filter(tk, x -> x IN ('the','and','of','to','in','is','a','that'))) AS en,
+        len(list_filter(tk, x -> x IN ('el','la','de','que','y','en','un','los'))) AS es,
+        len(list_filter(tk, x -> x IN ('le','la','de','et','les','des','en','un'))) AS fr,
+        len(list_filter(tk, x -> x IN ('的','是','在','了','和','有','我','不'))) AS zh
+      FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(de,en,es,fr,zh) = 0 THEN 'und'
+                WHEN de = greatest(de,en,es,fr,zh) THEN 'de'
+                WHEN en = greatest(de,en,es,fr,zh) THEN 'en'
+                WHEN es = greatest(de,en,es,fr,zh) THEN 'es'
+                WHEN fr = greatest(de,en,es,fr,zh) THEN 'fr'
+                ELSE 'zh' END AS lang_guess
+    FROM hits
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 language ID: stopword-hit argmax heuristic (deterministic
+    tie-break by language code). The fixture text is synthetic word soup, so
+    the *guess* is arbitrary — but the operator semantics are exact and
+    oracle-checked; swap in fastText behind the same column contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_col("text").alias("lang_guess"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 document fingerprinting: MD5 over normalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_col("text").alias("fingerprint"))
+
+
+@query(
+    "dedup_exact_docs",
+    oracle=f"""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents
+    GROUP BY {_NORM_SQL}
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 exact dedup on normalized content: min-id survivor + group size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact_by_hash(docs, "text", "doc_id")
+
+
+@query("dedup_minhash_pairs")  # LSH blocking is not SQL-expressible -> rows-only
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 near-dup candidates: MinHash(32 hashes, 3-gram shingles) + LSH
+    (8 bands), est. Jaccard >= 0.5. pytest cross-checks candidate quality
+    against exact n-gram Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidates(docs, "text", "doc_id").orderBy("id_a", "id_b")
+
+
+@query("dedup_ngram_jaccard")  # verify stage over LSH candidates
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 exact-verify: token-3-gram Jaccard on the MinHash candidate pairs
+    (threshold 0.5). The LSH->exact two-stage shape is the scale pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_candidates(docs, "text", "doc_id", threshold=0.3).select("id_a", "id_b")
+    return ngram_jaccard_pairs(docs, cands, "text", "doc_id", threshold=0.5).orderBy("id_a", "id_b")
+
+
+@query("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 SimHash near-dup pairs: 64-bit sign-aggregated hash, 16-bit-chunk
+    blocking, Hamming <= 3."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidates(docs, "text", "doc_id").orderBy("id_a", "id_b")
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 baseline vector op: L2 norm as a sequential fold (deterministic)."""
+    from etl_from_s3_to_postgresql_template_spark.functions.vectors import as_double_vec, norm_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", F.round(norm_col(as_double_vec(F.col("embedding"))), 6).alias("l2_norm"))
+
+
+@query(
+    "similarity_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+         p AS (
+           SELECT q_id, n_id,
+                  ROUND(list_dot_product(qv, nv) /
+                        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6) AS cosine
+           FROM q, c WHERE q_id <> n_id
+         ),
+         r AS (
+           SELECT q_id, n_id, cosine,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rn
+           FROM p
+         )
+    SELECT q_id, n_id, cosine, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 10
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 exact ANN baseline: cosine top-10 for 5 query vectors. The query
+    side is broadcast; the big side is never shuffled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    candidates = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec"))
+    return brute_force_topk(queries, candidates, k=10)
+
+
+@query("similarity_topk_lsh")
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 scale path: sign-LSH blocked cosine top-10 (16 planes, 4 bands).
+    pytest measures recall vs brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    candidates = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec"))
+    return lsh_topk(queries, candidates, dim=64, k=10).orderBy("q_id", "rank")
