@@ -105,8 +105,15 @@ def shingles_col(text: Column | str, k: int = 3) -> Column:
     Built with ``transform`` over token indices — stays JVM-side."""
     toks = tokens_col(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(
-        n >= k,
-        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)])),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    # zip_with over k shifted slices: the token array is evaluated O(k)
+    # times per ROW. (The per-index ``transform(idx, i -> element_at(toks,
+    # i+j))`` form re-evaluates the ``split`` expression inside the lambda
+    # per element: O(tokens*k) regex splits per row, ~40x slower measured.)
+    import functools
+
+    m = F.greatest(n - (k - 1), F.lit(1))
+    parts = [F.slice(toks, j + 1, m) for j in range(k)]
+    joined = functools.reduce(
+        lambda a, b: F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y)), parts
+    )
+    return F.when(n >= k, joined).otherwise(F.array(F.concat_ws(" ", toks)))
