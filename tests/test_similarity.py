@@ -1,0 +1,62 @@
+"""ANN: brute force vs numpy ground truth; LSH recall floor."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_from_s3_to_postgresql_template_spark.operators.similarity import brute_force_topk, lsh_topk
+from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+def _cands(emb):
+    return emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec"))
+
+
+def test_brute_force_matches_numpy(spark, emb):
+    out = brute_force_topk(_queries(emb), _cands(emb), k=10).collect()
+    pdf = emb.toPandas()
+    M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(M, axis=1)
+    for q in range(5):
+        qi = np.where(ids == q)[0][0]
+        cos = (M @ M[qi]) / (norms * norms[qi])
+        cos_r = np.round(cos, 6)
+        order = sorted(
+            [(c, i) for c, i in zip(cos_r, ids) if i != q], key=lambda t: (-t[0], t[1])
+        )[:10]
+        got = sorted([(r["cosine"], r["n_id"]) for r in out if r["q_id"] == q],
+                     key=lambda t: (-t[0], t[1]))
+        want = [(round(float(c), 6), int(i)) for c, i in order]
+        got = [(round(float(c), 6), int(i)) for c, i in got]
+        assert got == want, f"query {q}"
+
+
+def test_lsh_recall_floor(spark, emb):
+    bf = brute_force_topk(_queries(emb), _cands(emb), k=10).collect()
+    ap = lsh_topk(_queries(emb), _cands(emb), dim=64, k=10).collect()
+    bf_sets = {}
+    for r in bf:
+        bf_sets.setdefault(r["q_id"], set()).add(r["n_id"])
+    ap_sets = {}
+    for r in ap:
+        ap_sets.setdefault(r["q_id"], set()).add(r["n_id"])
+    recalls = [len(bf_sets[q] & ap_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets]
+    # sign-LSH with 4 bands on 500 random vectors: recall is imperfect by
+    # design; the floor guards against blocking bugs (recall ~0).
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
