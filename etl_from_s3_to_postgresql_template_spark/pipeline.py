@@ -1,0 +1,204 @@
+"""Day-level ingest pipeline: the reference's three entry points, Spark-first.
+
+Maps SURVEY §3 onto lazy plans:
+
+- :func:`process_day` = ``process_single_day`` (reference
+  ``etl_pipeline.py:252-545``): LIST -> prune-by-filename-date -> per-group
+  CSV scan -> clean names + provenance -> union-by-name -> epoch->ts ->
+  metadata -> drop-empty-cols -> dedup -> sink + audit row.
+- :func:`process_range` = the day loop (``:716-722``).
+- :func:`analyze_dates` = ``--analyze-dates`` bucket profiling
+  (``:599-657``).
+
+Execution differences from the reference (the HOW we deliberately replace):
+stages 5-8 are ONE lazy plan — no per-file materialization, no full-day RAM
+spike; files read in parallel across executors; the only wide operations are
+the dedup hash-aggregate and the final write fan-in. Failure unit stays the
+day (exceptions propagate; per-file read errors surface instead of being
+silently skipped — auditable beats lossy).
+
+Schema drift: the reference reads each file with its own inferred schema and
+lets ``pd.concat`` align names. Per-file reads don't scale to millions of
+files, so files are grouped by their *header line* and each group is read as
+one distributed scan; groups then ``unionByName`` with null-fill. One group
+== one schema == exact reference semantics at any file count. (Header
+sniffing reads one line per file on the driver — the same O(files) metadata
+pass the LIST already does.)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import os
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_from_s3_to_postgresql_template_spark.functions.dates import PatternSpec
+from etl_from_s3_to_postgresql_template_spark.operators.cleanse import (
+    DEFAULT_EPOCH_COLUMNS,
+    add_metadata_columns,
+    clean_column_names,
+    dedup_exact,
+    drop_all_null_columns,
+    epoch_to_timestamp,
+    union_by_name,
+)
+from etl_from_s3_to_postgresql_template_spark.sinks.base import Sink
+from etl_from_s3_to_postgresql_template_spark.sources.csv_ingest import (
+    FileInfo,
+    list_files,
+    prune_paths_by_date,
+)
+
+
+@dataclass
+class PipelineConfig:
+    source_dir: str
+    epoch_columns: tuple[str, ...] = DEFAULT_EPOCH_COLUMNS
+    patterns: tuple[PatternSpec, ...] | None = None
+    drop_duplicates: bool = True
+    drop_empty_columns: bool = True
+    table_name: str = "table_name"
+
+
+@dataclass
+class DayResult:
+    day: str
+    files_found: int
+    files_processed: int
+    total_rows: int
+    column_count: int
+    columns: list[str] = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return self.files_processed > 0
+
+
+def _header_of(path: str) -> str:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt", encoding="utf-8") as f:
+        return f.readline().rstrip("\n")
+
+
+def _group_by_header(files: list[FileInfo]) -> list[list[FileInfo]]:
+    groups: dict[str, list[FileInfo]] = defaultdict(list)
+    for fi in files:
+        groups[_header_of(fi.path)].append(fi)
+    return list(groups.values())
+
+
+def ingest_day_plan(
+    spark: SparkSession, config: PipelineConfig, files: list[FileInfo], day: str
+) -> DataFrame:
+    """Build the lazy merged-day plan (stages 5-8) for pruned ``files``."""
+    dfs = []
+    for group in _group_by_header(files):
+        df = (
+            spark.read.option("header", "true")
+            .option("inferSchema", "true")
+            .csv([fi.path for fi in group])
+        )
+        df = clean_column_names(df)
+        # P2 provenance: basename of the originating file, per row.
+        df = df.withColumn(
+            "source_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        dfs.append(df)
+    merged = union_by_name(dfs)
+    merged = epoch_to_timestamp(merged, config.epoch_columns)
+    merged = add_metadata_columns(merged, day, files_merged=len(dfs))
+    return merged
+
+
+def process_day(
+    spark: SparkSession, config: PipelineConfig, day: str, sink: Sink | None = None
+) -> DayResult:
+    """Run one day end-to-end. Returns the audit-shaped result; writes data
+    + audit row to ``sink`` when given."""
+    all_files = [
+        f for f in list_files(config.source_dir) if f.path.endswith((".csv", ".csv.gz"))
+    ]
+    matching = prune_paths_by_date(spark, all_files, day)
+    if not matching:
+        return DayResult(day, 0, 0, 0, 0)
+
+    merged = ingest_day_plan(spark, config, matching, day)
+    if config.drop_empty_columns:
+        merged = drop_all_null_columns(merged)  # one aggregate pass
+    if config.drop_duplicates:
+        merged = dedup_exact(merged)
+
+    if sink is not None:
+        sink.write_day(merged, day)
+        # Post-write counts come from the sink-side frame: one extra count
+        # job instead of the reference's double duplicate scan.
+        total_rows = merged.count()
+        audit = spark.createDataFrame(
+            [
+                (
+                    dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+                    dt.datetime.fromisoformat(day),
+                    len(matching),
+                    len(matching),
+                    config.table_name,
+                    total_rows,
+                    len(merged.columns),
+                    ", ".join(os.path.basename(f.path) for f in matching),
+                )
+            ],
+            "date_processed timestamp, date_of_data timestamp, files_processed int, "
+            "files_merged int, table_name string, total_row_count long, "
+            "column_count int, source_files string",
+        )
+        sink.write_audit(audit)
+    else:
+        total_rows = merged.count()
+
+    return DayResult(
+        day, len(matching), len(matching), total_rows, len(merged.columns), merged.columns
+    )
+
+
+def process_range(
+    spark: SparkSession,
+    config: PipelineConfig,
+    start_day: str,
+    end_day: str,
+    sink: Sink | None = None,
+) -> list[DayResult]:
+    """The reference's day loop (etl_pipeline.py:716-722). Kept sequential
+    per-day for audit parity; each day is internally parallel."""
+    start = dt.date.fromisoformat(start_day)
+    end = dt.date.fromisoformat(end_day)
+    if start > end:
+        raise ValueError(f"start {start_day} after end {end_day}")
+    out = []
+    d = start
+    while d <= end:
+        out.append(process_day(spark, config, d.isoformat(), sink))
+        d += dt.timedelta(days=1)
+    return out
+
+
+def analyze_dates(spark: SparkSession, config: PipelineConfig) -> DataFrame:
+    """Bucket profiling (reference --analyze-dates, etl_pipeline.py:599-657):
+    per-extracted-date file counts plus listing metadata, as one DataFrame —
+    the A4/A5/A6 aggregations compose on top of it."""
+    from etl_from_s3_to_postgresql_template_spark.sources.csv_ingest import file_listing_df
+
+    files = list_files(config.source_dir)
+    listing = file_listing_df(spark, files, list(config.patterns) if config.patterns else None)
+    return (
+        listing.groupBy("src_date")
+        .agg(
+            F.count(F.lit(1)).alias("file_count"),
+            F.min("last_modified").alias("min_modified"),
+            F.max("last_modified").alias("max_modified"),
+        )
+        .orderBy("src_date")
+    )

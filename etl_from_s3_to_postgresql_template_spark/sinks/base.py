@@ -1,0 +1,86 @@
+"""Sinks: where a processed day lands (SURVEY §2.2, reference K1-K4).
+
+``JdbcSink`` is the reference-parity PostgreSQL path
+(``etl_pipeline.py:485-530``). The reference's hand-rolled mechanics
+disappear into JDBC writer options:
+
+- 10k-row outer chunks + 1k-row multi-INSERTs -> ``batchsize`` (each
+  executor partition writes batched inserts; ``reWriteBatchedInserts=true``
+  in the URL turns them into true multi-row statements server-side)
+- connection pool of 10 -> ``numPartitions`` caps concurrent connections
+- table-exists probe -> SaveMode.Append creates the table if absent
+- 5-minute statement timeout -> ``queryTimeout``
+
+``ParquetSink`` is the test/lake path: day-partitioned parquet with dynamic
+partition overwrite, which makes re-running a day idempotent (the reference
+double-appends on re-run — a flaw fixed, not copied).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Protocol
+
+from pyspark.sql import DataFrame
+
+
+class Sink(Protocol):
+    def write_day(self, df: DataFrame, day: str) -> None: ...
+    def write_audit(self, audit_df: DataFrame) -> None: ...
+
+
+@dataclass
+class ParquetSink:
+    """Day-partitioned parquet; idempotent per-day overwrite."""
+
+    base_path: str
+    table_name: str = "merged"
+
+    def write_day(self, df: DataFrame, day: str) -> None:
+        # partitionOverwriteMode=dynamic (session default) replaces only
+        # dt=<day>, so re-processing a day never double-loads.
+        from pyspark.sql import functions as F
+
+        (
+            df.withColumn("dt", F.lit(day))
+            .write.mode("overwrite")
+            .partitionBy("dt")
+            .parquet(f"{self.base_path}/{self.table_name}")
+        )
+
+    def write_audit(self, audit_df: DataFrame) -> None:
+        audit_df.write.mode("append").parquet(f"{self.base_path}/data_processing_log")
+
+
+@dataclass
+class JdbcSink:
+    """JDBC (PostgreSQL et al.) sink with reference-derived defaults."""
+
+    url: str  # e.g. jdbc:postgresql://host:5432/db?reWriteBatchedInserts=true
+    table_name: str = "table_name"
+    audit_table: str = "data_processing_log"
+    batchsize: int = 10000  # reference chunk constant (etl_pipeline.py:486)
+    num_partitions: int = 10  # reference pool size (etl_pipeline.py:579)
+    properties: dict[str, str] = field(default_factory=dict)
+
+    def _writer(self, df: DataFrame, table: str):
+        w = (
+            df.write.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", table)
+            .option("batchsize", str(self.batchsize))
+            .option("queryTimeout", "300")  # reference statement_timeout=300s
+            .option("isolationLevel", "READ_COMMITTED")
+        )
+        for k, v in self.properties.items():
+            w = w.option(k, v)
+        return w
+
+    def write_day(self, df: DataFrame, day: str) -> None:
+        # Cap concurrent connections like the reference capped its pool;
+        # coalesce (not repartition) — no shuffle, just fewer write tasks.
+        out = df.coalesce(self.num_partitions)
+        self._writer(out, self.table_name).mode("append").save()
+
+    def write_audit(self, audit_df: DataFrame) -> None:
+        self._writer(audit_df, self.audit_table).mode("append").save()

@@ -1,0 +1,122 @@
+"""End-to-end ingest test (FIXTURES.md §B): synthesized CSV/CSV.gz files with
+date-bearing names -> process_day -> golden-compare merged output + audit row.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+
+from etl_from_s3_to_postgresql_template_spark.pipeline import (
+    PipelineConfig,
+    analyze_dates,
+    process_day,
+    process_range,
+)
+from etl_from_s3_to_postgresql_template_spark.sinks import ParquetSink
+
+
+@pytest.fixture(scope="module")
+def source_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ingest_src")
+    # iso_date file; braces in header exercise name cleaning; epoch column
+    (d / "sales_2025-02-03.csv").write_text(
+        "id,{amount},region,date_time_column1\n"
+        "1,10.5,east,1706918400\n"
+        "2,20.0,west,1706918401\n"
+    )
+    # iso_datetime_compact .csv.gz; schema drift (no region), exact dups,
+    # all-null column
+    with gzip.open(d / "data_2025-02-03T030000_export.csv.gz", "wt") as f:
+        f.write(
+            "id,amount,note,unused\n"
+            "3,30.0,hello,\n"
+            "3,30.0,hello,\n"  # exact duplicate row
+            "4,40.0,bye,\n"
+        )
+    # underscore_date; missing amount
+    (d / "logs_2025_02_03.csv").write_text("id,region\n5,north\n")
+    # different day -> pruned
+    (d / "report_20250204.csv").write_text("id,amount\n9,90.0\n")
+    # unsupported extension -> skipped
+    (d / "notes.txt").write_text("not a csv\n")
+    return str(d)
+
+
+def test_process_day_golden(spark, source_dir, tmp_path):
+    sink = ParquetSink(str(tmp_path / "lake"))
+    cfg = PipelineConfig(source_dir=source_dir)
+    res = process_day(spark, cfg, "2025-02-03", sink)
+
+    assert res.ok
+    assert res.files_found == 3  # 2025-02-04 file and notes.txt pruned
+    # 6 raw rows, minus 1 exact duplicate
+    assert res.total_rows == 5
+
+    out = spark.read.parquet(str(tmp_path / "lake/merged"))
+    cols = set(out.columns)
+    # cleaned names, provenance, derived ts, metadata, day partition
+    assert {"id", "amount", "region", "date_time_column1",
+            "date_time_column1_datetime", "note", "source_file",
+            "processed_date", "source_date", "files_merged_count", "dt"} <= cols
+    assert "unused" not in cols  # all-null column dropped
+    assert "{amount}" not in cols
+
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 5
+    assert rows[1]["amount"] == 10.5 and rows[1]["region"] == "east"
+    assert rows[1]["date_time_column1_datetime"].year == 2024  # epoch 1706918400
+    assert rows[3]["note"] == "hello" and rows[3]["region"] is None
+    assert rows[5]["region"] == "north" and rows[5]["amount"] is None
+    assert rows[1]["source_file"] == "sales_2025-02-03.csv"
+    assert rows[3]["source_file"] == "data_2025-02-03T030000_export.csv.gz"
+
+    audit = spark.read.parquet(str(tmp_path / "lake/data_processing_log")).collect()
+    assert len(audit) == 1
+    a = audit[0]
+    assert a["files_processed"] == 3
+    assert a["total_row_count"] == 5
+    assert a["date_of_data"].date().isoformat() == "2025-02-03"
+    assert "sales_2025-02-03.csv" in a["source_files"]
+
+
+def test_process_day_idempotent_rerun(spark, source_dir, tmp_path):
+    """Re-running a day must not double-load (dynamic partition overwrite) —
+    the reference double-appends; we fix."""
+    sink = ParquetSink(str(tmp_path / "lake"))
+    cfg = PipelineConfig(source_dir=source_dir)
+    process_day(spark, cfg, "2025-02-03", sink)
+    process_day(spark, cfg, "2025-02-03", sink)
+    out = spark.read.parquet(str(tmp_path / "lake/merged"))
+    assert out.count() == 5
+
+
+def test_process_day_no_matches(spark, source_dir):
+    res = process_day(spark, PipelineConfig(source_dir=source_dir), "1999-01-01")
+    assert not res.ok and res.files_found == 0
+
+
+def test_process_range(spark, source_dir, tmp_path):
+    sink = ParquetSink(str(tmp_path / "lake"))
+    results = process_range(spark, PipelineConfig(source_dir=source_dir),
+                            "2025-02-03", "2025-02-04", sink)
+    assert [r.total_rows for r in results] == [5, 1]
+    out = spark.read.parquet(str(tmp_path / "lake/merged"))
+    assert out.count() == 6
+    # partition type inference reads dt back as DateType
+    assert {str(r["dt"]) for r in out.select("dt").distinct().collect()} == {"2025-02-03", "2025-02-04"}
+
+
+def test_process_range_validation(spark, source_dir):
+    with pytest.raises(ValueError):
+        process_range(spark, PipelineConfig(source_dir=source_dir), "2025-02-05", "2025-02-03")
+
+
+def test_analyze_dates(spark, source_dir):
+    rows = analyze_dates(spark, PipelineConfig(source_dir=source_dir)).collect()
+    by = {r["src_date"]: r["file_count"] for r in rows}
+    assert by["2025-02-03"] == 3
+    assert by["2025-02-04"] == 1
+    assert by[None] == 1  # notes.txt has no extractable date
