@@ -1,0 +1,115 @@
+"""Structured Streaming ingest of the events table (north-star E5).
+
+The reference has zero streaming (its day loop is sequential batch —
+SURVEY §2.11); this module is the streaming surface the north star adds:
+file-arrival ingest -> event-time windowed aggregation with watermark, and a
+custom stateful operator via ``applyInPandasWithState``.
+
+Test/driver harness: the parquet file source + ``Trigger.AvailableNow`` +
+memory sink runs a real streaming query (incremental execution, state store,
+watermark advance) to completion synchronously — deterministic, no clocks.
+The SAME aggregation plan runs in plans/query_pack.py as a batch query;
+batch == streaming-complete output is the correctness argument, and the
+DuckDB oracle checks both.
+
+At scale the source line swaps for Kafka/file-arrival on S3 and the sink for
+``foreachBatch``-into-JDBC/Delta; watermark handles late data, and state
+lives in the checkpointed state store per 'user_id' shuffle partition.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_name_counter = itertools.count()
+
+# events.parquet physical schema under nanosAsLong (see session.py).
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming read of events with event-time ts."""
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(spark: SparkSession, agg: DataFrame, output_mode: str) -> DataFrame:
+    name = f"stream_out_{next(_name_counter)}"
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_tumbling_counts_stream(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Event-time tumbling window counts as a real streaming query.
+
+    Complete output mode so every window is emitted once input is drained
+    (append mode would withhold the final window: the watermark never passes
+    the max event time). The watermark still exercises late-data tracking.
+    """
+    ev = stream_events(spark, sf_dir).withWatermark("ts", watermark)
+    agg = (
+        ev.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return _run_to_memory(spark, agg, "complete")
+
+
+def _count_events(
+    key: tuple, pdfs: "pd.DataFrame iterator", state: GroupState  # noqa: F722
+):
+    """Stateful per-user event counter: GroupState accumulates across
+    micro-batches; emits the running total per batch."""
+    n = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+
+def run_stateful_user_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running per-user
+    event counts. With AvailableNow over a static fixture this equals the
+    batch groupBy count — the oracle-checkable contract."""
+    ev = stream_events(spark, sf_dir)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _count_events,
+        outputStructType="user_id long, n long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(spark, out, "update")

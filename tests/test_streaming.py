@@ -1,0 +1,38 @@
+"""Streaming == batch equivalence over a drained fixture stream."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_from_s3_to_postgresql_template_spark.plans import QUERIES
+from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+from etl_from_s3_to_postgresql_template_spark.streaming.ingest import (
+    run_stateful_user_counts_stream,
+    run_tumbling_counts_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    stream_rows = {
+        (r["w_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in run_tumbling_counts_stream(spark, SF).collect()
+    }
+    batch_rows = {
+        (r["w_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in QUERIES["window_tumbling_events"](spark, SF).collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_stateful_counts_equal_batch_group_count(spark):
+    got = {r["user_id"]: r["n"] for r in run_stateful_user_counts_stream(spark, SF).collect()}
+    want = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
