@@ -1,0 +1,204 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed metadata
+(north-star E4).
+
+Contract: media rides in a ``binary`` column next to a metadata struct;
+decode / feature-extract / resize / frame-sample are ``mapInPandas`` /
+pandas-UDF operators over Arrow batches, so payload bytes stream
+executor-side in columnar batches and never transit the driver. That
+plumbing — schemas, batch iteration, partition parallelism — is real and
+tested.
+
+STUB NOTICE: this container has no image/audio codecs (no PIL/ffmpeg), so
+the *codec* inside each operator is a deterministic fake over a synthetic
+container format (header + payload bytes, below). Every such site is marked
+``# STUB:`` — swapping in a real codec (PIL.Image.open, soundfile, pyav)
+changes only the inside of the per-batch function, nothing about the Spark
+plumbing. ``decode_media(strict=True)`` raises NotImplementedError where a
+real codec would be required.
+
+Synthetic container format (deterministic, seedless):
+    magic[4] = IMG!/AUD!/VID! | a uint32 | b uint32 | payload bytes
+    image: a=width, b=height;  audio: a=sample_rate, b=n_samples;
+    video: a=width<<16|height, b=n_frames (payload = n_frames fixed slices)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "synthetic_media_table",
+    "decode_media",
+    "extract_features",
+    "resize_images",
+    "sample_frames",
+]
+
+_MAGIC = {0: b"IMG!", 1: b"AUD!", 2: b"VID!"}
+_KIND = {b"IMG!": "image", b"AUD!": "audio", b"VID!": "video"}
+FRAME_BYTES = 64  # fixed synthetic frame size
+
+
+def _payload(seed: int, n: int) -> bytes:
+    out = b""
+    i = 0
+    while len(out) < n:
+        out += hashlib.md5(f"{seed}:{i}".encode()).digest()
+        i += 1
+    return out[:n]
+
+
+def _make_blob(media_id: int) -> bytes:
+    kind = media_id % 3
+    if kind == 0:  # image
+        w, h = 16 + (media_id % 8) * 4, 16 + (media_id % 5) * 4
+        return _MAGIC[0] + struct.pack(">II", w, h) + _payload(media_id, w * h)
+    if kind == 1:  # audio
+        sr, ns = 8000, 256 + (media_id % 16) * 32
+        return _MAGIC[1] + struct.pack(">II", sr, ns) + _payload(media_id, ns)
+    n_frames = 2 + media_id % 6  # video
+    w, h = 32, 24
+    return _MAGIC[2] + struct.pack(">II", (w << 16) | h, n_frames) + _payload(
+        media_id, n_frames * FRAME_BYTES
+    )
+
+
+def synthetic_media_table(spark: SparkSession, n: int = 300, partitions: int = 8) -> DataFrame:
+    """Deterministic media fixture: (media_id long, kind string, blob binary).
+    Generated distributed (mapInPandas over an id range) — the driver never
+    holds the payload bytes."""
+    base = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": [_KIND[_MAGIC[i % 3]] for i in ids],
+                    "blob": [_make_blob(i) for i in ids],
+                }
+            )
+
+    return base.mapInPandas(gen, "media_id long, kind string, blob binary")
+
+
+def decode_media(df: DataFrame, blob_col: str = "blob", strict: bool = False) -> DataFrame:
+    """Parse container headers -> typed metadata columns.
+
+    Output adds: fmt string, width int, height int, sample_rate int,
+    n_samples int, n_frames int, payload_bytes long (NULLs where a field
+    does not apply to the modality).
+    """
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+        + ", fmt string, width int, height int, sample_rate int, n_samples int,"
+        " n_frames int, payload_bytes long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for blob in pdf[blob_col]:
+                b = bytes(blob)
+                magic, a, bfield = b[:4], *struct.unpack(">II", b[4:12])
+                kind = _KIND.get(magic)
+                if kind is None:
+                    if strict:
+                        # STUB: a real build would hand unknown containers to
+                        # a codec sniffer (PIL/ffprobe). Not available here.
+                        raise NotImplementedError(f"no codec for magic {magic!r}")
+                    metas.append((None, None, None, None, None, None, len(b)))
+                elif kind == "image":
+                    # STUB: real codec = PIL.Image.open(BytesIO(b)).size
+                    metas.append(("image", a, bfield, None, None, None, len(b) - 12))
+                elif kind == "audio":
+                    metas.append(("audio", None, None, a, bfield, None, len(b) - 12))
+                else:
+                    metas.append(("video", a >> 16, a & 0xFFFF, None, None, bfield, len(b) - 12))
+            cols = list(zip(*metas)) if metas else [[]] * 7
+            for i, name in enumerate(
+                ["fmt", "width", "height", "sample_rate", "n_samples", "n_frames", "payload_bytes"]
+            ):
+                pdf[name] = pd.array(cols[i], dtype="object")
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def extract_features(df: DataFrame, blob_col: str = "blob", dim: int = 16) -> DataFrame:
+    """Binary -> fixed-dim float feature vector.
+
+    STUB: the feature extractor is a deterministic byte-histogram projection
+    (a real build plugs a vision/audio model here via the same pandas UDF).
+    The Arrow batch shape — binary in, array<float> out — is the real contract.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for blob in pdf[blob_col]:
+                arr = np.frombuffer(bytes(blob)[12:], dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append([0.0] * dim)
+                    continue
+                hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
+                norm = np.linalg.norm(hist)
+                feats.append((hist / norm if norm else hist).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return df.mapInPandas(run, "media_id long, feature array<double>")
+
+
+def resize_images(df: DataFrame, width: int, height: int, blob_col: str = "blob") -> DataFrame:
+    """Re-encode image blobs at a new size (non-images pass through).
+
+    STUB: real resample = PIL Image.resize; the fake re-synthesizes the
+    deterministic payload at the new dimensions, preserving the container
+    contract (decode_media(resize_images(df)) reports the new size).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
+                b = bytes(blob)
+                if b[:4] == _MAGIC[0]:
+                    out.append(_MAGIC[0] + struct.pack(">II", width, height) + _payload(int(mid), width * height))
+                else:
+                    out.append(b)
+            pdf[blob_col] = out
+            yield pdf
+
+    return df.mapInPandas(run, df.schema)
+
+
+def sample_frames(df: DataFrame, every: int = 2, blob_col: str = "blob") -> DataFrame:
+    """Explode video blobs into sampled frames: one output row per kept
+    frame (media_id, frame_idx, frame binary). Non-videos produce no rows.
+    The row-explosion happens inside the Arrow batch — no driver hop."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
+                b = bytes(blob)
+                if b[:4] != _MAGIC[2]:
+                    continue
+                n_frames = struct.unpack(">II", b[4:12])[1]
+                payload = b[12:]
+                for i in range(0, n_frames, every):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(run, "media_id long, frame_idx int, frame binary")

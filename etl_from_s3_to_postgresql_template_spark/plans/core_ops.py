@@ -128,6 +128,56 @@ def project_extract_date_str(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files.select("filename", extract_date_str_col("filename").alias("extracted_date"))
 
 
+def _scan_fixture_dir(spark: SparkSession, sf_dir: str, gz: bool) -> str:
+    """Materialize nation as deterministic CSV/CSV.gz files (once per sf),
+    so the scan operators read real files of each format. Content derives
+    from the fixture table -> the oracle can check against `nation`."""
+    import os
+
+    suffix = "csv_gz" if gz else "csv"
+    out = f"/tmp/spark_graft_scan/{os.path.basename(sf_dir.rstrip('/'))}/{suffix}"
+    if not os.path.exists(out):
+        n = load_table(spark, sf_dir, "nation").orderBy("n_nationkey")
+        w = n.coalesce(1).write.mode("overwrite").option("header", "true")
+        if gz:
+            w = w.option("compression", "gzip")
+        w.csv(out)
+    return out
+
+
+@query(
+    "scan_csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: header CSV scan with schema inference (reference
+    pd.read_csv(low_memory=False), etl_pipeline.py:372-374)."""
+    path = _scan_fixture_dir(spark, sf_dir, gz=False)
+    return spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+
+@query(
+    "scan_csv_gz",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: gzipped CSV scan — Hadoop auto-decompresses by extension; the
+    reference's gzip.open + temp-file dance (etl_pipeline.py:359-371)
+    disappears entirely."""
+    path = _scan_fixture_dir(spark, sf_dir, gz=True)
+    return spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+
+@query("scan_file_listing")  # listing metadata is filesystem-local -> rows-only
+def scan_file_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: enumerate files as a DataFrame with extracted src_date (the
+    analyze-dates input; reference etl_pipeline.py:287-302)."""
+    from etl_from_s3_to_postgresql_template_spark.sources.csv_ingest import file_listing_df, list_files
+
+    files = list_files(sf_dir, "*.parquet")
+    return file_listing_df(spark, files).select("filename", "size", "src_date")
+
+
 @query(
     "union_by_name",
     oracle="""

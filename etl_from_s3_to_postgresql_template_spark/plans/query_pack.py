@@ -328,6 +328,178 @@ def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+agg — every predicate must reach the
+    parquet scan (PushedFilters), zero shuffles beyond the final gather."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice, sum_qty
+    FROM orders JOIN (
+      SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    ) big ON o_orderkey = big.l_orderkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: agg -> having -> join back. The HAVING side shrinks
+    before the join, so AQE broadcasts it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > 150)
+        .select("l_orderkey", F.round("raw_qty", 2).alias("sum_qty"))
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"), "sum_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+@query(
+    "join_range_bands",
+    oracle="""
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM("value"), 2) AS total_value
+    FROM events
+    JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1e9))
+         AS bands(band, lo, hi)
+      ON "value" >= lo AND "value" < hi
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join against a tiny banding dim: non-equi condition ->
+    broadcast nested-loop with the dim side broadcast (3 rows; BNLJ cost is
+    |events| * 3 comparisons — the only sane physical plan, and the hint
+    guarantees it at any scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        ev.join(F.broadcast(bands), (ev["value"] >= bands.lo) & (ev["value"] < bands.hi))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("band")
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH od AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS ym, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00' GROUP BY 1
+    ),
+    sd AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS ym, CAST(COUNT(*) AS BIGINT) AS n_ships
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00' GROUP BY 1
+    )
+    SELECT COALESCE(od.ym, sd.ym) AS ym, n_orders, n_ships
+    FROM od FULL OUTER JOIN sd ON od.ym = sd.ym
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with disjoint-ish key ranges (nulls on both sides)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    od = (
+        o.filter(F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    sd = (
+        li.filter(F.col("l_shipdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ym"))
+        .agg(F.count(F.lit(1)).alias("n_ships"))
+    )
+    return (
+        od.join(sd, od.ym == sd.ym, "full_outer")
+        .select(F.coalesce(od.ym, sd.ym).alias("ym"), "n_orders", "n_ships")
+    )
+
+
+@query(
+    "set_intersect_except",
+    oracle="""
+    SELECT 'both' AS which, n_nationkey FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'customer_only' AS which, n_nationkey FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey FROM supplier
+    )
+    """,
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators over nation-key projections."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey")).distinct()
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey")).distinct()
+    both = c.intersect(s).select(F.lit("both").alias("which"), "n_nationkey")
+    only = c.exceptAll(s).select(F.lit("customer_only").alias("which"), "n_nationkey")
+    return both.unionByName(only)
+
+
+@query(
+    "agg_median_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont). The approx_percentile/HLL variants exist for the scale
+    path but use engine-specific sketches — checked by tolerance in pytest,
+    not by the exact-hash oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "json_extract_props",
     oracle="""
     SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
