@@ -262,6 +262,84 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(queries, candidates, k=10)
 
 
+@query(
+    "dedup_embedding_pairs",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.e, b.e) /
+                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) /
+          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.3
+    """,
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 embedding-cosine near-dup pairs (exact form, oracle-checked).
+
+    All-pairs cosine with id_a < id_b and threshold. Exact O(n^2) is the
+    verification baseline; the scale path is the SAME query over LSH-blocked
+    candidates (similarity_topk_lsh's banding) — at 100 TB you never run the
+    unblocked form. The filter uses the UNROUNDED cosine (both engines), so
+    boundary values can't flip membership."""
+    from etl_from_s3_to_postgresql_template_spark.functions.vectors import as_double_vec, cosine_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), as_double_vec(F.col("embedding")).alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), as_double_vec(F.col("embedding")).alias("eb"))
+    cos = cosine_col(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cos >= 0.3)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+@query(
+    "dedup_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           event_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup: keep the LATEST row per key (the CDC/upsert compaction
+    every warehouse pipeline needs; subset-dropDuplicates keeps an arbitrary
+    row — this keeps a deterministic one)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "event_type",
+        )
+    )
+
+
+@query("agg_approx_sketches")  # sketch algorithms are engine-specific -> rows-only
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates for the scale path: HLL++ distinct and
+    quantile sketches. Not oracle-hashable (DuckDB's sketches differ);
+    pytest bounds the error vs exact instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.round(F.expr("approx_percentile(l_extendedprice, 0.5)"), 2).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    ).orderBy("l_returnflag")
+
+
 @query("similarity_topk_lsh")
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 scale path: sign-LSH blocked cosine top-10 (16 planes, 4 bands).
