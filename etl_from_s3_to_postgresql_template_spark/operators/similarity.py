@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from etl_from_s3_to_postgresql_template_spark.functions.vectors import as_double_vec, cosine_col, dot_col
 
-__all__ = ["brute_force_topk", "lsh_topk", "hyperplanes"]
+__all__ = ["brute_force_topk", "lsh_topk", "hyperplanes", "ivf_topk"]
 
 
 def brute_force_topk(
@@ -69,6 +69,70 @@ def _sketch_col(vec_col, planes: list[list[float]]):
         plane = F.array(*[F.lit(float(x)) for x in p])
         bits.append((dot_col(v, plane) > 0).cast("int"))
     return F.array(*bits)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    q_id: str = "q_id",
+    n_id: str = "n_id",
+    q_vec: str = "q_vec",
+    n_vec: str = "n_vec",
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer -> probe the
+    ``n_probe`` nearest centroid lists per query -> exact cosine inside.
+
+    The scale shape: candidates are assigned to lists ONCE (one narrow
+    pass + a partitioned write in a real deployment); per query only
+    ``n_probe/n_lists`` of the corpus is scored. Centroids come from MLlib
+    KMeans (seeded); they ride into the plan as literals, so list assignment
+    is a pure projection — no model object at query time.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = candidates.select(array_to_vector(as_double_vec(F.col(n_vec))).alias("features"))
+    km = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
+    centroids = [list(map(float, c)) for c in km.clusterCenters()]
+
+    def nearest_lists(vec_col, n_keep: int):
+        v = as_double_vec(vec_col)
+        dists = F.array(
+            *[
+                F.struct(
+                    dot_col(
+                        F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: a - b),
+                        F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: a - b),
+                    ).alias("d2"),
+                    F.lit(i).alias("list_id"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.slice(F.array_sort(dists), 1, n_keep)
+
+    cand_lists = candidates.select(
+        F.col(n_id), F.col(n_vec),
+        F.element_at(nearest_lists(F.col(n_vec), 1), 1)["list_id"].alias("list_id"),
+    )
+    q_lists = queries.select(
+        F.col(q_id), F.col(q_vec),
+        F.explode(F.transform(nearest_lists(F.col(q_vec), n_probe), lambda s: s["list_id"])).alias("list_id"),
+    )
+    pairs = q_lists.join(cand_lists, "list_id").filter(F.col(q_id) != F.col(n_id))
+    cos = F.round(cosine_col(as_double_vec(F.col(q_vec)), as_double_vec(F.col(n_vec))), round_to)
+    w = W.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(n_id))
+    return (
+        pairs.select(F.col(q_id), F.col(n_id), cos.alias("cosine"))
+        .dropDuplicates([q_id, n_id])
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def lsh_topk(

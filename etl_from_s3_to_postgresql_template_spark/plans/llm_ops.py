@@ -340,6 +340,20 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+@query("similarity_topk_ivf")
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 IVF ANN: seeded k-means coarse quantizer, probe 4/16 lists.
+    pytest bounds recall vs brute force."""
+    from etl_from_s3_to_postgresql_template_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    candidates = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec"))
+    return ivf_topk(queries_df, candidates, k=10).orderBy("q_id", "rank")
+
+
 @query("similarity_topk_lsh")
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 scale path: sign-LSH blocked cosine top-10 (16 planes, 4 bands).

@@ -305,6 +305,52 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_cube_grouping",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with a grouping-set indicator (grouping_id) — disambiguates
+    subtotal NULLs from data NULLs identically in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    ).select("l_returnflag", "l_linestatus", "gid", "sum_price")
+
+
+@query(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, ROUND(l_quantity, 2) AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', ROUND(l_extendedprice, 2) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', ROUND(l_discount, 2) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', ROUND(l_tax, 2) FROM lineitem
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide metric columns to long form via stack — one
+    narrow projection, no shuffle; rows multiply by 4 in place."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(4, 'l_quantity', round(l_quantity, 2),"
+        " 'l_extendedprice', round(l_extendedprice, 2),"
+        " 'l_discount', round(l_discount, 2),"
+        " 'l_tax', round(l_tax, 2)) AS (metric, val)",
+    )
+
+
+@query(
     "pivot_status_counts",
     oracle="""
     SELECT o_orderpriority,

@@ -47,6 +47,22 @@ def test_brute_force_matches_numpy(spark, emb):
         assert got == want, f"query {q}"
 
 
+def test_ivf_recall_floor(spark, emb):
+    from etl_from_s3_to_postgresql_template_spark.operators.similarity import ivf_topk
+
+    bf = brute_force_topk(_queries(emb), _cands(emb), k=10).collect()
+    ap = ivf_topk(_queries(emb), _cands(emb), k=10).collect()
+    bf_sets, ap_sets = {}, {}
+    for r in bf:
+        bf_sets.setdefault(r["q_id"], set()).add(r["n_id"])
+    for r in ap:
+        ap_sets.setdefault(r["q_id"], set()).add(r["n_id"])
+    recalls = [len(bf_sets[q] & ap_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets]
+    # probing 4/16 lists over 500 random vectors: guard against broken
+    # assignment (recall ~0), not against ANN's inherent approximation
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
 def test_lsh_recall_floor(spark, emb):
     bf = brute_force_topk(_queries(emb), _cands(emb), k=10).collect()
     ap = lsh_topk(_queries(emb), _cands(emb), dim=64, k=10).collect()
