@@ -1,0 +1,40 @@
+"""Skew-mitigation: salted join for hot keys.
+
+AQE's skew-join split (on by default, session.py) handles most skew by
+splitting oversized shuffle partitions. Salting is the explicit fallback
+for the pathological case AQE can't fix: ONE key so hot its single hash
+partition exceeds an executor (power-law user_ids, null-heavy keys).
+
+Mechanics: the big side gets a deterministic salt in [0, n); the small side
+is replicated n times (explode over the salt range); the join key becomes
+(key, salt). Hot-key rows spread across n tasks; the small side grows n×,
+which is fine because salting is only ever applied to a join whose build
+side is small. Salt derives from xxhash64 of the big side's OTHER columns
+(not random): deterministic re-runs, stable tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_join"]
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big ⋈ small`` on ``on`` with the hot-key pressure spread
+    over ``n_salts`` sub-keys. Same result set as ``big.join(small, on,
+    how)`` for 'inner'/'left' joins."""
+    salt_src = [c for c in big.columns if c != on] or [on]
+    b = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(n_salts)).cast("int")
+    )
+    s = small.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    out = b.join(s, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -25,7 +25,7 @@ from etl_from_s3_to_postgresql_template_spark.streaming.ingest import (
     oracle="""
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM("value"), 2) AS total_value
+           CAST(ROUND(SUM(CAST("value" AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,

@@ -77,7 +77,12 @@ def run_tumbling_counts_stream(
     ev = stream_events(spark, sf_dir).withWatermark("ts", watermark)
     agg = (
         ev.groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: bit-identical to the batch twin and the
+            # DuckDB oracle regardless of per-batch summation order
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("total_value"),
+        )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
             "event_type",

@@ -1,0 +1,82 @@
+"""Physical-plan assertions: the plan *shape* is part of the contract.
+
+A correct-but-mis-planned query (filter not pushed, dim not broadcast,
+accidental cartesian) passes value checks and then dies at 100 TB; these
+tests pin the properties that matter."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_from_s3_to_postgresql_template_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]  # pruned
+    # map-side combine: partial aggregation must run before the exchange
+    simple = (
+        QUERIES["q1_pricing_summary"](spark, SF)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+    )
+    assert "partial_sum" in simple
+
+
+def test_q6_all_predicates_pushed(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    scan = plan.split("PushedFilters")[1].splitlines()[0]
+    for col in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert col in scan, f"{col} not pushed: {scan}"
+
+
+def test_broadcast_dim_joins_are_broadcast(spark):
+    for name in ["join_broadcast_dim", "q5_region_revenue", "q10_returned_items"]:
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_topn_uses_take_ordered(spark):
+    plan = _plan(spark, "sort_limit_topn")
+    assert "TakeOrderedAndProject" in plan  # no global sort materialization
+
+
+def test_no_accidental_cartesian(spark):
+    # BNLJ/cross is legitimate ONLY where semantics demand it
+    allowed = {"similarity_topk_bruteforce", "dedup_embedding_pairs", "join_range_bands"}
+    for name in sorted(QUERIES):
+        if name in allowed or name.startswith(("streaming_", "multimodal_", "scan_")):
+            continue
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_window_queries_partition_before_sort(spark):
+    # a Window.orderBy without partitionBy collapses to a single task
+    for name in ["window_topk_per_group", "window_running_sum", "dedup_latest_per_key"]:
+        plan = _plan(spark, name)
+        assert "SinglePartition" not in plan.split("Window")[0].splitlines()[-1], name
+
+
+def test_salted_join_equivalence(spark):
+    from etl_from_s3_to_postgresql_template_spark.operators.skew import salted_join
+    from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+    n = load_table(spark, SF, "nation")
+    r = load_table(spark, SF, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+    plain = n.join(r, "n_regionkey").select("n_nationkey", "r_name")
+    salted = salted_join(n, r, "n_regionkey").select("n_nationkey", "r_name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
