@@ -63,6 +63,10 @@ class PipelineConfig:
     drop_duplicates: bool = True
     drop_empty_columns: bool = True
     table_name: str = "table_name"
+    # "skip": unreadable files are dropped with a warning and counted out of
+    # files_processed (reference behavior, etl_pipeline.py:404-406);
+    # "fail": propagate — auditable pipelines usually want this.
+    on_error: str = "fail"
 
 
 @dataclass
@@ -73,6 +77,7 @@ class DayResult:
     total_rows: int
     column_count: int
     columns: list[str] = field(default_factory=list)
+    skipped_files: list[str] = field(default_factory=list)
 
     @property
     def ok(self) -> bool:
@@ -85,19 +90,35 @@ def _header_of(path: str) -> str:
         return f.readline().rstrip("\n")
 
 
-def _group_by_header(files: list[FileInfo]) -> list[list[FileInfo]]:
+def _group_by_header(
+    files: list[FileInfo], on_error: str = "fail"
+) -> tuple[list[list[FileInfo]], list[FileInfo]]:
+    """Group files by header line; with on_error='skip', unreadable files
+    (bad gzip, encoding, truncation) are returned separately instead of
+    failing the day — the reference's skip-and-continue
+    (etl_pipeline.py:404-406), but *counted*, not silent."""
     groups: dict[str, list[FileInfo]] = defaultdict(list)
+    skipped: list[FileInfo] = []
     for fi in files:
-        groups[_header_of(fi.path)].append(fi)
-    return list(groups.values())
+        try:
+            groups[_header_of(fi.path)].append(fi)
+        except Exception:
+            if on_error != "skip":
+                raise
+            skipped.append(fi)
+    return list(groups.values()), skipped
 
 
 def ingest_day_plan(
     spark: SparkSession, config: PipelineConfig, files: list[FileInfo], day: str
 ) -> DataFrame:
-    """Build the lazy merged-day plan (stages 5-8) for pruned ``files``."""
+    """Build the lazy merged-day plan (stages 5-8) for pruned ``files``.
+    Returns (plan, skipped_files)."""
     dfs = []
-    for group in _group_by_header(files):
+    groups, skipped = _group_by_header(files, config.on_error)
+    if not groups:
+        raise ValueError(f"no readable files for {day}")
+    for group in groups:
         df = (
             spark.read.option("header", "true")
             .option("inferSchema", "true")
@@ -112,7 +133,7 @@ def ingest_day_plan(
     merged = union_by_name(dfs)
     merged = epoch_to_timestamp(merged, config.epoch_columns)
     merged = add_metadata_columns(merged, day, files_merged=len(dfs))
-    return merged
+    return merged, skipped
 
 
 def process_day(
@@ -127,7 +148,9 @@ def process_day(
     if not matching:
         return DayResult(day, 0, 0, 0, 0)
 
-    merged = ingest_day_plan(spark, config, matching, day)
+    merged, skipped = ingest_day_plan(spark, config, matching, day)
+    skipped_names = [os.path.basename(f.path) for f in skipped]
+    processed = [f for f in matching if os.path.basename(f.path) not in set(skipped_names)]
     if config.drop_empty_columns:
         merged = drop_all_null_columns(merged)  # one aggregate pass
     if config.drop_duplicates:
@@ -143,12 +166,12 @@ def process_day(
                 (
                     dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
                     dt.datetime.fromisoformat(day),
-                    len(matching),
-                    len(matching),
+                    len(processed),
+                    len(processed),
                     config.table_name,
                     total_rows,
                     len(merged.columns),
-                    ", ".join(os.path.basename(f.path) for f in matching),
+                    ", ".join(os.path.basename(f.path) for f in processed),
                 )
             ],
             "date_processed timestamp, date_of_data timestamp, files_processed int, "
@@ -160,7 +183,13 @@ def process_day(
         total_rows = merged.count()
 
     return DayResult(
-        day, len(matching), len(matching), total_rows, len(merged.columns), merged.columns
+        day,
+        len(matching),
+        len(processed),
+        total_rows,
+        len(merged.columns),
+        merged.columns,
+        skipped_names,
     )
 
 
@@ -183,6 +212,20 @@ def process_range(
         out.append(process_day(spark, config, d.isoformat(), sink))
         d += dt.timedelta(days=1)
     return out
+
+
+def recent_runs(spark: SparkSession, lake_path: str, n: int = 10) -> DataFrame:
+    """README monitoring query parity (README.md:213-216): last n pipeline
+    runs from the audit log, newest first."""
+    log = spark.read.parquet(f"{lake_path}/data_processing_log")
+    return log.orderBy(F.desc("date_processed")).limit(n)
+
+
+def rows_per_source_date(spark: SparkSession, lake_path: str, table: str = "merged") -> DataFrame:
+    """README monitoring query parity (README.md:218-222): loaded rows per
+    source day, newest first — reads only partition metadata + counts."""
+    df = spark.read.parquet(f"{lake_path}/{table}")
+    return df.groupBy("dt").agg(F.count(F.lit(1)).alias("row_count")).orderBy(F.desc("dt"))
 
 
 def analyze_dates(spark: SparkSession, config: PipelineConfig) -> DataFrame:

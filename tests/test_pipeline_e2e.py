@@ -114,6 +114,36 @@ def test_process_range_validation(spark, source_dir):
         process_range(spark, PipelineConfig(source_dir=source_dir), "2025-02-05", "2025-02-03")
 
 
+def test_on_error_skip_counts_bad_files(spark, tmp_path):
+    d = tmp_path / "src"
+    d.mkdir()
+    (d / "good_2025-02-03.csv").write_text("id,v\n1,10\n")
+    # .csv.gz extension but NOT gzip -> unreadable
+    (d / "bad_2025-02-03.csv.gz").write_bytes(b"this is not gzip at all")
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        process_day(spark, PipelineConfig(source_dir=str(d)), "2025-02-03")
+
+    res = process_day(spark, PipelineConfig(source_dir=str(d), on_error="skip"), "2025-02-03")
+    assert res.files_found == 2 and res.files_processed == 1
+    assert res.skipped_files == ["bad_2025-02-03.csv.gz"]
+    assert res.total_rows == 1
+
+
+def test_recent_runs_and_rows_per_day(spark, source_dir, tmp_path):
+    from etl_from_s3_to_postgresql_template_spark.pipeline import recent_runs, rows_per_source_date
+
+    sink = ParquetSink(str(tmp_path / "lake"))
+    process_range(spark, PipelineConfig(source_dir=source_dir), "2025-02-03", "2025-02-04", sink)
+    runs = recent_runs(spark, str(tmp_path / "lake")).collect()
+    assert len(runs) == 2
+    assert runs[0]["date_processed"] >= runs[1]["date_processed"]
+    per_day = {str(r["dt"]): r["row_count"] for r in rows_per_source_date(spark, str(tmp_path / "lake")).collect()}
+    assert per_day == {"2025-02-03": 5, "2025-02-04": 1}
+
+
 def test_analyze_dates(spark, source_dir):
     rows = analyze_dates(spark, PipelineConfig(source_dir=source_dir)).collect()
     by = {r["src_date"]: r["file_count"] for r in rows}
