@@ -149,6 +149,85 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, cands, "text", "doc_id", threshold=0.5).orderBy("id_a", "id_b")
 
 
+@query(
+    "dedup_ngram_jaccard_exact",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks)-1),
+                                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 exact token-3-gram Jaccard, oracle-checked end to end: candidate
+    blocking by `source` (a deterministic SQL-expressible block, standing in
+    for the LSH block which isn't), then exact set overlap. The unrounded
+    jaccard drives the threshold so boundary values can't flip membership."""
+    from etl_from_s3_to_postgresql_template_spark.functions.text import shingles_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.array_distinct(shingles_col("text", 3)).alias("s")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("source"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("source").alias("source_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = inter / union
+    return (
+        a.join(b, (F.col("source") == F.col("source_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(jac >= 0.05)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@query(
+    "profile_table_stats",
+    oracle="""
+    WITH agg AS (
+      SELECT COUNT(o_orderkey) AS c1, COUNT(DISTINCT o_orderkey) AS d1,
+             COUNT(o_custkey) AS c2, COUNT(DISTINCT o_custkey) AS d2,
+             COUNT(o_orderstatus) AS c3, COUNT(DISTINCT o_orderstatus) AS d3,
+             COUNT(o_totalprice) AS c4, COUNT(DISTINCT o_totalprice) AS d4,
+             COUNT(o_orderdate) AS c5, COUNT(DISTINCT o_orderdate) AS d5,
+             COUNT(o_orderpriority) AS c6, COUNT(DISTINCT o_orderpriority) AS d6
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS column_name, CAST(c1 AS BIGINT) AS n_nonnull, CAST(d1 AS BIGINT) AS n_distinct FROM agg
+    UNION ALL SELECT 'o_custkey', CAST(c2 AS BIGINT), CAST(d2 AS BIGINT) FROM agg
+    UNION ALL SELECT 'o_orderstatus', CAST(c3 AS BIGINT), CAST(d3 AS BIGINT) FROM agg
+    UNION ALL SELECT 'o_totalprice', CAST(c4 AS BIGINT), CAST(d4 AS BIGINT) FROM agg
+    UNION ALL SELECT 'o_orderdate', CAST(c5 AS BIGINT), CAST(d5 AS BIGINT) FROM agg
+    UNION ALL SELECT 'o_orderpriority', CAST(c6 AS BIGINT), CAST(d6 AS BIGINT) FROM agg
+    """,
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling summary (the reference ships ydata-profiling in its
+    requirements — this is the distributed equivalent): per-column non-null
+    and distinct counts in ONE scan + unpivot, not a scan per column."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = o.columns
+    agg = o.agg(
+        *[F.count(F.col(c)).alias(f"c_{c}") for c in cols],
+        *[F.countDistinct(F.col(c)).alias(f"d_{c}") for c in cols],
+    )
+    stack_expr = ", ".join(f"'{c}', c_{c}, d_{c}" for c in cols)
+    return agg.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) AS (column_name, n_nonnull, n_distinct)"
+    )
+
+
 @query("dedup_simhash_pairs")
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 SimHash near-dup pairs: 64-bit sign-aggregated hash, 16-bit-chunk
