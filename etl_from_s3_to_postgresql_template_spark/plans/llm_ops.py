@@ -375,6 +375,27 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_exact_hashed",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem
+    """,
+)
+def dedup_exact_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 at scale: exact dedup via 8-byte hash groupBy instead of
+    shuffling full rows (SCALING.md). All rows in a hash group are
+    identical (mod 2^-64 collisions), so any representative IS the
+    distinct row — semantics equal to DISTINCT, shuffle weight ~constant
+    per row instead of per byte."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus", "l_quantity")
+    h = F.xxhash64(*[F.col(c) for c in li.columns])
+    return (
+        li.groupBy(h.alias("__h"))
+        .agg(*[F.first(c).alias(c) for c in li.columns])
+        .drop("__h")
+    )
+
+
+@query(
     "dedup_latest_per_key",
     oracle="""
     SELECT user_id, event_id,
