@@ -27,10 +27,15 @@ TABLES: tuple[str, ...] = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
+        # rejects outright. Set the legacy conf on WHATEVER session we're
+        # given (the driver harness builds its own, without our session.py
+        # defaults — runtime-settable, so this is safe), read nanos as
+        # long, truncate to micros — identical to how DuckDB reads it.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # TIMESTAMP(NANOS) read as long nanos (see session.py); truncate to
-        # micros — identical to how DuckDB reads the same file.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

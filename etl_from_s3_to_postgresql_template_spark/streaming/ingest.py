@@ -44,6 +44,8 @@ _EVENTS_RAW_SCHEMA = T.StructType(
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source streaming read of events with event-time ts."""
+    # defensive for sessions not built by session.py (see sources/registry.py)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(_EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
