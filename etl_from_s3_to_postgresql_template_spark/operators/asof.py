@@ -98,23 +98,31 @@ def asof_join_grouped(
     import pandas as pd
 
     lcols = left.columns
-    rcols = [c for c in right.columns if c != by]
-    out_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema.fields
-    ) + ", " + ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in right.schema.fields if f.name != by
-    )
+    rextra = [c for c in right.columns if c != by and c != right_on]
+    out_fields = [f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema.fields]
+    out_fields += [
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in right.schema.fields
+        if f.name != by
+    ]
+    out_schema = ", ".join(out_fields)
 
-    lt = left.withColumn("__side", F.lit(0))
-    rt = right.withColumnRenamed(by, by)  # no-op; keeps lint quiet about unused rcols
-
-    def merge(key, pdfs) -> pd.DataFrame:
-        lpdf, rpdf = pdfs
+    def merge(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=lcols + [right_on, *rextra])
         lpdf = lpdf.sort_values(left_on)
+        if rpdf.empty:
+            out = lpdf[lcols].copy()
+            for c in [right_on, *rextra]:
+                out[c] = None
+            return out
         rpdf = rpdf.sort_values(right_on)
         return pd.merge_asof(
-            lpdf[lcols], rpdf[[right_on, *[c for c in rcols if c != right_on]]],
-            left_on=left_on, right_on=right_on, direction=direction,
+            lpdf[lcols],
+            rpdf[[right_on, *rextra]],
+            left_on=left_on,
+            right_on=right_on,
+            direction=direction,
         )
 
-    return lt.drop("__side").groupBy(by).cogroup(rt.groupBy(by)).applyInPandas(merge, out_schema)
+    return left.groupBy(by).cogroup(right.groupBy(by)).applyInPandas(merge, out_schema)

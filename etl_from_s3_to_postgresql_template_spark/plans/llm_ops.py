@@ -193,6 +193,53 @@ def dedup_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_rule_violations",
+    oracle="""
+    WITH agg AS (
+      SELECT COUNT(*) AS checked,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS r1,
+             SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS r2,
+             SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0 OR o_totalprice > 300000 THEN 1 ELSE 0 END) AS r3,
+             SUM(CASE WHEN o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS r4
+      FROM orders
+    ), dup AS (
+      SELECT COALESCE(SUM(c - 1), 0) AS d FROM (
+        SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey
+      )
+    )
+    SELECT 'not_null(o_custkey)' AS rule, CAST(r1 AS BIGINT) AS violations, CAST(checked AS BIGINT) AS checked FROM agg
+    UNION ALL SELECT 'in_set(o_orderstatus)', CAST(r2 AS BIGINT), CAST(checked AS BIGINT) FROM agg
+    UNION ALL SELECT 'in_range(o_totalprice)', CAST(r3 AS BIGINT), CAST(checked AS BIGINT) FROM agg
+    UNION ALL SELECT 'matches(o_orderpriority)', CAST(r4 AS BIGINT), CAST(checked AS BIGINT) FROM agg
+    UNION ALL SELECT 'unique(o_orderkey)', CAST(d AS BIGINT), CAST(checked AS BIGINT) FROM agg, dup
+    """,
+)
+def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over orders, all evaluated in
+    one aggregate pass (operators/quality.py). The in_range ceiling is set
+    low enough that real violations exist — a check that can't fail checks
+    nothing."""
+    from etl_from_s3_to_postgresql_template_spark.operators.quality import (
+        check_rules,
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        unique,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    rules = [
+        not_null("o_custkey"),
+        in_set("o_orderstatus", ("F", "O", "P")),
+        in_range("o_totalprice", 0, 300000),
+        matches("o_orderpriority", r"^[1-5]-"),
+        unique("o_orderkey"),
+    ]
+    return check_rules(o, rules)
+
+
+@query(
     "profile_table_stats",
     oracle="""
     WITH agg AS (

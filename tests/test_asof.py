@@ -41,6 +41,14 @@ def test_asof_join_window_strategy(spark):
     assert by[4]["rid"] is None  # no right rows for key
 
 
+def test_asof_join_grouped_matches_window_strategy(spark):
+    left = spark.createDataFrame(LEFT).withColumnRenamed("key", "k")
+    right = spark.createDataFrame(RIGHT).withColumnRenamed("rkey", "k")
+    out = asof_join_grouped(left, right, left_on="lts", right_on="rts", by="k")
+    by_lid = {r["lid"]: r["rid"] for r in out.collect()}
+    assert by_lid == {1: 10, 2: 11, 3: None, 4: None}
+
+
 def test_asof_join_matches_pandas(spark):
     lpdf = pd.DataFrame([r.asDict() for r in LEFT]).sort_values("lts")
     rpdf = pd.DataFrame([r.asDict() for r in RIGHT]).sort_values("rts")
