@@ -16,6 +16,7 @@ from etl_from_s3_to_postgresql_template_spark.plans.registry import query
 from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
 from etl_from_s3_to_postgresql_template_spark.streaming.ingest import (
     run_stateful_user_counts_stream,
+    run_stream_stream_join,
     run_tumbling_counts_stream,
 )
 
@@ -48,6 +49,26 @@ def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFram
     """Custom stateful streaming operator (applyInPandasWithState running
     counter) drained over the fixture == batch group count."""
     return run_stateful_user_counts_stream(spark, sf_dir)
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
+           e.event_id AS error_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS e_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id
+     AND e.ts >= p.ts - INTERVAL '1 hour'
+     AND e.ts <= p.ts
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermark-bounded state, drained ==
+    the batch range-join oracle."""
+    return run_stream_stream_join(spark, sf_dir)
 
 
 @query(

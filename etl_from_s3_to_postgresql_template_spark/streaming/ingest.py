@@ -95,6 +95,50 @@ def run_tumbling_counts_stream(
     return _run_to_memory(spark, agg, "complete")
 
 
+def run_stream_stream_join(spark: SparkSession, sf_dir: str, lookback: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same user's
+    error events within the preceding ``lookback``.
+
+    Both sides carry watermarks; the time-range join condition bounds the
+    state each side must retain (unbounded stream-stream joins are
+    impossible — the range IS the state-eviction contract). Inner join +
+    AvailableNow emits every match once drained, so the result equals the
+    batch range-join — which is the DuckDB oracle."""
+    base = stream_events(spark, sf_dir)
+    p = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    e = (
+        base.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "10 minutes")
+    )
+    joined = p.join(
+        e,
+        (F.col("user_id") == F.col("e_user_id"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("e_ts") <= F.col("p_ts")),
+        "inner",
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("p_ts"),
+        "error_id",
+        F.date_format("e_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("e_ts"),
+    )
+    return _run_to_memory(spark, joined, "append")
+
+
 def _count_events(
     key: tuple, pdfs: "pd.DataFrame iterator", state: GroupState  # noqa: F722
 ):
