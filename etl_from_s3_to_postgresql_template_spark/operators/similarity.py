@@ -83,6 +83,8 @@ def ivf_topk(
     n_vec: str = "n_vec",
     seed: int = 42,
     round_to: int = 6,
+    train_fraction: float = 1.0,
+    max_train_rows: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer -> probe the
     ``n_probe`` nearest centroid lists per query -> exact cosine inside.
@@ -92,11 +94,21 @@ def ivf_topk(
     ``n_probe/n_lists`` of the corpus is scored. Centroids come from MLlib
     KMeans (seeded); they ride into the plan as literals, so list assignment
     is a pure projection — no model object at query time.
+
+    Centroid training is bounded (``train_fraction`` sample + hard
+    ``max_train_rows`` cap) — k-means quality needs a representative
+    sample, not the corpus; at billions of vectors training on everything
+    is pure waste.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = candidates.select(array_to_vector(as_double_vec(F.col(n_vec))).alias("features"))
+    train_src = candidates
+    if train_fraction < 1.0:
+        train_src = train_src.sample(False, train_fraction, seed)
+    train = train_src.limit(max_train_rows).select(
+        array_to_vector(as_double_vec(F.col(n_vec))).alias("features")
+    )
     km = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
     centroids = [list(map(float, c)) for c in km.clusterCenters()]
 

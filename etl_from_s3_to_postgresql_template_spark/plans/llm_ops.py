@@ -105,6 +105,108 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition_score",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks)-1),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [array_to_string(toks, ' ')] END AS s
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+    )
+    SELECT doc_id,
+           ROUND(1.0 - len(list_distinct(s)) * 1.0 / len(s), 4) AS repetition,
+           CASE WHEN 1.0 - len(list_distinct(s)) * 1.0 / len(s) > 0.2 THEN 1 ELSE 0 END AS is_repetitive
+    FROM sh
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 repetition filter (Gopher-style): fraction of duplicate 3-gram
+    shingles. High repetition = boilerplate/spam; a standard pretraining
+    data gate. One projection pass."""
+    from etl_from_s3_to_postgresql_template_spark.functions.text import shingles_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = shingles_col("text", 3)
+    rep = 1.0 - F.size(F.array_distinct(s)) / F.size(s)
+    return docs.select(
+        "doc_id",
+        F.round(rep, 4).alias("repetition"),
+        F.when(rep > 0.2, 1).otherwise(0).alias("is_repetitive"),
+    )
+
+
+@query(
+    "text_quality_gate",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(regexp_replace(text, '[A-Za-z ]', '', 'g')) AS BIGINT) AS n_symbols
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1 ELSE 0 END AS pass_length,
+           CASE WHEN n_tokens > 0
+                 AND (n_chars - (n_tokens - 1)) * 1.0 / n_tokens BETWEEN 2 AND 12
+                THEN 1 ELSE 0 END AS pass_word_len,
+           CASE WHEN n_symbols * 1.0 / greatest(n_chars, 1) < 0.1 THEN 1 ELSE 0 END AS pass_symbols,
+           CASE WHEN n_tokens BETWEEN 10 AND 10000
+                 AND n_tokens > 0
+                 AND (n_chars - (n_tokens - 1)) * 1.0 / n_tokens BETWEEN 2 AND 12
+                 AND n_symbols * 1.0 / greatest(n_chars, 1) < 0.1
+                THEN 1 ELSE 0 END AS pass_all
+    FROM t
+    """,
+)
+def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 composite quality gate: length bounds, mean-word-length bounds,
+    symbol ratio — the Gopher-rule shape with per-gate flags so downstream
+    can attribute drops. One pass, no shuffle."""
+    from etl_from_s3_to_postgresql_template_spark.functions.text import token_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = token_count_col("text")
+    n_chars = F.length("text").cast("long")
+    n_symbols = F.length(F.regexp_replace("text", r"[A-Za-z ]", "")).cast("long")
+    mean_wl = (n_chars - (n_tokens - 1)) / n_tokens
+    pass_length = n_tokens.between(10, 10000)
+    pass_word_len = (n_tokens > 0) & mean_wl.between(2, 12)
+    pass_symbols = (n_symbols / F.greatest(n_chars, F.lit(1))) < 0.1
+    as_int = lambda c: F.when(c, 1).otherwise(0)
+    return docs.select(
+        "doc_id",
+        as_int(pass_length).alias("pass_length"),
+        as_int(pass_word_len).alias("pass_word_len"),
+        as_int(pass_symbols).alias("pass_symbols"),
+        as_int(pass_length & pass_word_len & pass_symbols).alias("pass_all"),
+    )
+
+
+@query(
+    "text_token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 BPE-ish token counting: letter runs / digit runs / single
+    punctuation as separate tokens (the pre-tokenizer split every BPE uses),
+    via regexp_extract_all in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
+        ).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@query(
     "doc_fingerprint",
     oracle=f"""
     SELECT doc_id, md5({_NORM_SQL}) AS fingerprint

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from etl_from_s3_to_postgresql_template_spark.plans.registry import query
 from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
 from etl_from_s3_to_postgresql_template_spark.streaming.ingest import (
+    run_sliding_counts_stream,
     run_stateful_user_counts_stream,
     run_stream_stream_join,
     run_tumbling_counts_stream,
@@ -69,6 +70,23 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with watermark-bounded state, drained ==
     the batch range-join oracle."""
     return run_stream_stream_join(spark, sf_dir)
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '30 minutes', ts) - INTERVAL (i * 30) MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS w_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events CROSS JOIN (VALUES (0), (1)) AS offsets(i)
+    GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows as a real streaming query; drained == batch twin
+    window_sliding_events == DuckDB offset-enumerated oracle."""
+    return run_sliding_counts_stream(spark, sf_dir)
 
 
 @query(

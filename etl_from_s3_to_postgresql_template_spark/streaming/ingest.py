@@ -95,6 +95,24 @@ def run_tumbling_counts_stream(
     return _run_to_memory(spark, agg, "complete")
 
 
+def run_sliding_counts_stream(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding event-time windows as a streaming query (complete mode);
+    every event lands in window/slide windows."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n",
+        )
+    )
+    return _run_to_memory(spark, agg, "complete")
+
+
 def run_stream_stream_join(spark: SparkSession, sf_dir: str, lookback: str = "1 hour") -> DataFrame:
     """Stream-stream inner join: each purchase joined to the same user's
     error events within the preceding ``lookback``.
