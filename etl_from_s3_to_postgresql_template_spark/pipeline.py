@@ -36,6 +36,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from etl_from_s3_to_postgresql_template_spark.functions.dates import PatternSpec
 from etl_from_s3_to_postgresql_template_spark.operators.cleanse import (
@@ -67,6 +68,12 @@ class PipelineConfig:
     # files_processed (reference behavior, etl_pipeline.py:404-406);
     # "fail": propagate — auditable pipelines usually want this.
     on_error: str = "fail"
+    # Explicit schema (production mode): skips the inference pass — one
+    # less full read of every file. None = per-header-group inference
+    # (reference parity: pd.read_csv(low_memory=False)). SURVEY §1.2 asks
+    # for both modes. Columns a group lacks are null-filled by
+    # union-by-name as usual.
+    schema: "T.StructType | None" = None
 
 
 @dataclass
@@ -119,11 +126,16 @@ def ingest_day_plan(
     if not groups:
         raise ValueError(f"no readable files for {day}")
     for group in groups:
-        df = (
-            spark.read.option("header", "true")
-            .option("inferSchema", "true")
-            .csv([fi.path for fi in group])
-        )
+        reader = spark.read.option("header", "true")
+        if config.schema is not None:
+            # project the explicit schema to this group's header columns so
+            # drifted groups still read positionally-correctly
+            hdr = [c.strip() for c in _header_of(group[0].path).split(",")]
+            fields = [config.schema[c] for c in hdr if c in config.schema.fieldNames()]
+            reader = reader.schema(T.StructType(fields))
+        else:
+            reader = reader.option("inferSchema", "true")
+        df = reader.csv([fi.path for fi in group])
         df = clean_column_names(df)
         # P2 provenance: basename of the originating file, per row.
         df = df.withColumn(

@@ -134,8 +134,10 @@ def _scan_fixture_dir(spark: SparkSession, sf_dir: str, gz: bool) -> str:
     from the fixture table -> the oracle can check against `nation`."""
     import os
 
+    # v2 in the path: cache-busts fixtures written by older code revisions
+    # (a stale /tmp from a previous round would silently feed wrong data)
     suffix = "csv_gz" if gz else "csv"
-    out = f"/tmp/spark_graft_scan/{os.path.basename(sf_dir.rstrip('/'))}/{suffix}"
+    out = f"/tmp/spark_graft_scan_v2/{os.path.basename(sf_dir.rstrip('/'))}/{suffix}"
     if not os.path.exists(out):
         n = load_table(spark, sf_dir, "nation").orderBy("n_nationkey")
         w = n.coalesce(1).write.mode("overwrite").option("header", "true")

@@ -114,6 +114,29 @@ def test_process_range_validation(spark, source_dir):
         process_range(spark, PipelineConfig(source_dir=source_dir), "2025-02-05", "2025-02-03")
 
 
+def test_explicit_schema_mode(spark, source_dir):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("region", T.StringType()),
+            T.StructField("date_time_column1", T.LongType()),
+            T.StructField("note", T.StringType()),
+            T.StructField("unused", T.StringType()),
+        ]
+    )
+    # braces-cleaning happens after read; explicit schema uses raw header
+    # names, so include the dirty name variant too
+    schema = schema.add("{amount}", T.DoubleType())
+    res = process_day(
+        spark, PipelineConfig(source_dir=source_dir, schema=schema), "2025-02-03"
+    )
+    assert res.ok and res.total_rows == 5
+    assert "id" in res.columns and "amount" in res.columns
+
+
 def test_on_error_skip_counts_bad_files(spark, tmp_path):
     d = tmp_path / "src"
     d.mkdir()
