@@ -84,15 +84,20 @@ def quality_columns(text: Column | str) -> dict[str, Column]:
     """Length/punctuation/stopword quality signals (E3 quality scoring)."""
     c = F.col(text) if isinstance(text, str) else text
     n_chars = F.length(c).cast("long")
+    n_chars_trim = F.length(F.trim(c)).cast("long")
     n_tokens = token_count_col(c)
     n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("long")
     n_digit = F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("long")
-    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}-]", "")).cast("long")
+    # class kept in lockstep with the DuckDB oracle in plans/llm_ops.py —
+    # any character added here must be added there too
+    n_punct = F.length(F.regexp_replace(c, r"[^.,!?;:]", "")).cast("long")
     n_stop = stopword_hits_col(c, LANG_STOPWORDS["en"])
     return {
         "n_chars_calc": n_chars,
         "n_tokens": n_tokens,
-        "avg_token_len": F.round((n_chars - (n_tokens - 1)) / n_tokens, 4),
+        # token lengths derive from the TRIMMED text (tokenization trims);
+        # raw length would overstate on padded input
+        "avg_token_len": F.round((n_chars_trim - (n_tokens - 1)) / n_tokens, 4),
         "alpha_ratio": F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 4),
         "digit_ratio": F.round(n_digit / F.greatest(n_chars, F.lit(1)), 4),
         "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4),

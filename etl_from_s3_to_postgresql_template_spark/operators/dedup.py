@@ -13,8 +13,8 @@ Scale design (the point of each choice):
   100 TB is ~per-doc-constant, not per-byte.
 - Bucket fan-out is the quadratic danger: ``max_bucket_size`` caps it
   (oversized buckets = near-identical boilerplate clusters; cap + report
-  rather than silently OOM). The capped-bucket count is exposed via the
-  returned DataFrame of :func:`lsh_buckets` so callers can log it.
+  rather than silently OOM). The dropped-bucket report is available via
+  ``minhash_candidates(..., return_oversized=True)``.
 - Verification (exact Jaccard / signature agreement) runs only on candidate
   pairs — a tiny fraction of n^2.
 """
@@ -53,8 +53,8 @@ def dedup_exact_by_hash(df: DataFrame, text_col: str = "text", id_col: str = "do
 
 def minhash_signature_col(text_col: Column | str, num_hashes: int = 32, k: int = 3) -> Column:
     """MinHash signature (array<bigint>, length ``num_hashes``) over token
-    k-gram shingles. Hash family: ``xxhash64(i, shingle)`` — i.i.d.-enough,
-    seeded, engine-native. One expression, no UDF."""
+    k-gram shingles. Hash family: affine mixes of one xxhash64 base hash
+    per shingle — seeded, deterministic."""
     # Each shingle is hashed ONCE (xxhash64, JVM-side); the num_hashes
     # family is the standard affine mix h_i(x) = a_i*x + b_i over the base
     # hash (int64 wraparound is the modulus), computed as one vectorized
@@ -63,42 +63,6 @@ def minhash_signature_col(text_col: Column | str, num_hashes: int = 32, k: int =
     # O(shingles*num_hashes) ops/row (~1.1 s per 5k docs vs ~0.1 s here).
     base = F.transform(shingles_col(text_col, k), lambda s: F.xxhash64(s))
     return _get_minhash_udf(num_hashes)(base)
-
-
-def _band_df(
-    df: DataFrame, id_col: str, sig_col: str, num_bands: int, rows_per_band: int
-) -> DataFrame:
-    """Explode a signature into (band_id, band_hash, id) rows."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(*[F.col(sig_col)[b * rows_per_band + r] for r in range(rows_per_band)]).alias("band_hash"),
-            )
-            for b in range(num_bands)
-        ]
-    )
-    return df.select(F.col(id_col), F.explode(bands).alias("band")).select(
-        id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
-    )
-
-
-def lsh_buckets(
-    df: DataFrame, id_col: str, sig_col: str, num_bands: int, rows_per_band: int,
-    max_bucket_size: int = 1000,
-) -> tuple[DataFrame, DataFrame]:
-    """Group ids by LSH band buckets. Returns (buckets, oversized) — callers
-    must surface ``oversized`` (buckets skipped by the cap) rather than
-    pretending full coverage."""
-    bands = _band_df(df, id_col, sig_col, num_bands, rows_per_band)
-    grouped = bands.groupBy("band_id", "band_hash").agg(
-        F.sort_array(F.collect_list(id_col)).alias("ids"), F.count(F.lit(1)).alias("bucket_size")
-    )
-    ok = grouped.filter((F.col("bucket_size") > 1) & (F.col("bucket_size") <= max_bucket_size))
-    oversized = grouped.filter(F.col("bucket_size") > max_bucket_size).select(
-        "band_id", "band_hash", "bucket_size"
-    )
-    return ok, oversized
 
 
 def minhash_candidates(
@@ -110,12 +74,18 @@ def minhash_candidates(
     num_bands: int = 8,
     threshold: float = 0.5,
     max_bucket_size: int = 1000,
+    return_oversized: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with estimated Jaccard >= threshold.
 
     Pipeline: signature (no shuffle) -> band explode -> bucket groupBy (the
     only wide op, tiny rows) -> in-bucket pairs -> signature-agreement
     estimate -> threshold filter. Output: (id_a, id_b, est_jaccard), id_a < id_b.
+
+    Buckets above ``max_bucket_size`` (near-identical boilerplate clusters)
+    are EXCLUDED from pair generation; pass ``return_oversized=True`` to
+    also get the (band_id, band_hash, bucket_size) report of what was
+    dropped — no silent caps.
     """
     rows_per_band = num_hashes // num_bands
     sigs = df.select(F.col(id_col), minhash_signature_col(text_col, num_hashes, k).alias("sig"))
@@ -151,7 +121,7 @@ def minhash_candidates(
         F.lit(0),
         lambda acc, x: acc + x,
     ) / F.lit(float(num_hashes))
-    return (
+    out = (
         pairs.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -160,6 +130,12 @@ def minhash_candidates(
         .filter(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+    if not return_oversized:
+        return out
+    oversized = grouped.filter(F.col("bucket_size") > max_bucket_size).select(
+        "band_id", "band_hash", "bucket_size"
+    )
+    return out, oversized
 
 
 _minhash_udfs: dict[int, object] = {}
@@ -182,6 +158,9 @@ def _get_minhash_udf(num_hashes: int):
             out = []
             max_long = np.full(num_hashes, (1 << 63) - 1, dtype=np.int64)
             for hs in hash_arrays:
+                if hs is None:  # NULL text -> "no shingles" signature
+                    out.append(max_long.copy())
+                    continue
                 arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
                 if arr.size == 0:
                     out.append(max_long.copy())
@@ -200,6 +179,8 @@ def _simhash64_fn(hash_arrays: pd.Series) -> pd.Series:
     shifts = np.arange(64, dtype=np.uint64)
     out = np.zeros(len(hash_arrays), dtype=np.int64)
     for i, hs in enumerate(hash_arrays):
+        if hs is None:  # NULL text -> all-zero simhash
+            continue
         arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
         if arr.size == 0:
             continue
@@ -251,7 +232,9 @@ def simhash_candidates(
     within Hamming distance ``bands-1`` shares >=1 identical chunk — the
     standard pigeonhole blocking), verify exact Hamming distance in-bucket.
     Output: (id_a, id_b, hamming)."""
-    sh = df.select(F.col(id_col), simhash_col(text_col).alias("simhash")).persist()
+    # simhash recomputes once per join side; at corpus scale write
+    # signatures to parquet instead of caching in executor memory
+    sh = df.select(F.col(id_col), simhash_col(text_col).alias("simhash"))
     chunk_bits = 64 // bands
     mask = (1 << chunk_bits) - 1
     chunks = F.array(
@@ -297,7 +280,7 @@ def ngram_jaccard_pairs(
     ``candidate_pairs``: (id_a, id_b). Output adds exact ``jaccard``."""
     sh = df.select(
         F.col(id_col), F.array_distinct(shingles_col(text_col, k)).alias("sh")
-    ).persist()
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

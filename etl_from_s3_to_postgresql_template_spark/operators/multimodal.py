@@ -106,16 +106,19 @@ def decode_media(df: DataFrame, blob_col: str = "blob", strict: bool = False) ->
         for pdf in batches:
             metas = []
             for blob in pdf[blob_col]:
-                b = bytes(blob)
-                magic, a, bfield = b[:4], *struct.unpack(">II", b[4:12])
-                kind = _KIND.get(magic)
+                b = bytes(blob) if blob is not None else b""
+                kind = _KIND.get(b[:4]) if len(b) >= 12 else None
                 if kind is None:
+                    # covers unknown magic AND truncated/corrupt blobs
+                    # (< header size) — both are "no codec" cases
                     if strict:
                         # STUB: a real build would hand unknown containers to
                         # a codec sniffer (PIL/ffprobe). Not available here.
-                        raise NotImplementedError(f"no codec for magic {magic!r}")
+                        raise NotImplementedError(f"no codec for blob prefix {b[:4]!r}")
                     metas.append((None, None, None, None, None, None, len(b)))
-                elif kind == "image":
+                    continue
+                a, bfield = struct.unpack(">II", b[4:12])
+                if kind == "image":
                     # STUB: real codec = PIL.Image.open(BytesIO(b)).size
                     metas.append(("image", a, bfield, None, None, None, len(b) - 12))
                 elif kind == "audio":

@@ -5,12 +5,15 @@ splitting oversized shuffle partitions. Salting is the explicit fallback
 for the pathological case AQE can't fix: ONE key so hot its single hash
 partition exceeds an executor (power-law user_ids, null-heavy keys).
 
-Mechanics: the big side gets a deterministic salt in [0, n); the small side
-is replicated n times (explode over the salt range); the join key becomes
+Mechanics: the big side gets a per-ROW salt in [0, n); the small side is
+replicated n times (explode over the salt range); the join key becomes
 (key, salt). Hot-key rows spread across n tasks; the small side grows n×,
 which is fine because salting is only ever applied to a join whose build
-side is small. Salt derives from xxhash64 of the big side's OTHER columns
-(not random): deterministic re-runs, stable tests.
+side is small. The salt must vary WITHIN a key — deriving it from payload
+columns fails exactly on the pathological inputs salting exists for
+(identical/null-heavy hot rows would all hash to one salt). Per-row ids
+give uniform spread; the join RESULT is salt-independent, so run-to-run
+id instability is irrelevant.
 """
 
 from __future__ import annotations
@@ -29,11 +32,14 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on ``on`` with the hot-key pressure spread
-    over ``n_salts`` sub-keys. Same result set as ``big.join(small, on,
-    how)`` for 'inner'/'left' joins."""
-    salt_src = [c for c in big.columns if c != on] or [on]
+    over ``n_salts`` sub-keys. Result set identical to ``big.join(small,
+    on, how)``. Only 'inner' and 'left' are valid: right/outer would
+    duplicate unmatched small-side rows once per salt."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
     b = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(n_salts)).cast("int")
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast("int"),
     )
     s = small.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     out = b.join(s, [on, "__salt"], how)

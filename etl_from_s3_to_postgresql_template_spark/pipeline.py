@@ -99,11 +99,13 @@ def _header_of(path: str) -> str:
 
 def _group_by_header(
     files: list[FileInfo], on_error: str = "fail"
-) -> tuple[list[list[FileInfo]], list[FileInfo]]:
+) -> tuple[list[tuple[str, list[FileInfo]]], list[FileInfo]]:
     """Group files by header line; with on_error='skip', unreadable files
     (bad gzip, encoding, truncation) are returned separately instead of
     failing the day — the reference's skip-and-continue
-    (etl_pipeline.py:404-406), but *counted*, not silent."""
+    (etl_pipeline.py:404-406), but *counted*, not silent. Returns
+    ([(header, files)], skipped) — the header rides along so callers never
+    re-read it."""
     groups: dict[str, list[FileInfo]] = defaultdict(list)
     skipped: list[FileInfo] = []
     for fi in files:
@@ -113,29 +115,45 @@ def _group_by_header(
             if on_error != "skip":
                 raise
             skipped.append(fi)
-    return list(groups.values()), skipped
+    return list(groups.items()), skipped
 
 
 def ingest_day_plan(
     spark: SparkSession, config: PipelineConfig, files: list[FileInfo], day: str
-) -> DataFrame:
+) -> tuple[DataFrame, list[FileInfo]]:
     """Build the lazy merged-day plan (stages 5-8) for pruned ``files``.
     Returns (plan, skipped_files)."""
+    import re as _re
+
     dfs = []
     groups, skipped = _group_by_header(files, config.on_error)
     if not groups:
         raise ValueError(f"no readable files for {day}")
-    for group in groups:
+    n_files_read = 0
+    for header, group in groups:
         reader = spark.read.option("header", "true")
         if config.schema is not None:
-            # project the explicit schema to this group's header columns so
-            # drifted groups still read positionally-correctly
-            hdr = [c.strip() for c in _header_of(group[0].path).split(",")]
-            fields = [config.schema[c] for c in hdr if c in config.schema.fieldNames()]
+            # Project the explicit schema onto this group's header,
+            # POSITIONALLY: one output field per header column, always —
+            # dropping a field would shift every later column's data into
+            # the wrong name. Types come from the schema, matched on the
+            # raw name or its cleaned form (brace-stripped, trimmed);
+            # columns the schema doesn't know load as strings under their
+            # raw name and flow through name-cleaning like inferred ones.
+            by_name = {f.name: f for f in config.schema.fields}
+            by_clean = {_re.sub(r"[{}]", "", f.name).strip(): f for f in config.schema.fields}
+            fields = []
+            for c in header.split(","):
+                cleaned = _re.sub(r"[{}]", "", c).strip()
+                src = by_name.get(c) or by_name.get(c.strip()) or by_clean.get(cleaned)
+                fields.append(
+                    T.StructField(c.strip(), src.dataType if src else T.StringType())
+                )
             reader = reader.schema(T.StructType(fields))
         else:
             reader = reader.option("inferSchema", "true")
         df = reader.csv([fi.path for fi in group])
+        n_files_read += len(group)
         df = clean_column_names(df)
         # P2 provenance: basename of the originating file, per row.
         df = df.withColumn(
@@ -144,7 +162,9 @@ def ingest_day_plan(
         dfs.append(df)
     merged = union_by_name(dfs)
     merged = epoch_to_timestamp(merged, config.epoch_columns)
-    merged = add_metadata_columns(merged, day, files_merged=len(dfs))
+    # files_merged counts FILES (reference: len(merged_dataframes), one df
+    # per file), not header groups.
+    merged = add_metadata_columns(merged, day, files_merged=n_files_read)
     return merged, skipped
 
 

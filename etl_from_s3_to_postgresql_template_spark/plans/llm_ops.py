@@ -49,13 +49,14 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
              CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
              CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+             CAST(length(trim(text)) AS BIGINT) AS n_chars_trim,
              CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
              CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
                   x -> x IN ('the','and','of','to','in','is','a','that'))) AS BIGINT) AS n_stop
       FROM documents
     )
     SELECT doc_id, n_chars_calc, n_tokens,
-           ROUND((n_chars_calc - (n_tokens - 1)) / n_tokens, 4) AS avg_token_len,
+           ROUND((n_chars_trim - (n_tokens - 1)) / n_tokens, 4) AS avg_token_len,
            ROUND(n_alpha / greatest(n_chars_calc, 1), 4) AS alpha_ratio,
            ROUND(n_digit / greatest(n_chars_calc, 1), 4) AS digit_ratio,
            ROUND(n_punct / greatest(n_chars_calc, 1), 4) AS punct_ratio,
@@ -144,18 +145,19 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
              CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(trim(text)) AS BIGINT) AS n_chars_trim,
              CAST(length(regexp_replace(text, '[A-Za-z ]', '', 'g')) AS BIGINT) AS n_symbols
       FROM documents
     )
     SELECT doc_id,
            CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1 ELSE 0 END AS pass_length,
            CASE WHEN n_tokens > 0
-                 AND (n_chars - (n_tokens - 1)) * 1.0 / n_tokens BETWEEN 2 AND 12
+                 AND (n_chars_trim - (n_tokens - 1)) * 1.0 / n_tokens BETWEEN 2 AND 12
                 THEN 1 ELSE 0 END AS pass_word_len,
            CASE WHEN n_symbols * 1.0 / greatest(n_chars, 1) < 0.1 THEN 1 ELSE 0 END AS pass_symbols,
            CASE WHEN n_tokens BETWEEN 10 AND 10000
                  AND n_tokens > 0
-                 AND (n_chars - (n_tokens - 1)) * 1.0 / n_tokens BETWEEN 2 AND 12
+                 AND (n_chars_trim - (n_tokens - 1)) * 1.0 / n_tokens BETWEEN 2 AND 12
                  AND n_symbols * 1.0 / greatest(n_chars, 1) < 0.1
                 THEN 1 ELSE 0 END AS pass_all
     FROM t
@@ -170,8 +172,9 @@ def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_tokens = token_count_col("text")
     n_chars = F.length("text").cast("long")
+    n_chars_trim = F.length(F.trim(F.col("text"))).cast("long")
     n_symbols = F.length(F.regexp_replace("text", r"[A-Za-z ]", "")).cast("long")
-    mean_wl = (n_chars - (n_tokens - 1)) / n_tokens
+    mean_wl = (n_chars_trim - (n_tokens - 1)) / n_tokens
     pass_length = n_tokens.between(10, 10000)
     pass_word_len = (n_tokens > 0) & mean_wl.between(2, 12)
     pass_symbols = (n_symbols / F.greatest(n_chars, F.lit(1))) < 0.1
