@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_from_s3_to_postgresql_template_spark.functions.text import normalize_text_col, shingles_col, tokens_col
@@ -78,8 +78,8 @@ def minhash_candidates(
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with estimated Jaccard >= threshold.
 
-    Pipeline: signature (no shuffle) -> band explode -> bucket groupBy (the
-    only wide op, tiny rows) -> in-bucket pairs -> signature-agreement
+    Pipeline: signature (no shuffle) -> band explode -> windowed bucket-size
+    cap -> distributed self-join on the bucket key -> signature-agreement
     estimate -> threshold filter. Output: (id_a, id_b, est_jaccard), id_a < id_b.
 
     Buckets above ``max_bucket_size`` (near-identical boilerplate clusters)
@@ -89,10 +89,9 @@ def minhash_candidates(
     """
     rows_per_band = num_hashes // num_bands
     sigs = df.select(F.col(id_col), minhash_signature_col(text_col, num_hashes, k).alias("sig"))
-    # Signatures ride THROUGH the band shuffle as (id, sig) structs, so
+    # Signatures ride THROUGH the band shuffle as (id, sig) rows, so
     # in-bucket pairs can estimate Jaccard immediately — no join back to the
-    # signature table (the join-back formulation costs two extra shuffles
-    # and a persist). Shuffle weight grows by |sig| (256 B/doc/band) —
+    # signature table. Shuffle weight grows by |sig| (256 B/doc/band) —
     # per-document-constant, the right trade at any scale.
     bands = F.array(
         *[
@@ -104,27 +103,44 @@ def minhash_candidates(
         ]
     )
     exploded = sigs.select(
-        F.struct(F.col(id_col).alias("id"), F.col("sig").alias("sig")).alias("doc"),
+        F.col(id_col).alias("id"),
+        F.col("sig"),
         F.explode(bands).alias("band"),
-    ).select("doc", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
-    grouped = exploded.groupBy("band_id", "band_hash").agg(
-        F.sort_array(F.collect_list("doc")).alias("docs"), F.count(F.lit(1)).alias("bucket_size")
+    ).select("id", "sig", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    # Bucket sizing via a window over the bucket key — NOT collect_list:
+    # an array-per-bucket formulation funnels each bucket's entire pair
+    # fan-out (up to cap^2/2 rows) through the single task that holds the
+    # array row. The window + self-join below keeps pair generation
+    # distributed: the sort-merge join on (band_id, band_hash) spreads
+    # in-bucket pairs across tasks, and AQE's skew-join split handles hot
+    # buckets the array version would serialize.
+    w = Window.partitionBy("band_id", "band_hash")
+    sized = exploded.withColumn("bucket_size", F.count(F.lit(1)).over(w))
+    ok = sized.filter((F.col("bucket_size") > 1) & (F.col("bucket_size") <= max_bucket_size)).drop(
+        "bucket_size"
     )
-    buckets = grouped.filter((F.col("bucket_size") > 1) & (F.col("bucket_size") <= max_bucket_size))
-    pairs = (
-        buckets.select(F.explode("docs").alias("a"), F.col("docs"))
-        .select("a", F.explode("docs").alias("b"))
-        .filter(F.col("a.id") < F.col("b.id"))
+    a = ok.select(
+        F.col("band_id"), F.col("band_hash"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
     )
+    b = ok.select(
+        F.col("band_id"), F.col("band_hash"), F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    # merge-hint the self-join: left to stats, the optimizer broadcasts one
+    # side, which (a) recomputes the minhash UDF branch twice (no exchange
+    # reuse through a BroadcastExchange) and (b) dies at corpus scale where
+    # the band table is the full corpus ×num_bands. With both sides shuffled
+    # on the same key the two exchanges are identical -> ReusedExchange:
+    # signatures are computed ONCE.
+    pairs = a.join(b.hint("merge"), ["band_id", "band_hash"]).filter(F.col("id_a") < F.col("id_b"))
     est = F.aggregate(
-        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
+        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
     ) / F.lit(float(num_hashes))
     out = (
         pairs.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            "id_a",
+            "id_b",
             F.round(est, 4).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
@@ -132,8 +148,10 @@ def minhash_candidates(
     )
     if not return_oversized:
         return out
-    oversized = grouped.filter(F.col("bucket_size") > max_bucket_size).select(
-        "band_id", "band_hash", "bucket_size"
+    oversized = (
+        exploded.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
     )
     return out, oversized
 
