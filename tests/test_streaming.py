@@ -36,3 +36,24 @@ def test_stateful_counts_equal_batch_group_count(spark):
         .collect()
     }
     assert got == want
+
+
+def test_foreachbatch_parquet_sink_lands_all_rows(spark, tmp_path):
+    from etl_from_s3_to_postgresql_template_spark.streaming.sink import (
+        read_landing,
+        run_events_stream_to_parquet,
+    )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_events_stream_to_parquet(spark, SF, out, ckpt)
+    landed = read_landing(spark, out)
+    n_src = load_table(spark, SF, "events").count()
+    assert landed.count() == n_src
+    assert "_batch_id" in landed.columns
+    # re-run with the SAME checkpoint: offsets committed -> no-op
+    run_events_stream_to_parquet(spark, SF, out, ckpt)
+    assert read_landing(spark, out).count() == n_src
+    # re-run with a FRESH checkpoint (simulated batch replay): dynamic
+    # overwrite rewrites the same _batch_id partitions -> still no dupes
+    run_events_stream_to_parquet(spark, SF, out, str(tmp_path / "ckpt2"))
+    assert read_landing(spark, out).count() == n_src
