@@ -1,0 +1,248 @@
+"""Query pack extensions: outer-join distributions, top-k revenue, window
+analytics, cube grouping, set ops, nested semi-joins (SURVEY §2.5/2.8/2.9).
+
+Same discipline as query_pack.py: DECIMAL(18,6) money accumulators on both
+engines, date outputs as strings, every ranking tie-broken on a key, and
+plans declared so Catalyst picks broadcast vs shuffle (the only hints are
+for the always-tiny dims).
+
+Scale notes per query live in the docstrings; none of these introduce a
+shuffle beyond what the declared grouping/join keys require.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_from_s3_to_postgresql_template_spark.plans.query_pack import _dec, _dsum
+from etl_from_s3_to_postgresql_template_spark.plans.registry import query
+from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer histogram including the
+    zero-order customers (the LEFT OUTER + COUNT(col) null-skip is the
+    point). Two shuffles, both on low-cardinality keys; the second agg's
+    input is already customer-sized."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) DESC,
+             c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost (returned) revenue.
+    The fact-fact join shuffles on orderkey; nation broadcasts. Top-k
+    orders by the EXACT decimal sum (order-independent) with custkey
+    tie-break, so the selected 20 match the oracle bit-for-bit."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.sum(rev).alias("_exact"),
+        )
+        .orderBy(F.desc("_exact"), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@query(
+    "window_analytics_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_totalprice,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pr
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_analytics_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-analytics family over each customer's order sequence:
+    lag/lead, ntile, percent_rank in ONE window spec — one shuffle on
+    o_custkey, one sort, all four functions evaluated in a single Window
+    operator. Ordering is tie-broken (date, orderkey) so frames are
+    deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+@query(
+    "agg_cube_orders",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '(all)') AS status,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets in one pass —
+    Spark expands the cube map-side, so the input scans ONCE and the
+    shuffle carries each row's grouping-set replicas. grouping_id
+    disambiguates real NULLs from subtotal rows (coalesced to '(all)')."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("o_totalprice")).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "gid",
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "set_ops_segments",
+    oracle="""
+    SELECT 'both' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    UNION ALL
+    SELECT 'building_only' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT surfaced as DataFrame set ops: BUILDING-segment
+    customers split by whether they ever placed an urgent order. Catalyst
+    rewrites both to semi/anti joins on c_custkey — same physical shape as
+    the EXISTS formulations, distinct-deduped per SQL set semantics."""
+    building = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    both = building.intersect(urgent).select(F.lit("both").alias("tag"), "c_custkey")
+    only = building.exceptAll(urgent).distinct().select(
+        F.lit("building_only").alias("tag"), "c_custkey"
+    )
+    return both.unionByName(only)
+
+
+@query(
+    "q20_promo_supplier_semi",
+    oracle="""
+    WITH promo AS (
+      SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      GROUP BY l_suppkey
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(qty) AS total FROM promo)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM promo, tot WHERE qty * n > total
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def q20_promo_supplier_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-joins — suppliers whose PROMO-part
+    shipment volume is above the per-supplier average. The above-average
+    test is qty * n > total (multiplication, not division): exact decimal
+    arithmetic on both engines, no rounding boundary to flip. part filters
+    then SEMI-joins into lineitem (no payload duplication), and the scalar
+    (n, total) broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    sup = load_table(spark, sf_dir, "supplier")
+    promo = (
+        li.join(part, li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("qty"))
+    )
+    tot = promo.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("qty").alias("total")
+    )
+    above = promo.crossJoin(F.broadcast(tot)).filter(
+        F.col("qty") * F.col("n") > F.col("total")
+    )
+    return (
+        sup.join(above, sup.s_suppkey == above.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
