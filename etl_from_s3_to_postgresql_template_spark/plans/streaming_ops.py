@@ -188,3 +188,23 @@ def window_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "streaming_dedup_events",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+    FROM events
+    """,
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with watermark-bounded state (E1 x E5 crossover):
+    dropDuplicatesWithinWatermark drained over the fixture == batch
+    DISTINCT on event_id (event_ids are unique in the fixture, so this
+    equals the source — the oracle)."""
+    from etl_from_s3_to_postgresql_template_spark.streaming.ingest import (
+        run_dedup_events_stream,
+    )
+
+    return run_dedup_events_stream(spark, sf_dir)

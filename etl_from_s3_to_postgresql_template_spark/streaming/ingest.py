@@ -182,3 +182,21 @@ def run_stateful_user_counts_stream(spark: SparkSession, sf_dir: str) -> DataFra
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(spark, out, "update")
+
+
+def run_dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicatesWithinWatermark on event_id.
+
+    The watermark bounds the dedup state (keys older than watermark are
+    evicted — without it, streaming dedup state grows forever). Over the
+    static fixture drained with AvailableNow every duplicate is in-state
+    when its twin arrives, so the output equals batch DISTINCT — the
+    oracle-checkable contract. Emits one row per distinct event_id."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    out = ev.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+    )
+    return _run_to_memory(spark, out, "append")

@@ -57,3 +57,31 @@ def test_foreachbatch_parquet_sink_lands_all_rows(spark, tmp_path):
     # overwrite rewrites the same _batch_id partitions -> still no dupes
     run_events_stream_to_parquet(spark, SF, out, str(tmp_path / "ckpt2"))
     assert read_landing(spark, out).count() == n_src
+
+
+def test_streaming_dedup_removes_real_duplicates(spark, tmp_path):
+    """The fixture's event_ids are unique, so the oracle check alone can't
+    prove dedup fires; here the stream reads a doubled copy of events and
+    must return each event_id once."""
+    import shutil
+
+    from etl_from_s3_to_postgresql_template_spark.streaming.ingest import (
+        run_dedup_events_stream,
+    )
+
+    from etl_from_s3_to_postgresql_template_spark.streaming.ingest import (
+        _EVENTS_RAW_SCHEMA,
+    )
+
+    dup_dir = tmp_path / "dup"
+    dup_dir.mkdir()
+    # double the RAW file (ts stays a nanos bigint — stream_events expects
+    # the physical schema, not load_table's converted timestamps)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(f"{SF}/events.parquet")
+    src.unionByName(src).coalesce(1).write.parquet(str(tmp_path / "tmp_out"))
+    part = next((tmp_path / "tmp_out").glob("part-*.parquet"))
+    shutil.copy(part, dup_dir / "events.parquet")
+    n_unique = src.count()
+    got = run_dedup_events_stream(spark, str(dup_dir))
+    assert got.count() == n_unique
