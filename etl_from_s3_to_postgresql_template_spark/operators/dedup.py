@@ -35,6 +35,7 @@ __all__ = [
     "simhash_col",
     "simhash_candidates",
     "ngram_jaccard_pairs",
+    "connected_components",
 ]
 
 
@@ -308,3 +309,54 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a candidate-
+    pair graph via iterative min-label propagation (the Pregel formulation).
+
+    ``nodes``: one row per document (``id_col``). ``pairs``: undirected
+    edges as (id_a, id_b). Returns (id, comp) where ``comp`` is the
+    smallest id reachable from ``id`` — the canonical representative every
+    member of a duplicate cluster agrees on.
+
+    Scale design: each iteration is one shuffle join (edges x labels, both
+    partitioned by key) + one groupBy-min; iterations needed = graph
+    diameter, and near-dup graphs are unions of near-cliques (diameter
+    ~2-3). Labels are localCheckpoint()ed per iteration — without lineage
+    truncation the plan doubles every round and the driver, not the data,
+    becomes the bottleneck. For graphs with giant components the
+    alternating Large-Star/Small-Star formulation (Kiveris et al., "CC in
+    MapReduce and Spark") halves rounds; near-dup graphs don't need it.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iterations):
+        msgs = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("comp")
+        )
+        new_labels = (
+            labels.unionByName(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

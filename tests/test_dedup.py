@@ -76,3 +76,27 @@ def test_simhash_near_dups(spark, docs):
     assert pairs.get((1, 2)) == 0  # identical
     assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 10  # near dup
     assert not any(4 in p for p in pairs)
+
+
+def test_connected_components_transitive_chain(spark):
+    """A-B and B-C edges must place A and C in one cluster even though
+    A and C share no edge; the singleton D keeps its own label."""
+    from etl_from_s3_to_postgresql_template_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4]], "doc_id long")
+    pairs = spark.createDataFrame([(2, 3), (1, 2)], "id_a long, id_b long")
+    got = {r["id"]: r["comp"] for r in connected_components(nodes, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_connected_components_no_edges(spark):
+    from etl_from_s3_to_postgresql_template_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in [7, 9]], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {r["id"]: r["comp"] for r in connected_components(nodes, pairs).collect()}
+    assert got == {7: 7, 9: 9}
