@@ -684,3 +684,42 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("cluster_id"),
         "cluster_size",
     )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             UNNEST(list_transform(range(len(embedding)),
+                                   i -> {'pos': i, 'val': CAST(embedding[i+1] AS DOUBLE)})) AS u
+      FROM embeddings
+    )
+    SELECT label, CAST(u.pos AS BIGINT) AS pos,
+           CAST(SUM(CAST(u.val AS DECIMAL(18,6))) AS DOUBLE) AS cell_sum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM e GROUP BY label, pos
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped vector mean (class centroids): posexplode each embedding to
+    (label, dim, value) and average per cell — the distributed formulation
+    of elementwise array mean. The shuffle key is (label, pos): dimension
+    cells spread across ALL partitions instead of one task per label
+    holding whole vectors, so a label with a billion members still
+    aggregates in parallel (partial aggregation does the heavy lifting
+    map-side). Output is the exact decimal cell SUM plus member count —
+    dividing (and rounding) is display math, and emitting the exact sum
+    sidesteps the half-ulp mean-rounding boundary that a divide-then-round
+    can land on (seen live at sf0.1: one cell off by 1e-6). Array
+    re-assembly from (label, pos) rows is likewise a display concern."""
+    from etl_from_s3_to_postgresql_template_spark.functions.vectors import as_double_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "label", F.posexplode(as_double_vec(F.col("embedding"))).alias("pos", "val")
+    )
+    return cells.groupBy("label", F.col("pos").cast("long").alias("pos")).agg(
+        F.sum(F.col("val").cast("decimal(18,6)")).cast("double").alias("cell_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )

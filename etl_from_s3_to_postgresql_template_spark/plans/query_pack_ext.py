@@ -405,3 +405,71 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "events_user_value_trend",
+    oracle="""
+    SELECT user_id,
+           ROUND(covar_pop("value", epoch_us(ts) / 3600000000.0) /
+                 nullif(var_pop(epoch_us(ts) / 3600000000.0), 0), 6) AS slope_per_hour,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of event value over time, computed as
+    covar_pop/var_pop — the closed-form slope, entirely JVM-side built-in
+    aggregates (one shuffle on user_id, partial aggregation map-side).
+    This is deliberately NOT an applyInPandas regression: the closed form
+    distributes; a per-group numpy lstsq would serialize each user's
+    history into one Python worker. Time is rescaled to hours so slopes
+    are O(1) and the 6-decimal round is meaningful."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.unix_micros("ts") / F.lit(3600000000.0)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(
+                F.covar_pop(F.col("value"), x) / F.nullif(F.var_pop(x), F.lit(0.0)), 6
+            ).alias("slope_per_hour"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "window_rolling_hour_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           CAST(ROUND(SUM(CAST("value" AS DECIMAL(18,6))) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+                ), 4) AS DOUBLE) AS rolling_sum
+    FROM events
+    """,
+)
+def window_rolling_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user rolling 1-hour value sum — the
+    frame is defined by the ORDER-BY value range (micros), not row counts,
+    so ties share a frame deterministically in both engines. One shuffle
+    + one sort; decimal accumulation inside the frame keeps the rolling
+    sum exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 4)
+        .cast("double")
+        .alias("rolling_sum"),
+    )
