@@ -108,6 +108,14 @@ def minhash_candidates(
         F.col("sig"),
         F.explode(bands).alias("band"),
     ).select("id", "sig", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    # Materialize the banded signatures ONCE: the self-join below references
+    # this subtree twice, and exchange reuse across the two join legs is not
+    # guaranteed (measured: the signature UDF ran twice, doubling first-run
+    # wall time). localCheckpoint stores shuffle-sized rows (id, sig, band —
+    # ~300 B/doc/band) on executor storage; at cluster scale the same move
+    # is a one-time parquet write of signatures, which beats recomputing a
+    # pandas UDF over the corpus twice at any size.
+    exploded = exploded.localCheckpoint(eager=True)
     # Bucket sizing via a window over the bucket key — NOT collect_list:
     # an array-per-bucket formulation funnels each bucket's entire pair
     # fan-out (up to cap^2/2 rows) through the single task that holds the

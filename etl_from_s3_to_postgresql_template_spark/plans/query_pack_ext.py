@@ -473,3 +473,45 @@ def window_rolling_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rolling_sum"),
     )
+
+
+def _ewma_fn(pdf):
+    """Per-group EWMA fold (runs inside an Arrow batch executor-side)."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts", "event_id"])
+    ew = None
+    for v in pdf["value"].to_numpy():
+        ew = v if ew is None else 0.3 * v + 0.7 * ew
+    return pd.DataFrame(
+        {"user_id": [pdf["user_id"].iloc[0]], "ewma_raw": [ew], "n": [len(pdf)]}
+    )
+
+
+@query(
+    "events_user_ewma",
+    oracle="""
+    SELECT user_id,
+           ROUND(list_reduce(list("value" ORDER BY ts, event_id),
+                             (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event values —
+    an ORDER-DEPENDENT recursive fold no closed-form SQL aggregate
+    expresses, so this is the canonical applyInPandas custom-grouped-op
+    path: one shuffle on user_id, each group folded in an Arrow batch.
+    The identical double-op sequence on both engines (DuckDB list_reduce
+    over the same tie-broken ordering) makes the result deterministic;
+    rounding happens once, engine-side, after the fold."""
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.select("user_id", "event_id", "ts", "value").groupBy("user_id").applyInPandas(
+        _ewma_fn, "user_id long, ewma_raw double, n long"
+    )
+    return out.select(
+        "user_id", F.round("ewma_raw", 6).alias("ewma"), "n"
+    ).orderBy("user_id")
