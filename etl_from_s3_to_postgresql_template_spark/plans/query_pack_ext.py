@@ -515,3 +515,87 @@ def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", F.round("ewma_raw", 6).alias("ewma"), "n"
     ).orderBy("user_id")
+
+
+@query(
+    "scd2_user_daily_value",
+    oracle="""
+    WITH last_per_day AS (
+      SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, "value"
+      FROM (
+        SELECT user_id, ts, "value",
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT user_id, "value",
+           day AS valid_from,
+           coalesce(lead(day) OVER (PARTITION BY user_id ORDER BY day), '9999-12-31')
+             AS valid_to,
+           CASE WHEN lead(day) OVER (PARTITION BY user_id ORDER BY day) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM last_per_day
+    """,
+)
+def scd2_user_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) snapshot build: each user's last
+    event value per day becomes a dimension VERSION, valid from that day
+    until the next version's day (open versions get the 9999-12-31
+    sentinel + is_current flag). Two windows over the same (user_id,
+    day-ordered) sort — one partition-compatible shuffle total. This is
+    the merge/upsert surface the reference's append-only loader lacks:
+    re-running a day replaces that day's version instead of duplicating
+    it."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    last = (
+        ev.select("user_id", day.alias("day"), "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(W.partitionBy("user_id", "day").orderBy(F.desc("ts"), F.desc("event_id"))))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "ts", "event_id")
+    )
+    w_ver = W.partitionBy("user_id").orderBy("day")
+    nxt = F.lead("day").over(w_ver)
+    return last.select(
+        "user_id",
+        "value",
+        F.col("day").alias("valid_from"),
+        F.coalesce(nxt, F.lit("9999-12-31")).alias("valid_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )
+
+
+@query(
+    "split_train_holdout",
+    oracle="""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+                THEN 'holdout' ELSE 'train' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/holdout split (~1/8 holdout): the
+    leakage-safe splitter for training corpora — membership depends only
+    on the id's md5, so it is stable across runs, engines, partitionings,
+    and corpus growth (a doc never migrates between splits). Pure
+    projection + one tiny agg; no RNG, no sampleBy seed to disagree on."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1"),
+        F.lit("holdout"),
+    ).otherwise(F.lit("train"))
+    return (
+        docs.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split")
+    )
