@@ -53,49 +53,6 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q10_returned_revenue",
-    oracle="""
-    SELECT c.c_custkey, c.c_name,
-           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)
-                AS DOUBLE) AS revenue,
-           n.n_name
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE l.l_returnflag = 'R'
-    GROUP BY c.c_custkey, c.c_name, n.n_name
-    ORDER BY SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) DESC,
-             c.c_custkey
-    LIMIT 20
-    """,
-)
-def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: top-20 customers by lost (returned) revenue.
-    The fact-fact join shuffles on orderkey; nation broadcasts. Top-k
-    orders by the EXACT decimal sum (order-independent) with custkey
-    tie-break, so the selected 20 match the oracle bit-for-bit."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    n = load_table(spark, sf_dir, "nation")
-    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
-            F.sum(rev).alias("_exact"),
-        )
-        .orderBy(F.desc("_exact"), "c_custkey")
-        .limit(20)
-        .select("c_custkey", "c_name", "revenue", "n_name")
-    )
-
-
-@query(
     "window_analytics_lag_lead",
     oracle="""
     SELECT o_custkey, o_orderkey,
