@@ -80,3 +80,40 @@ def test_salted_join_equivalence(spark):
     plain = n.join(r, "n_regionkey").select("n_nationkey", "r_name")
     salted = salted_join(n, r, "n_regionkey").select("n_nationkey", "r_name")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_cube_expands_single_scan(spark):
+    plan = _plan(spark, "agg_cube_orders")
+    assert "Expand" in plan  # grouping sets expand map-side...
+    simple = (
+        QUERIES["agg_cube_orders"](spark, SF)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+    )
+    assert simple.count("FileScan") == 1  # ...over ONE scan of orders
+
+
+def test_rolling_sum_uses_range_frame(spark):
+    plan = _plan(spark, "window_rolling_hour_sum")
+    assert "RangeFrame" in plan  # time-range frame, not RowFrame
+    assert "SinglePartition" not in plan  # partitioned by user_id
+
+
+def test_q20_uses_semi_joins(spark):
+    plan = _plan(spark, "q20_promo_supplier_semi")
+    assert "LeftSemi" in plan  # both nestings stay semi (no payload dup)
+
+
+def test_minhash_pairs_self_join_is_smj(spark):
+    """The bucket-key self-join must be a shuffle join (skew-splittable,
+    no UDF-branch duplication through a broadcast)."""
+    from etl_from_s3_to_postgresql_template_spark.operators.dedup import minhash_candidates
+    from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = minhash_candidates(docs)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SortMergeJoin" in plan
