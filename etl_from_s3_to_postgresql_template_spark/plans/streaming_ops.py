@@ -208,3 +208,39 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_dedup_events_stream(spark, sf_dir)
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL '5 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM s
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM g
+    GROUP BY user_id, sess_id
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows as a REAL streaming query (state-store session
+    merge), drained == batch session_window == the gaps-and-islands
+    oracle — closing the last window family that was batch-only."""
+    from etl_from_s3_to_postgresql_template_spark.streaming.ingest import (
+        run_session_windows_stream,
+    )
+
+    return run_session_windows_stream(spark, sf_dir)

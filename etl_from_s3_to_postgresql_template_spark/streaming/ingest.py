@@ -200,3 +200,26 @@ def run_dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
     )
     return _run_to_memory(spark, out, "append")
+
+
+def run_session_windows_stream(
+    spark: SparkSession, sf_dir: str, gap: str = "5 minutes"
+) -> DataFrame:
+    """Per-user session windows as a real streaming query: session_window
+    merges events into dynamic gap-based windows in the state store
+    (sessions EXPAND as events arrive — unlike fixed windows, the state
+    key itself changes, which is why this needs the dedicated session
+    operator). Complete mode emits the fully-merged sessions once input
+    drains; update mode is unsupported for streaming session windows."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            "n",
+        )
+    )
+    return _run_to_memory(spark, agg, "complete")
