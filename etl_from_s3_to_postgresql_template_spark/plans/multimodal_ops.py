@@ -1,6 +1,10 @@
-"""Multimodal queries (north-star E4): rows-only driver checks over the
-deterministic synthetic media table (binary payloads are not meaningfully
-SQL-expressible in the DuckDB oracle; pytest covers exact semantics)."""
+"""Multimodal queries (north-star E4) over the deterministic synthetic
+media table. decode and frame-sample are ORACLE-paired: every metadata
+field (and even the md5 of each sampled frame) is a closed-form function
+of media_id, so DuckDB reconstructs the expected output from range() —
+the oracle checks the full encode->decode round trip without ever holding
+a blob. feature_norms stays rows-only (the byte-histogram stub is not
+worth re-expressing in SQL); pytest covers its exact semantics."""
 
 from __future__ import annotations
 
@@ -16,9 +20,32 @@ from etl_from_s3_to_postgresql_template_spark.operators.multimodal import (
 from etl_from_s3_to_postgresql_template_spark.plans.registry import query
 
 
-@query("multimodal_decode_meta")
+@query(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT media_id,
+           CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
+           CASE media_id % 3 WHEN 0 THEN CAST(16 + (media_id % 8) * 4 AS INT)
+                WHEN 2 THEN 32 END AS width,
+           CASE media_id % 3 WHEN 0 THEN CAST(16 + (media_id % 5) * 4 AS INT)
+                WHEN 2 THEN 24 END AS height,
+           CASE media_id % 3 WHEN 1 THEN 8000 END AS sample_rate,
+           CASE media_id % 3 WHEN 1 THEN CAST(256 + (media_id % 16) * 32 AS INT) END AS n_samples,
+           CASE media_id % 3 WHEN 2 THEN CAST(2 + media_id % 6 AS INT) END AS n_frames,
+           CAST(CASE media_id % 3
+                WHEN 0 THEN (16 + (media_id % 8) * 4) * (16 + (media_id % 5) * 4)
+                WHEN 1 THEN 256 + (media_id % 16) * 32
+                ELSE (2 + media_id % 6) * 64 END AS BIGINT) AS payload_bytes
+    FROM range(300) t(media_id)
+    ORDER BY media_id
+    """,
+)
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4: decode binary containers -> typed metadata (deterministic)."""
+    """E4: decode binary containers -> typed metadata. Oracle-paired: the
+    synthetic container fields are closed-form in media_id, so the oracle
+    validates the whole encode->parse round trip (a header-layout bug on
+    either side breaks the hash match)."""
     media = synthetic_media_table(spark, n=300)
     return decode_media(media).select(
         "media_id", "kind", "fmt", "width", "height", "sample_rate",
@@ -38,12 +65,36 @@ def multimodal_feature_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-@query("multimodal_frame_sample")
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH v AS (
+      SELECT media_id, CAST(2 + media_id % 6 AS INT) AS nf
+      FROM range(300) t(media_id) WHERE media_id % 3 = 2
+    ),
+    f AS (
+      SELECT media_id, CAST(u.k AS INT) AS frame_idx
+      FROM v, UNNEST(range(nf)) u(k)
+      WHERE u.k % 2 = 0
+    )
+    SELECT media_id, frame_idx,
+           md5(media_id || ':' || (frame_idx * 4))
+            || md5(media_id || ':' || (frame_idx * 4 + 1))
+            || md5(media_id || ':' || (frame_idx * 4 + 2))
+            || md5(media_id || ':' || (frame_idx * 4 + 3)) AS frame_hex
+    FROM f
+    ORDER BY media_id, frame_idx
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4: video frame sampling -> (media_id, frame_idx, frame md5)."""
+    """E4: video frame sampling -> (media_id, frame_idx, frame bytes as
+    hex). Oracle-paired down to the BYTES: each 64-byte frame is four md5
+    digests of '{id}:{i}' concatenated, so the oracle's expected hex IS
+    the digest concatenation — payload slicing must be byte-exact, not
+    just shape-exact."""
     media = synthetic_media_table(spark, n=300)
     return (
         sample_frames(media, every=2)
-        .select("media_id", "frame_idx", F.md5("frame").alias("frame_md5"))
+        .select("media_id", "frame_idx", F.lower(F.hex("frame")).alias("frame_hex"))
         .orderBy("media_id", "frame_idx")
     )
