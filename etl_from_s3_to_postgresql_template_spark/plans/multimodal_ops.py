@@ -98,3 +98,32 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "frame_idx", F.lower(F.hex("frame")).alias("frame_hex"))
         .orderBy("media_id", "frame_idx")
     )
+
+
+@query(
+    "multimodal_resize_decode",
+    oracle="""
+    SELECT media_id,
+           CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
+           CASE media_id % 3 WHEN 0 THEN 8 WHEN 2 THEN 32 END AS width,
+           CASE media_id % 3 WHEN 0 THEN 8 WHEN 2 THEN 24 END AS height,
+           CAST(CASE media_id % 3
+                WHEN 0 THEN 64
+                WHEN 1 THEN 256 + (media_id % 16) * 32
+                ELSE (2 + media_id % 6) * 64 END AS BIGINT) AS payload_bytes
+    FROM range(300) t(media_id)
+    ORDER BY media_id
+    """,
+)
+def multimodal_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: resize -> decode round trip. Images re-encode at 8x8 (payload
+    shrinks to 64 bytes), audio/video pass through untouched — the oracle
+    pins both the transformed and the passed-through metadata."""
+    from etl_from_s3_to_postgresql_template_spark.operators.multimodal import resize_images
+
+    media = synthetic_media_table(spark, n=300)
+    return (
+        decode_media(resize_images(media, 8, 8))
+        .select("media_id", "fmt", "width", "height", "payload_bytes")
+        .orderBy("media_id")
+    )
