@@ -9,6 +9,7 @@ from etl_from_s3_to_postgresql_template_spark.plans import registry
 from etl_from_s3_to_postgresql_template_spark.plans import core_ops  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import query_pack  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import query_pack_ext  # noqa: F401
+from etl_from_s3_to_postgresql_template_spark.plans import query_pack_tpch2  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import llm_ops  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import streaming_ops  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import multimodal_ops  # noqa: F401

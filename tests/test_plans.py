@@ -117,3 +117,46 @@ def test_minhash_pairs_self_join_is_smj(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "SortMergeJoin" in plan
+
+
+def test_q2_single_window_no_self_join(spark):
+    # Correlated-min via row_number: one Window, one shuffle on l_partkey,
+    # no groupBy-min + join-back (which would double the lineitem shuffles).
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert "Window" in plan
+    assert plan.count("SortMergeJoin") == 0  # all dims broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q12_date_predicate_not_pushed_but_join_is_equi(spark):
+    # l_shipdate > o_orderdate + 45d is a residual on the equi-join, not a
+    # cartesian: the join itself must stay hash/merge on l_orderkey.
+    plan = _plan(spark, "q12_late_lines_priority")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q16_anti_join_is_broadcast(spark):
+    # The NOT IN exclusion list (6 suppliers) must compile to a broadcast
+    # left-anti, never a shuffle.
+    plan = _plan(spark, "q16_supplier_part_counts")
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    )
+
+
+def test_q21_semi_and_anti_with_residual(spark):
+    # EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, both with the suppkey<>
+    # residual conjunct on an equi l_orderkey join (no nested-loop).
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_max_is_broadcast_scalar(spark):
+    # The MAX(total_revenue) scalar joins back via broadcast (1 row), and
+    # the supplier dim is broadcast too — no shuffle beyond the groupBy.
+    plan = _plan(spark, "q15_top_supplier")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
