@@ -170,6 +170,51 @@ def scan_csv_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
 
+def _scan_fixture_fmt(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Materialize nation in `fmt` (json lines / orc) once per sf, same
+    cache-busting scheme as _scan_fixture_dir."""
+    import os
+
+    out = f"/tmp/spark_graft_scan_v2/{os.path.basename(sf_dir.rstrip('/'))}/{fmt}"
+    if not os.path.exists(out):
+        n = load_table(spark, sf_dir, "nation").orderBy("n_nationkey")
+        n.coalesce(1).write.mode("overwrite").format(fmt).save(out)
+    return out
+
+
+@query(
+    "scan_jsonl",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4-adjacent: newline-delimited JSON scan with schema inference — the
+    standard interchange format for training-data pipelines. Spark's JSON
+    reader infers integers as LongType, so keys are cast back to int to
+    match the parquet-derived oracle schema. At scale: JSONL scans
+    parallelize per-file (and per-block for uncompressed), but prefer
+    converting to parquet at the landing zone — JSON re-parses every byte
+    on every read and supports no column pruning or predicate pushdown."""
+    path = _scan_fixture_fmt(spark, sf_dir, "json")
+    return spark.read.json(path).select(
+        F.col("n_nationkey").cast("int"),
+        F.col("n_name"),
+        F.col("n_regionkey").cast("int"),
+    )
+
+
+@query(
+    "scan_orc",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4-adjacent: ORC columnar scan (built-in Spark format) — same
+    pushdown/pruning properties as parquet; included so the engine's
+    source matrix covers both columnar formats the Hadoop ecosystem
+    ships."""
+    path = _scan_fixture_fmt(spark, sf_dir, "orc")
+    return spark.read.orc(path).select("n_nationkey", "n_name", "n_regionkey")
+
+
 @query("scan_file_listing")  # listing metadata is filesystem-local -> rows-only
 def scan_file_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1: enumerate files as a DataFrame with extracted src_date (the
