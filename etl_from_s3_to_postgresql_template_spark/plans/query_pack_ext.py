@@ -556,3 +556,57 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "join_interval_banded",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id AS iv_user,
+             date_trunc('day', ts) AS d,
+             MIN(ts) AS start_ts
+      FROM events
+      WHERE user_id % 5 = 0
+      GROUP BY 1, 2
+    )
+    SELECT iv.iv_user,
+           strftime(iv.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(CAST(e."value" AS DECIMAL(18,6))), 2) :: DOUBLE AS sum_value
+    FROM iv
+    JOIN events e
+      ON e.ts >= iv.start_ts AND e.ts < iv.start_ts + INTERVAL 2 HOUR
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def join_interval_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join between two LARGE sides via the banded
+    range-join operator (operators/rangejoin.py): traffic from ALL users
+    inside each sampled user's daily 2-hour opening window. The naive
+    non-equi formulation is a BroadcastNestedLoopJoin — O(|events| x
+    |intervals|); banding (1h bands ~ the 2h interval length) turns it
+    into a hash equi-join on the band id, which survives both sides
+    growing 1000x. Residual keeps exact half-open semantics."""
+    from etl_from_s3_to_postgresql_template_spark.operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    intervals = (
+        ev.where(F.col("user_id") % 5 == 0)
+        .groupBy(
+            F.col("user_id").alias("iv_user"),
+            F.date_trunc("day", "ts").alias("d"),
+        )
+        .agg(F.min("ts").alias("start_ts"))
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 2 HOURS"))
+    )
+    points = ev.select("ts", "value")
+    return (
+        interval_join(points, intervals, "ts", "start_ts", "end_ts", band_seconds=3600)
+        .groupBy("iv_user", F.date_format("d", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("iv_user", "day")
+    )
