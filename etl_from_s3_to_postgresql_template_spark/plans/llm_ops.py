@@ -723,3 +723,60 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("val").cast("decimal(18,6)")).cast("double").alias("cell_sum"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id,
+             embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CASE WHEN max_abs = 0 THEN 0.0
+                ELSE CAST(127.0 AS DOUBLE) / max_abs END AS scale,
+           CASE WHEN max_abs = 0
+                THEN array_to_string(list_transform(embedding, x -> '0'), ',')
+                ELSE array_to_string(
+                  list_transform(embedding,
+                    x -> CAST(CAST(floor(CAST(x AS DOUBLE) * (127.0 / max_abs) + 0.5) AS BIGINT) AS VARCHAR)),
+                  ',')
+           END AS q_csv
+    FROM m
+    ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 storage path: symmetric per-vector int8 quantization (scale =
+    127/max|x|), the standard 4x shrink before ANN indexing. All math is
+    per-row double IEEE (float32 inputs widen exactly), and rounding is
+    floor(x+0.5) — explicit half-up in BOTH engines, because ROUND(double)
+    is not cross-engine deterministic (DuckDB computes it via double
+    multiply). Quantized codes emit as a CSV string: deterministic
+    hashing without array-type comparison semantics. Embarrassingly
+    parallel — no shuffle at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_abs = F.array_max(F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double"))))
+    scale = F.lit(127.0) / F.col("max_abs")
+    q = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") * F.col("scale") + F.lit(0.5)).cast("string"),
+    )
+    zeros = F.transform(F.col("embedding"), lambda v: F.lit("0"))
+    return (
+        emb.withColumn("max_abs", max_abs)
+        .withColumn(
+            "scale",
+            F.when(F.col("max_abs") == 0, F.lit(0.0)).otherwise(scale),
+        )
+        .withColumn(
+            "q_csv",
+            F.when(F.col("max_abs") == 0, F.concat_ws(",", zeros)).otherwise(
+                F.concat_ws(",", q)
+            ),
+        )
+        .select("vec_id", "scale", "q_csv")
+        .orderBy("vec_id")
+    )

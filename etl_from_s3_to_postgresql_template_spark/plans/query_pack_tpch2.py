@@ -112,8 +112,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
     JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
-    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
       AND l.l_shipdate >= TIMESTAMP '1995-01-01'
       AND l.l_shipdate < TIMESTAMP '1997-01-01'
     GROUP BY supp_nation, cust_nation, l_year
@@ -136,8 +136,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
     pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -276,7 +276,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem l
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN nation n ON n.n_nationkey = s.s_nationkey
-      WHERE n.n_name = 'NATION_5'
+      WHERE n.n_name = 'NATION_19'
       GROUP BY l.l_partkey
     )
     SELECT l_partkey, ROUND(part_value, 2) :: DOUBLE AS part_value
@@ -294,7 +294,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     output-only."""
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_19")
     per_part = (
         l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -439,7 +439,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier s ON s.s_suppkey = l1.l_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
     WHERE l1.o_orderstatus = 'F'
-      AND n.n_name = 'NATION_7'
+      AND n.n_name = 'NATION_19'
       AND EXISTS (
         SELECT 1 FROM lineitem l2
         WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
@@ -463,7 +463,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_19")
     late = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
