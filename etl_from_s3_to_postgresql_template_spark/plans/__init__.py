@@ -11,6 +11,7 @@ from etl_from_s3_to_postgresql_template_spark.plans import query_pack  # noqa: F
 from etl_from_s3_to_postgresql_template_spark.plans import query_pack_ext  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import query_pack_tpch2  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import llm_ops  # noqa: F401
+from etl_from_s3_to_postgresql_template_spark.plans import corpus_ops  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import streaming_ops  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import multimodal_ops  # noqa: F401
 

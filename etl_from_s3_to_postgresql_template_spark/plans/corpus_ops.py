@@ -1,0 +1,187 @@
+r"""Corpus-preparation queries (north-star training-data surface): benchmark
+decontamination, deterministic stratified sampling, vocabulary building,
+bigram LM counts, and sequence packing over the documents table.
+
+All five are oracle-paired: determinism comes from md5-keyed decisions and
+exact-integer outputs (no doubles anywhere near a ROUND boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_from_s3_to_postgresql_template_spark.operators.corpus import (
+    decontaminate,
+    pack_sequences,
+    stratified_sample,
+)
+from etl_from_s3_to_postgresql_template_spark.plans.registry import query
+from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+
+@query(
+    "corpus_decontaminate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1') AS is_bench,
+             UNNEST(CASE WHEN len(t) >= 8
+               THEN list_transform(range(len(t) - 7), i -> array_to_string(t[i+1:i+8], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS ngram
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT ngram FROM sh WHERE is_bench
+    )
+    SELECT s.doc_id, CAST(COUNT(DISTINCT s.ngram) AS BIGINT) AS n_shared
+    FROM sh s JOIN bench b USING (ngram)
+    WHERE NOT s.is_bench
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs sharing any 8-gram with the
+    (md5-split) benchmark subset, with distinct-shared-ngram counts.
+    Benchmark n-gram set broadcasts; the corpus side never shuffles before
+    the per-doc aggregate. See operators/corpus.py for the scale story."""
+    return decontaminate(load_table(spark, sf_dir, "documents"), n=8)
+
+
+@query(
+    "corpus_sample_stratified",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, source, rk FROM r WHERE rk <= 5
+    ORDER BY lang, source, rk
+    """,
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: first 5 docs per (lang, source)
+    stratum in md5-of-id order — uniform-random in distribution, but
+    re-runnable and engine-portable (the property RAND() samples lack)."""
+    return stratified_sample(load_table(spark, sf_dir, "documents"), ["lang", "source"], k=5)
+
+
+@query(
+    "corpus_vocab_topk",
+    oracle=r"""
+    WITH w AS (
+      SELECT UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents
+    ), c AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY token
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+           token, cnt,
+           CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+    FROM c
+    ORDER BY rank
+    LIMIT 20
+    """,
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-20 tokens by frequency with cumulative
+    coverage counts (cum_cnt / corpus total = coverage; emitted as exact
+    integers, the division is the reader's). The token count aggregates
+    map-side (partial agg before the shuffle); the ranking window runs
+    over the tiny post-agg vocab, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), "token")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("cum_cnt", F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .where(F.col("rank") <= 20)
+        .select("rank", "token", "cnt", "cum_cnt")
+        .orderBy("rank")
+    )
+
+
+@query(
+    "corpus_bigram_lm",
+    oracle=r"""
+    WITH toks AS (
+      SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+    ), bg AS (
+      SELECT UNNEST(list_transform(range(len(t) - 1),
+                    i -> {'w1': t[i+1], 'w2': t[i+2]})) AS s
+      FROM toks WHERE len(t) >= 2
+    ), pairs AS (
+      SELECT s.w1 AS w1, s.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+      FROM bg GROUP BY 1, 2
+    )
+    SELECT w1, w2, pair_cnt,
+           CAST(SUM(pair_cnt) OVER (PARTITION BY w1) AS BIGINT) AS w1_cnt
+    FROM pairs
+    ORDER BY pair_cnt DESC, w1, w2
+    LIMIT 30
+    """,
+)
+def corpus_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM counts: top-30 adjacent-token pairs with the per-first-
+    token total (pair_cnt / w1_cnt is the conditional MLE; both emitted as
+    exact integers). Bigrams come from zip_with over two shifted slices —
+    one pass, JVM-side; the w1 totals are a window over the aggregated
+    pair table, not a second corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower(F.trim("text")), r"\s+").alias("t")).where(F.size("t") >= 2)
+    n = F.size("t")
+    bigrams = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.slice("t", 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = (
+        toks.select(F.explode(bigrams).alias("s"))
+        .groupBy(F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+    w1_cnt = F.sum("pair_cnt").over(Window.partitionBy("w1")).alias("w1_cnt")
+    return (
+        pairs.select("w1", "w2", "pair_cnt", w1_cnt)
+        .orderBy(F.desc("pair_cnt"), "w1", "w2")
+        .limit(30)
+    )
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT bucket, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+      FROM d
+    )
+    SELECT bucket, CAST(FLOOR(start_off / 2048) AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM c
+    GROUP BY bucket, seq_id
+    ORDER BY bucket, seq_id
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: docs concatenate (doc-id order, per md5 bucket)
+    into a token stream cut every 2048 tokens; a doc belongs to the chunk
+    where it starts. Per-bucket packing keeps the running sum parallel —
+    the global-cumsum alternative serializes the corpus through one task."""
+    return pack_sequences(load_table(spark, sf_dir, "documents"), capacity=2048)
