@@ -36,6 +36,7 @@ __all__ = [
     "simhash_candidates",
     "ngram_jaccard_pairs",
     "connected_components",
+    "fuzzy_pairs_blocked",
 ]
 
 
@@ -368,3 +369,49 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def fuzzy_pairs_blocked(
+    df: DataFrame,
+    prefix_len: int = 60,
+    band_width: int = 64,
+    topk: int = 30,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance near-dup search with blocking: the ``topk`` closest
+    same-block pairs by Levenshtein distance over the first ``prefix_len``
+    chars. Blocks are (lang, source, floor(n_chars / band_width)) — the
+    classic record-linkage move that turns O(n^2) distance evaluations
+    into sum-per-block O(b^2), at the documented cost of missing pairs
+    whose lengths straddle a band edge (run twice with offset bands to
+    close that gap).
+
+    Scale shape: one hash self-join on the 3-part block key (no
+    broadcast — both sides are the corpus; AQE splits skewed blocks),
+    Levenshtein only on the prefix (O(prefix_len^2) per pair, bounded),
+    then a global top-k which is a TakeOrdered, not a full sort."""
+    d = df.select(
+        F.col(id_col),
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / band_width).alias("band"),
+        F.substring("text", 1, prefix_len).alias("prefix"),
+    )
+    a = d.select([F.col(c).alias(f"{c}_a") for c in d.columns])
+    b = d.select([F.col(c).alias(f"{c}_b") for c in d.columns])
+    on = (
+        (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("source_a") == F.col("source_b"))
+        & (F.col("band_a") == F.col("band_b"))
+        & (F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+    )
+    return (
+        a.join(b, on)
+        .select(
+            f"{id_col}_a",
+            f"{id_col}_b",
+            F.levenshtein("prefix_a", "prefix_b").cast("long").alias("dist"),
+        )
+        .orderBy("dist", f"{id_col}_a", f"{id_col}_b")
+        .limit(topk)
+    )

@@ -780,3 +780,32 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "scale", "q_csv")
         .orderBy("vec_id")
     )
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             CAST(FLOOR(n_chars / 64) AS BIGINT) AS band,
+             substr(text, 1, 60) AS prefix
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.source = b.source AND a.band = b.band
+     AND a.doc_id < b.doc_id
+    ORDER BY dist, doc_id_a, doc_id_b
+    LIMIT 30
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 fuzzy dedup: 30 closest same-block pairs by prefix Levenshtein.
+    Blocking on (lang, source, length band) bounds the pair space; the
+    distance is exact and identically defined in both engines (unit-cost
+    edit distance), so the whole query oracle-pairs. See
+    operators/dedup.py::fuzzy_pairs_blocked for the scale shape."""
+    from etl_from_s3_to_postgresql_template_spark.operators.dedup import fuzzy_pairs_blocked
+
+    return fuzzy_pairs_blocked(load_table(spark, sf_dir, "documents"))

@@ -610,3 +610,122 @@ def join_interval_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("iv_user", "day")
     )
+
+
+@query(
+    "events_outlier_iqr",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, event_type, value,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS cnt
+      FROM events
+    ), q AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(ceil(0.25 * cnt) AS BIGINT) THEN value END) AS q1,
+             MAX(CASE WHEN rn = CAST(ceil(0.75 * cnt) AS BIGINT) THEN value END) AS q3
+      FROM r GROUP BY event_type
+    )
+    SELECT r.event_id, r.event_type, r.value,
+           CASE WHEN r.value > q.q3 + 1.5 * (q.q3 - q.q1) THEN 'high' ELSE 'low' END AS side
+    FROM r JOIN q USING (event_type)
+    WHERE r.value > q.q3 + 1.5 * (q.q3 - q.q1)
+       OR r.value < q.q1 - 1.5 * (q.q3 - q.q1)
+    ORDER BY r.event_id
+    """,
+)
+def events_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection per event_type. Quantiles are computed
+    MANUALLY (row_number + rank pick = percentile_disc) instead of each
+    engine's quantile function — disc/interpolation conventions differ
+    across engines, but "the value at rank ceil(p*n)" is one definition
+    both compute identically. Fence arithmetic is the same IEEE expression
+    tree on both sides, and flagged values pass through untouched (no
+    divide-then-round hazard). One shuffle on event_type; the quantile
+    table (5 rows) broadcasts back onto the events."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    r = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(W.partitionBy("event_type").orderBy("value", "event_id")).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).cast("long").alias("cnt"),
+    )
+    q = r.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.ceil(0.25 * F.col("cnt")), F.col("value"))).alias("q1"),
+        F.max(F.when(F.col("rn") == F.ceil(0.75 * F.col("cnt")), F.col("value"))).alias("q3"),
+    )
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .where((F.col("value") > hi) | (F.col("value") < lo))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.when(F.col("value") > hi, F.lit("high")).otherwise(F.lit("low")).alias("side"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "events_resample_ffill",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS DATE) AS day, ts, value FROM events
+    ), daily AS (
+      SELECT user_id, day, value FROM (
+        SELECT user_id, day, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e) t WHERE rn = 1
+    ), span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM e GROUP BY user_id
+    ), spine AS (
+      SELECT user_id, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    )
+    SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+           LAST_VALUE(d.value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+    FROM spine s LEFT JOIN daily d USING (user_id, day)
+    ORDER BY s.user_id, s.day
+    """,
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: a daily spine per user (min..max active day)
+    left-joined with the last event value of each day, gaps forward-filled
+    (last non-null over preceding rows). The spine comes from sequence()
+    + explode — rows generated ON the executors, sized by each user's own
+    span, never a driver loop. Filled values pass through bit-identical
+    (no arithmetic). Shuffles: one on user_id for the spine agg, one on
+    (user_id, day) for the daily pick; the ffill window rides the spine
+    join's partitioning."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.to_date("ts").alias("day"), "ts", "value"
+    )
+    daily = (
+        e.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "day").orderBy(F.desc("ts"), F.desc("event_id"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    spine = (
+        e.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    ffill = F.last("value", ignorenulls=True).over(
+        W.partitionBy("user_id").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select("user_id", F.date_format("day", "yyyy-MM-dd").alias("day"), ffill.alias("value_ffill"))
+        .orderBy("user_id", "day")
+    )
