@@ -135,13 +135,21 @@ def decode_media(df: DataFrame, blob_col: str = "blob", strict: bool = False) ->
     return df.mapInPandas(run, out_schema)
 
 
-def extract_features(df: DataFrame, blob_col: str = "blob", dim: int = 16) -> DataFrame:
-    """Binary -> fixed-dim float feature vector.
+def extract_features(
+    df: DataFrame, blob_col: str = "blob", dim: int = 16, normalize: bool = True
+) -> DataFrame:
+    """Binary -> fixed-dim feature vector.
 
     STUB: the feature extractor is a deterministic byte-histogram projection
     (a real build plugs a vision/audio model here via the same pandas UDF).
-    The Arrow batch shape — binary in, array<float> out — is the real contract.
-    """
+    The Arrow batch shape — binary in, array out — is the real contract.
+
+    ``normalize=True`` returns the L2-normalized histogram as
+    ``array<double>`` (the embedding shape downstream ANN expects);
+    ``normalize=False`` returns the raw counts as ``array<bigint>`` —
+    exact integers, which is what lets the DuckDB oracle reproduce the
+    whole blob->histogram path bit-for-bit (a byte mod 16 is its low hex
+    nibble, so the oracle counts digest hex chars)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -150,15 +158,17 @@ def extract_features(df: DataFrame, blob_col: str = "blob", dim: int = 16) -> Da
             feats = []
             for blob in pdf[blob_col]:
                 arr = np.frombuffer(bytes(blob)[12:], dtype=np.uint8)
-                if arr.size == 0:
-                    feats.append([0.0] * dim)
+                hist = np.bincount(arr % dim, minlength=dim)
+                if not normalize:
+                    feats.append([int(x) for x in hist])
                     continue
-                hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
+                hist = hist.astype(np.float64)
                 norm = np.linalg.norm(hist)
                 feats.append((hist / norm if norm else hist).tolist())
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
-    return df.mapInPandas(run, "media_id long, feature array<double>")
+    elem = "double" if normalize else "bigint"
+    return df.mapInPandas(run, f"media_id long, feature array<{elem}>")
 
 
 def resize_images(df: DataFrame, width: int, height: int, blob_col: str = "blob") -> DataFrame:

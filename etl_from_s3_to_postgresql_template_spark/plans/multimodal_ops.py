@@ -127,3 +127,55 @@ def multimodal_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "fmt", "width", "height", "payload_bytes")
         .orderBy("media_id")
     )
+
+
+@query(
+    "multimodal_feature_hist",
+    oracle="""
+    WITH m AS (
+      SELECT media_id,
+             CAST(CASE media_id % 3
+                  WHEN 0 THEN (16 + (media_id % 8) * 4) * (16 + (media_id % 5) * 4)
+                  WHEN 1 THEN 256 + (media_id % 16) * 32
+                  ELSE (2 + media_id % 6) * 64 END AS BIGINT) AS n
+      FROM range(300) t(media_id)
+    ), hx AS (
+      SELECT media_id, n,
+             array_to_string(list_transform(range(CAST(ceil(n / 16.0) AS BIGINT)),
+                                            i -> md5(media_id || ':' || i)), '') AS hexfull
+      FROM m
+    ), ch AS (
+      SELECT media_id,
+             instr('0123456789abcdef', substr(hexfull, CAST(2 * p.k + 2 AS BIGINT), 1)) - 1 AS v
+      FROM hx, UNNEST(range(n)) p(k)
+    ), hist AS (
+      SELECT media_id, v, COUNT(*) AS c FROM ch GROUP BY media_id, v
+    ), spine AS (
+      SELECT m.media_id, j.v
+      FROM m CROSS JOIN (SELECT UNNEST(range(16)) AS v) j
+    ), filled AS (
+      SELECT s.media_id, s.v, COALESCE(h.c, 0) AS c
+      FROM spine s
+      LEFT JOIN hist h ON h.media_id = s.media_id AND h.v = s.v
+    )
+    SELECT media_id, string_agg(CAST(c AS VARCHAR), ',' ORDER BY v) AS hist_csv
+    FROM filled GROUP BY media_id ORDER BY media_id
+    """,
+)
+def multimodal_feature_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: the feature extractor's raw byte histogram (mod 16), exact
+    integers as CSV. The oracle re-synthesizes every payload from the md5
+    construction and counts low hex nibbles (byte % 16 == low nibble), so
+    the ENTIRE blob -> decode -> histogram path is hash-checked — the
+    normalized variant (multimodal_feature_norms) stays rows-only because
+    sqrt/divide-then-round is not cross-engine exact, but its input is
+    this now-verified histogram."""
+    media = synthetic_media_table(spark, n=300)
+    feats = extract_features(media, normalize=False)
+    return (
+        feats.select(
+            "media_id",
+            F.concat_ws(",", F.transform("feature", lambda v: v.cast("string"))).alias("hist_csv"),
+        )
+        .orderBy("media_id")
+    )
