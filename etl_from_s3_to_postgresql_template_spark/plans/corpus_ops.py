@@ -185,3 +185,94 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     where it starts. Per-bucket packing keeps the running sum parallel —
     the global-cumsum alternative serializes the corpus through one task."""
     return pack_sequences(load_table(spark, sf_dir, "documents"), capacity=2048)
+
+
+@query(
+    "corpus_bpe_pair_stats",
+    oracle=r"""
+    WITH w AS (
+      SELECT UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents
+    ), ch AS (
+      SELECT word, len(word) AS n FROM w WHERE len(word) >= 2
+    ), pr AS (
+      SELECT UNNEST(list_transform(range(n - 1),
+                    i -> substr(word, CAST(i + 1 AS BIGINT), 2))) AS pair
+      FROM ch
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) AS BIGINT) AS rank
+    FROM pr GROUP BY pair
+    ORDER BY rank
+    LIMIT 25
+    """,
+)
+def corpus_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer training: corpus-wide adjacent
+    character-pair frequencies (the merge candidates), top-25. Pairs come
+    from substr over a sequence of offsets — JVM-side, one explode; the
+    count aggregates map-side before the shuffle and the ranking window
+    sees only the tiny pair vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word")
+    ).where(F.length("word") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    w = Window.orderBy(F.desc("cnt"), "pair")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 25)
+        .select("pair", "cnt", "rank")
+        .orderBy("rank")
+    )
+
+
+@query(
+    "docs_length_quantiles",
+    oracle="""
+    WITH r AS (
+      SELECT lang, n_chars,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS cnt
+      FROM documents
+    )
+    SELECT lang,
+           MAX(CASE WHEN rn = CAST(ceil(0.10 * cnt) AS BIGINT) THEN n_chars END) AS p10,
+           MAX(CASE WHEN rn = CAST(ceil(0.50 * cnt) AS BIGINT) THEN n_chars END) AS p50,
+           MAX(CASE WHEN rn = CAST(ceil(0.90 * cnt) AS BIGINT) THEN n_chars END) AS p90,
+           MAX(cnt) AS n_docs
+    FROM r GROUP BY lang ORDER BY lang
+    """,
+)
+def docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length profile (p10/p50/p90) for corpus
+    filtering thresholds. Quantiles are rank-picked (value at rank
+    ceil(p*n)) — the engine-neutral percentile_disc definition, exact
+    integers end to end. One shuffle on lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    r = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).cast("long").alias("cnt"),
+    )
+
+    def pick(p: float, name: str):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(p * F.col("cnt")), F.col("n_chars"))
+        ).alias(name)
+
+    return (
+        r.groupBy("lang")
+        .agg(pick(0.10, "p10"), pick(0.50, "p50"), pick(0.90, "p90"), F.max("cnt").alias("n_docs"))
+        .orderBy("lang")
+    )
