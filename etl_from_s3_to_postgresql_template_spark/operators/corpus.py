@@ -30,7 +30,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_from_s3_to_postgresql_template_spark.functions.text import shingles_col, token_count_col
+from etl_from_s3_to_postgresql_template_spark.functions.text import (
+    shingles_col,
+    token_count_col,
+    tokens_col,
+)
 
 __all__ = [
     "md5_prefix_col",
@@ -57,6 +61,36 @@ def benchmark_flag_col(key: Column | str) -> Column:
     return md5_prefix_col(key).isin("0", "1")
 
 
+def hashed_shingles_col(text_col: Column | str, n: int) -> Column:
+    """64-bit hash per token n-gram WITHOUT materializing the n-gram
+    strings: each token hashes once (xxhash64, JVM-side), then the n-gram
+    hash is the polynomial combination sum_j h[i+j] * P^j over shifted
+    slices of the token-hash array — pure long multiply-adds (Java
+    wraparound is the modulus), no string concatenation or re-hashing of
+    ~50-char grams. Same equivalence classes as hashing the joined gram
+    string (token sequences map 1:1 to space-joined strings), collisions
+    at the 64-bit birthday bound. Docs shorter than ``n`` tokens fall back
+    to one whole-text hash (Horner fold), mirroring ``shingles_col``'s
+    whole-doc shingle — a <n-token doc can never equal an n-token gram,
+    so the two constructions never cross-match semantically."""
+    toks = tokens_col(text_col)
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+    size = F.size(toks)
+    m = F.greatest(size - (n - 1), F.lit(1))
+
+    def signed64(x: int) -> int:
+        x %= 1 << 64
+        return x - (1 << 64) if x >= 1 << 63 else x
+
+    P = 1099511628211  # FNV-1a prime (odd => multiplication is invertible mod 2^64)
+    acc = F.slice(h, 1, m)
+    for j in range(1, n):
+        pj = F.lit(signed64(P**j))
+        acc = F.zip_with(acc, F.slice(h, j + 1, m), lambda a, b: a + b * pj)
+    whole = F.aggregate(h, F.lit(0).cast("long"), lambda a, x: a * F.lit(P) + x)
+    return F.when(size >= n, acc).otherwise(F.array(whole))
+
+
 def decontaminate(docs: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Benchmark decontamination by token n-gram overlap: flag every
     training doc that shares at least one ``n``-gram with any benchmark
@@ -67,22 +101,29 @@ def decontaminate(docs: DataFrame, n: int = 8, text_col: str = "text", id_col: s
     pipeline the benchmark set is a separate table; membership here is a
     deterministic split of one table so the DuckDB oracle can reproduce it.
 
-    Physical shape: corpus n-grams explode once; the benchmark n-gram set
-    (distinct, small) broadcasts; the probe side joins without a shuffle,
-    then aggregates per doc. The explode multiplies rows by ~tokens-per-doc
-    — at 100 TB that is the dominant cost, and it is linear, map-side, and
-    never wider than (doc_id, ngram).
+    Physical shape: corpus n-grams explode once, then immediately collapse
+    to an 8-byte xxhash64 — every downstream movement (the broadcast set,
+    the join keys, the count-distinct state) carries longs, not ~50-char
+    strings, an ~6x cut in bytes moved. The benchmark hash set (distinct,
+    small) broadcasts; the probe side joins without a shuffle, then
+    aggregates per doc. The explode multiplies rows by ~tokens-per-doc —
+    at 100 TB that is the dominant cost, and it is linear, map-side, and
+    never wider than (doc_id, hash). A 64-bit collision would need ~2^32
+    distinct benchmark n-grams to become likely (birthday bound) — far
+    beyond any benchmark suite; results are exact in practice.
     """
     is_bench = benchmark_flag_col(id_col)
     grams = docs.select(
-        F.col(id_col), is_bench.alias("is_bench"), F.explode(shingles_col(text_col, n)).alias("ngram")
+        F.col(id_col),
+        is_bench.alias("is_bench"),
+        F.explode(hashed_shingles_col(text_col, n)).alias("g"),
     )
-    bench_grams = grams.where(F.col("is_bench")).select("ngram").distinct()
+    bench_grams = grams.where(F.col("is_bench")).select("g").distinct()
     return (
         grams.where(~F.col("is_bench"))
-        .join(F.broadcast(bench_grams), "ngram")
+        .join(F.broadcast(bench_grams), "g")
         .groupBy(id_col)
-        .agg(F.count_distinct("ngram").alias("n_shared"))
+        .agg(F.count_distinct("g").alias("n_shared"))
         .orderBy(id_col)
     )
 
