@@ -276,3 +276,74 @@ def docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(pick(0.10, "p10"), pick(0.50, "p50"), pick(0.90, "p90"), F.max("cnt").alias("n_docs"))
         .orderBy("lang")
     )
+
+
+@query(
+    "corpus_prep_funnel",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CAST(length(text) AS BIGINT) AS n_chars_calc,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha
+      FROM documents
+    ), gated AS (
+      SELECT doc_id, text,
+             (length(text) >= 50
+              AND ROUND(n_alpha / greatest(n_chars_calc, 1), 4) >= 0.5) AS ok_quality
+      FROM base
+    ), surv AS (
+      SELECT doc_id, text FROM gated WHERE ok_quality
+    ), winners AS (
+      SELECT MIN(doc_id) AS doc_id FROM surv
+      GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+    ), toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM surv
+    ), sh AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1') AS is_bench,
+             UNNEST(CASE WHEN len(t) >= 8
+               THEN list_transform(range(len(t) - 7), i -> array_to_string(t[i+1:i+8], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS ngram
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT ngram FROM sh WHERE is_bench
+    ), contaminated AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (ngram) WHERE NOT s.is_bench
+    ), flags AS (
+      SELECT g.doc_id, g.ok_quality,
+             (g.ok_quality AND w.doc_id IS NOT NULL) AS ok_dedup,
+             (g.ok_quality AND w.doc_id IS NOT NULL AND c.doc_id IS NULL
+              AND substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 1) NOT IN ('0', '1')) AS ok_decontam,
+             substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 1) IN ('2', '3') AS is_holdout
+      FROM gated g
+      LEFT JOIN winners w ON w.doc_id = g.doc_id
+      LEFT JOIN contaminated c ON c.doc_id = g.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS input_docs,
+           CAST(SUM(CASE WHEN ok_quality THEN 1 ELSE 0 END) AS BIGINT) AS after_quality,
+           CAST(SUM(CASE WHEN ok_dedup THEN 1 ELSE 0 END) AS BIGINT) AS after_dedup,
+           CAST(SUM(CASE WHEN ok_decontam THEN 1 ELSE 0 END) AS BIGINT) AS after_decontam,
+           CAST(SUM(CASE WHEN ok_decontam AND NOT is_holdout THEN 1 ELSE 0 END) AS BIGINT) AS train_docs,
+           CAST(SUM(CASE WHEN ok_decontam AND is_holdout THEN 1 ELSE 0 END) AS BIGINT) AS holdout_docs
+    FROM flags
+    """,
+)
+def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus pipeline (corpus_pipeline.py) as one
+    hash-checked funnel row: quality gate -> exact dedup -> benchmark
+    decontamination -> train/holdout split, with per-stage survivor
+    counts. The oracle re-derives every stage decision independently in
+    SQL, so a drift in ANY stage (gate thresholds, dedup winner rule,
+    n-gram semantics, split hashing) breaks the hash match — this is the
+    pipeline's integration test in the driver gate."""
+    from etl_from_s3_to_postgresql_template_spark.corpus_pipeline import annotate_corpus
+
+    ann = annotate_corpus(load_table(spark, sf_dir, "documents"))
+    return ann.agg(
+        F.count(F.lit(1)).alias("input_docs"),
+        F.sum(F.col("ok_quality").cast("long")).alias("after_quality"),
+        F.sum(F.col("ok_dedup").cast("long")).alias("after_dedup"),
+        F.sum(F.col("ok_decontam").cast("long")).alias("after_decontam"),
+        F.sum((F.col("split") == "train").cast("long")).alias("train_docs"),
+        F.sum((F.col("split") == "holdout").cast("long")).alias("holdout_docs"),
+    )

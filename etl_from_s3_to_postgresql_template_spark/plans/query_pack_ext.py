@@ -729,3 +729,72 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.date_format("day", "yyyy-MM-dd").alias("day"), ffill.alias("value_ffill"))
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "orders_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ), activity AS (
+      SELECT DISTINCT o.o_custkey, f.cohort,
+             date_trunc('month', o.o_orderdate) AS act_month
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    )
+    SELECT strftime(cohort, '%Y-%m') AS cohort_month,
+           CAST(datediff('month', cohort, act_month) AS BIGINT) AS month_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_customers
+    FROM activity
+    GROUP BY cohort, month_offset
+    ORDER BY cohort_month, month_offset
+    """,
+)
+def orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by first-order month,
+    counted in each subsequent active month. Two shuffles (first-order agg
+    on custkey; cohort-cell agg) — the per-customer month set is DISTINCT
+    before counting so multi-order months count once. Months emit as
+    strings (date-hash parity rule)."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    firsts = o.groupBy("o_custkey").agg(F.trunc(F.min("o_orderdate"), "month").alias("cohort"))
+    activity = (
+        o.join(firsts, "o_custkey")
+        .select("o_custkey", "cohort", F.trunc("o_orderdate", "month").alias("act_month"))
+        .distinct()
+    )
+    offset = (
+        (F.year("act_month") - F.year("cohort")) * 12 + (F.month("act_month") - F.month("cohort"))
+    ).cast("long")
+    return (
+        activity.select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            offset.alias("month_offset"),
+        )
+        .groupBy("cohort_month", "month_offset")
+        .agg(F.count(F.lit(1)).alias("active_customers"))
+        .orderBy("cohort_month", "month_offset")
+    )
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type, bin
+    ORDER BY event_type, bin
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width value histogram per event type: bin = floor(value/25)
+    — one IEEE divide + floor, identical on both engines; counts exact.
+    One shuffle, map-side partial agg, output size = #types x #bins."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.floor(F.col("value") / 25.0).cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bin")
+    )

@@ -88,3 +88,39 @@ def test_pack_sequences_chunk_boundaries(spark):
         for j in range(n):
             expect[3 * j // 5] = expect.get(3 * j // 5, 0) + 1
         assert {c.seq_id: c.n_docs for c in chunks} == expect
+
+
+def test_prepare_corpus_end_to_end(spark):
+    from etl_from_s3_to_postgresql_template_spark.corpus_pipeline import (
+        annotate_corpus,
+        corpus_funnel_stats,
+        prepare_corpus,
+    )
+    from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    clean, packed = prepare_corpus(docs)
+    stats = corpus_funnel_stats(annotate_corpus(docs))
+
+    # Funnel is monotone and consistent with the clean output.
+    assert stats.input_docs >= stats.after_quality >= stats.after_dedup >= stats.after_decontam
+    assert stats.after_decontam == stats.train_docs + stats.holdout_docs
+    assert clean.count() == stats.after_decontam
+    assert stats.train_docs > 0 and stats.holdout_docs > 0
+
+    # No benchmark docs (md5 first hex 0/1) survive into the clean pool.
+    from etl_from_s3_to_postgresql_template_spark.operators.corpus import benchmark_flag_col
+
+    assert clean.where(benchmark_flag_col("doc_id")).count() == 0
+
+    # Packed chunks account for every train token exactly once.
+    from etl_from_s3_to_postgresql_template_spark.functions.text import token_count_col
+    import pyspark.sql.functions as F
+
+    train_tokens = (
+        clean.where(F.col("split") == "train")
+        .agg(F.sum(token_count_col("text").cast("long")))
+        .collect()[0][0]
+    )
+    packed_tokens = packed.agg(F.sum("total_tokens")).collect()[0][0]
+    assert packed_tokens == train_tokens
