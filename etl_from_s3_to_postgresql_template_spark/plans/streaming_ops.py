@@ -244,3 +244,26 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_session_windows_stream(spark, sf_dir)
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN nation n ON n.n_nationkey = CAST(e.user_id % 25 AS INT)
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (broadcast join inside a real
+    streaming query), drained complete == the batch join the oracle runs.
+    See streaming/ingest.py::run_stream_static_enrich."""
+    from etl_from_s3_to_postgresql_template_spark.streaming.ingest import (
+        run_stream_static_enrich,
+    )
+
+    return run_stream_static_enrich(spark, sf_dir).orderBy("n_name")

@@ -223,3 +223,27 @@ def run_session_windows_stream(
         )
     )
     return _run_to_memory(spark, agg, "complete")
+
+
+def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: streaming events enriched with a static
+    dimension (nation, keyed by user_id % 25) and aggregated per nation.
+
+    The production pattern this models is dimension enrichment of an event
+    stream. A static side needs no watermark and holds no join state —
+    Spark broadcasts it into every micro-batch, so the stream side never
+    shuffles for the join (state cost is the AGGREGATION's, bounded by
+    |nations|). With AvailableNow + complete mode the drained result
+    equals the batch join — the DuckDB oracle."""
+    from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+    ev = stream_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = ev.withColumn("nk", (F.col("user_id") % 25).cast("int")).join(
+        F.broadcast(dim), F.col("nk") == F.col("n_nationkey")
+    )
+    agg = enriched.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("total_value"),
+    )
+    return _run_to_memory(spark, agg, "complete")
