@@ -347,3 +347,67 @@ def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("split") == "train").cast("long")).alias("train_docs"),
         F.sum((F.col("split") == "holdout").cast("long")).alias("holdout_docs"),
     )
+
+
+@query(
+    "graph_token_triangles",
+    oracle=r"""
+    WITH toks AS (
+      SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+    ), bg AS (
+      SELECT UNNEST(list_transform(range(len(t) - 1),
+                    i -> {'w1': t[i+1], 'w2': t[i+2]})) AS s
+      FROM toks WHERE len(t) >= 2
+    ), edges AS (
+      SELECT least(s.w1, s.w2) AS a, greatest(s.w1, s.w2) AS b
+      FROM bg WHERE s.w1 <> s.w2
+      GROUP BY 1, 2 HAVING COUNT(*) >= 20
+    ), tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT x) FROM (SELECT a AS x FROM edges UNION SELECT b FROM edges)) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT n_triangles FROM tri) AS BIGINT) AS n_triangles
+    """,
+)
+def graph_token_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics on the token co-occurrence graph: node/edge counts
+    and exact triangle count. Edges are ORDERED (a < b), which is the
+    standard distributed-triangle trick: each triangle {x<y<z} is counted
+    exactly once as the path x->y->z closed by edge (x,z), so the 3-way
+    self-join needs no post-hoc dedup and the join fan-out is bounded by
+    ordered adjacency (high-degree hubs split their edges across the
+    order, halving worst-case skew). Two hash self-joins on 8-byte-ish
+    keys; the bigram aggregation before it is the only corpus-sized
+    stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower(F.trim("text")), r"\s+").alias("t")).where(F.size("t") >= 2)
+    n = F.size("t")
+    bigrams = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.slice("t", 2, n - 1),
+        lambda a, b: F.struct(F.least(a, b).alias("a"), F.greatest(a, b).alias("b")),
+    )
+    edges = (
+        toks.select(F.explode(bigrams).alias("s"))
+        .where(F.col("s.a") != F.col("s.b"))
+        .groupBy(F.col("s.a").alias("a"), F.col("s.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 20)
+        .select("a", "b")
+    )
+    edges = edges.localCheckpoint(eager=False)  # three legs below reuse it
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    nodes = (
+        edges.select(F.col("a").alias("x"))
+        .unionByName(edges.select(F.col("b").alias("x")))
+        .agg(F.count_distinct("x").alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return nodes.join(n_edges).join(tri)
