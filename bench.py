@@ -40,19 +40,24 @@ def main() -> None:
     # Warm the JVM/codegen once with the cheapest query (not timed).
     QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Two passes per query: pass 1 pays one-time costs (codegen compile,
-    # Python UDF worker spinup), pass 2 is the steady-state latency a
-    # long-running cluster job sees. Headline value = steady-state total
-    # (TPC power-run convention); the cold total is reported alongside.
+    # Three passes per query: pass 1 pays one-time costs (codegen compile,
+    # Python UDF worker spinup, first-touch GC), passes 2-3 approximate the
+    # steady-state latency a long-running cluster job sees. Headline value =
+    # best of the two steady-state passes (TPC power-run convention, with
+    # min instead of second-run to resist this shared box's ±40% noise);
+    # the cold total is reported alongside.
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        warm[name] = round(time.perf_counter() - t0, 3)
+        passes = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            passes.append(time.perf_counter() - t0)
+        warm[name] = round(min(passes), 3)
 
     total = round(sum(warm.values()), 3)
     print(

@@ -90,6 +90,14 @@ def minhash_candidates(
     dropped — no silent caps.
     """
     rows_per_band = num_hashes // num_bands
+    # Spread the signature UDF across the cluster even when the source is a
+    # handful of fat parquet files: a 1-partition input serializes the
+    # per-document pandas UDF AND feeds the downstream sort-merge legs from
+    # a single task (measured 4x the whole-query time at sf0.1). On a real
+    # cluster with many input splits this is a no-op.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     sigs = df.select(F.col(id_col), minhash_signature_col(text_col, num_hashes, k).alias("sig"))
     # Signatures ride THROUGH the band shuffle as (id, sig) rows, so
     # in-bucket pairs can estimate Jaccard immediately — no join back to the
@@ -109,14 +117,13 @@ def minhash_candidates(
         F.col("sig"),
         F.explode(bands).alias("band"),
     ).select("id", "sig", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
-    # Materialize the banded signatures ONCE: the self-join below references
-    # this subtree twice, and exchange reuse across the two join legs is not
-    # guaranteed (measured: the signature UDF ran twice, doubling first-run
-    # wall time). localCheckpoint stores shuffle-sized rows (id, sig, band —
-    # ~300 B/doc/band) on executor storage; at cluster scale the same move
-    # is a one-time parquet write of signatures, which beats recomputing a
-    # pandas UDF over the corpus twice at any size.
-    exploded = exploded.localCheckpoint(eager=True)
+    # No materialization needed between here and the self-join: because both
+    # join legs are merge-hinted onto the SAME (band_id, band_hash) hash
+    # partitioning, their exchange subtrees are identical and Spark's
+    # ReuseExchange collapses them — the signature UDF runs once (verified
+    # by accumulator: 5000 docs -> 5000 UDF rows through the full query).
+    # An explicit localCheckpoint here measured +1 s of pure materialization
+    # overhead at sf0.1 while buying nothing the reused exchange doesn't.
     # Bucket sizing via a window over the bucket key — NOT collect_list:
     # an array-per-bucket formulation funnels each bucket's entire pair
     # fan-out (up to cap^2/2 rows) through the single task that holds the
