@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_from_s3_to_postgresql_template_spark.functions.text import normalize_text_col, shingles_col, tokens_col
+from etl_from_s3_to_postgresql_template_spark.util import spread_partitions
 
 __all__ = [
     "dedup_exact_by_hash",
@@ -91,13 +92,9 @@ def minhash_candidates(
     """
     rows_per_band = num_hashes // num_bands
     # Spread the signature UDF across the cluster even when the source is a
-    # handful of fat parquet files: a 1-partition input serializes the
-    # per-document pandas UDF AND feeds the downstream sort-merge legs from
-    # a single task (measured 4x the whole-query time at sf0.1). On a real
-    # cluster with many input splits this is a no-op.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    # handful of fat parquet files (see util.spread_partitions; measured 4x
+    # the whole-query time at sf0.1 when left in one task).
+    df = spread_partitions(df)
     sigs = df.select(F.col(id_col), minhash_signature_col(text_col, num_hashes, k).alias("sig"))
     # Signatures ride THROUGH the band shuffle as (id, sig) rows, so
     # in-bucket pairs can estimate Jaccard immediately — no join back to the
@@ -269,7 +266,7 @@ def simhash_candidates(
     Output: (id_a, id_b, hamming)."""
     # simhash recomputes once per join side; at corpus scale write
     # signatures to parquet instead of caching in executor memory
-    sh = df.select(F.col(id_col), simhash_col(text_col).alias("simhash"))
+    sh = spread_partitions(df).select(F.col(id_col), simhash_col(text_col).alias("simhash"))
     chunk_bits = 64 // bands
     mask = (1 << chunk_bits) - 1
     chunks = F.array(
@@ -313,7 +310,7 @@ def ngram_jaccard_pairs(
     """Exact token-k-gram Jaccard for candidate pairs only (the verify step
     after LSH blocking — never run this on all n^2 pairs).
     ``candidate_pairs``: (id_a, id_b). Output adds exact ``jaccard``."""
-    sh = df.select(
+    sh = spread_partitions(df).select(
         F.col(id_col), F.array_distinct(shingles_col(text_col, k)).alias("sh")
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
