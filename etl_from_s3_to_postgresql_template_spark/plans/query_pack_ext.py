@@ -385,7 +385,10 @@ def events_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     history into one Python worker. Time is rescaled to hours so slopes
     are O(1) and the 6-decimal round is meaningful."""
     ev = load_table(spark, sf_dir, "events")
-    x = F.unix_micros("ts") / F.lit(3600000000.0)
+    # events.ts may arrive as TIMESTAMP_NTZ (parquet isAdjustedToUTC=false);
+    # unix_micros requires TIMESTAMP. Session TZ is pinned UTC, so the cast
+    # is value-identical either way.
+    x = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3600000000.0)
     return (
         ev.groupBy("user_id")
         .agg(
@@ -419,7 +422,7 @@ def window_rolling_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(

@@ -29,29 +29,32 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _name_counter = itertools.count()
 
-# events.parquet physical schema under nanosAsLong (see session.py).
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """The physical schema of events.parquet, probed via a batch read.
+
+    The generator has shipped ts as TIMESTAMP(NANOS) (read as long under
+    nanosAsLong) and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+    TIMESTAMP_NTZ) at different times; streaming readers must declare the
+    physical type, so probe instead of hard-coding.
+    """
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source streaming read of events with event-time ts."""
     # defensive for sessions not built by session.py (see sources/registry.py)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_raw_schema(spark, sf_dir)
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, T.LongType):  # nanos-as-long file
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NTZ (or LTZ) file: event-time ops want TIMESTAMP; session TZ is UTC so
+    # the cast is value-identical.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(spark: SparkSession, agg: DataFrame, output_mode: str) -> DataFrame:
