@@ -53,18 +53,6 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-@query("multimodal_feature_norms")
-def multimodal_feature_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4: binary -> feature vector (stub extractor), reporting L2 norms."""
-    from etl_from_s3_to_postgresql_template_spark.functions.vectors import norm_col
-
-    media = synthetic_media_table(spark, n=300)
-    feats = extract_features(media)
-    return feats.select(
-        "media_id", F.round(norm_col(F.col("feature")), 6).alias("feature_norm")
-    ).orderBy("media_id")
-
-
 @query(
     "multimodal_frame_sample",
     oracle="""
@@ -179,3 +167,18 @@ def multimodal_feature_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# Registered LAST on purpose: rows-only check (L2 norm's sqrt is not
+# cross-engine exact, SURVEY §8), so it yields its verification-prefix
+# slot to the oracle-paired multimodal queries above.
+@query("multimodal_feature_norms")
+def multimodal_feature_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: binary -> feature vector (stub extractor), reporting L2 norms."""
+    from etl_from_s3_to_postgresql_template_spark.functions.vectors import norm_col
+
+    media = synthetic_media_table(spark, n=300)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", F.round(norm_col(F.col("feature")), 6).alias("feature_norm")
+    ).orderBy("media_id")

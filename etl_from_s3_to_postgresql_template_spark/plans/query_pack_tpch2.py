@@ -27,8 +27,11 @@ literal TPC-H text:
 All money accumulators are DECIMAL(18,6) on both engines (_dec/_dsum),
 years are BIGINT on both sides, every ordering is fully tie-broken.
 
-Scale notes: nation/region/supplier/part are broadcast-sized at every SF
-(part grows but stays << lineitem; Spark's AQE threshold decides).
+Scale notes: only nation/region (fixed 25/5 rows at every SF) carry
+explicit broadcast hints. supplier and part GROW with SF, so they get no
+hint — AQE's size threshold still broadcasts them at small SF but falls
+back to shuffle joins when they outgrow executor memory (a hard hint
+would force a multi-GB broadcast at 100x and OOM; SCALING.md).
 lineitem-side shuffles are on l_partkey / l_suppkey / l_orderkey — the
 natural high-cardinality keys, no skew hot-spots in this generator.
 """
@@ -67,11 +70,11 @@ from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
     """,
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape (s3_postgres_processor.py:214-260 analytics parity): the
-    correlated "supplier achieving the per-part minimum" subquery, expressed
-    as one window row_number instead of a self-join against a groupBy-min —
-    one shuffle on l_partkey instead of two. part/supplier/nation/region are
-    broadcast; the double unit price is compared AND emitted raw — per-row
+    """TPC-H Q2 shape: the correlated "supplier achieving the per-part
+    minimum" subquery, expressed as one window row_number instead of a
+    self-join against a groupBy-min — one shuffle on l_partkey instead of
+    two. nation/region are hint-broadcast; part/supplier are left to AQE
+    (they scale with SF); the double unit price is compared AND emitted raw — per-row
     IEEE division is bit-identical in both engines, while ROUND(double, 6)
     is not (half-boundary ties flipped at sf0.1)."""
     l = load_table(spark, sf_dir, "lineitem")
@@ -83,8 +86,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     unit_price = F.col("l_extendedprice") / F.col("l_quantity")
     joined = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("l_partkey", "p_name", "s_name", "n_name", "s_suppkey",
@@ -123,8 +126,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between a nation pair by ship
     year. The disjunctive nation-pair predicate lands AFTER both nation
-    joins (each broadcast), so the big fact only shuffles for the
-    lineitem-orders join; the ship-date range prunes at the parquet scan."""
+    joins (each hint-broadcast; supplier is AQE's call), so the big fact
+    shuffles only on its natural join keys; the ship-date range prunes at
+    the parquet scan."""
     l = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -140,7 +144,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
@@ -203,8 +207,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(18,6)")
     agg = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
@@ -242,8 +246,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit on name-matched parts by supplier nation and
     order year. partsupp doesn't exist in this schema, so unit cost is
-    proxied as p_retailprice * 0.1 (same plan: fact x 2 broadcast dims x
-    orders join, LIKE filter pushed to the part scan before broadcast).
+    proxied as p_retailprice * 0.1 (same plan: fact x part/supplier dims
+    x orders join, LIKE filter pushed down to the part scan; dim join
+    strategy left to AQE since part/supplier scale with SF).
     The per-row profit expression is pure double IEEE (identical both
     engines) then decimal-accumulated."""
     l = load_table(spark, sf_dir, "lineitem")
@@ -256,8 +261,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"),
@@ -296,7 +301,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_19")
     per_part = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_dec(F.col("l_extendedprice"))).alias("part_value"))
@@ -384,7 +389,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(max_rev))
         .where(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name",
                 F.round("total_revenue", 2).cast("double").alias("total_revenue"))
         .orderBy("s_suppkey")
@@ -408,7 +413,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct suppliers per part descriptor, minus an
     excluded-supplier list (negative balances proxy the comment-matched
-    complaint filter). NOT IN compiles to a broadcast left-anti join; the
+    complaint filter). NOT IN compiles to a left-anti join (AQE picks
+    broadcast while the excluded list is small); the
     COUNT(DISTINCT) is the one real shuffle, on the grouping keys with
     Spark's two-phase distinct expansion."""
     l = load_table(spark, sf_dir, "lineitem")
@@ -418,8 +424,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        l.join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -484,7 +490,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_orderkey") == l3.l3_orderkey) & (F.col("l_suppkey") != l3.l3_suppkey),
             "left_anti",
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -29,32 +29,34 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _name_counter = itertools.count()
 
-def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
-    """The physical schema of events.parquet, probed via a batch read.
 
-    The generator has shipped ts as TIMESTAMP(NANOS) (read as long under
-    nanosAsLong) and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
-    TIMESTAMP_NTZ) at different times; streaming readers must declare the
-    physical type, so probe instead of hard-coding.
-    """
-    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Physical schema of events.parquet (shared probe; see registry)."""
+    from etl_from_s3_to_postgresql_template_spark.sources.registry import (
+        events_physical_schema,
+    )
+
+    return events_physical_schema(spark, sf_dir)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source streaming read of events with event-time ts."""
-    # defensive for sessions not built by session.py (see sources/registry.py)
+    from etl_from_s3_to_postgresql_template_spark.sources.registry import (
+        normalize_events_ts,
+    )
+
+    # defensive for sessions not built by session.py (see sources/registry.py):
+    # nanosAsLong for TIMESTAMP(NANOS) files, and UTC so the NTZ->timestamp
+    # cast below is instant-exact for direct callers with a non-UTC session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = _events_raw_schema(spark, sf_dir)
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(schema["ts"].dataType, T.LongType):  # nanos-as-long file
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # NTZ (or LTZ) file: event-time ops want TIMESTAMP; session TZ is UTC so
-    # the cast is value-identical.
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return normalize_events_ts(raw, for_streaming=True)
 
 
 def _run_to_memory(spark: SparkSession, agg: DataFrame, output_mode: str) -> DataFrame:

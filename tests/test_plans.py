@@ -160,3 +160,34 @@ def test_q15_max_is_broadcast_scalar(spark):
     plan = _plan(spark, "q15_top_supplier")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_hinted_broadcast_on_sf_scaled_tables(spark):
+    """Explicit broadcast hints are reserved for tables whose size is
+    CONSTANT in SF (nation=25, region=5) or 1-row aggregates. part and
+    supplier grow with SF, so a hard hint on them overrides AQE's size
+    check and OOMs at 100x scale (SCALING.md) — assert none exists in any
+    registered query by auditing the analyzed logical plan: the first
+    Relation directly under a ResolvedHint (no cardinality-reducing
+    Aggregate in between) must not be the part/supplier table."""
+    for name in sorted(QUERIES):
+        if name.startswith(("streaming_", "multimodal_", "scan_")):
+            continue
+        df = QUERIES[name](spark, SF)
+        tree = df._jdf.queryExecution().analyzed().treeString()
+        lines = tree.splitlines()
+        for i, line in enumerate(lines):
+            if "ResolvedHint" not in line:
+                continue
+            depth = len(line) - len(line.lstrip(" :+-"))
+            for sub in lines[i + 1 :]:
+                sub_depth = len(sub) - len(sub.lstrip(" :+-"))
+                if sub_depth <= depth:
+                    break  # left the hint's subtree
+                if "Aggregate" in sub:
+                    break  # 1-row/grouped scalar: cardinality no longer the relation's
+                if "Relation" in sub:
+                    assert not any(
+                        c in sub for c in ("p_partkey", "s_suppkey", "o_orderkey,", "c_custkey,")
+                    ), f"{name}: broadcast hint on an SF-scaled table:\n{sub}"
+                    break

@@ -70,15 +70,15 @@ def test_streaming_dedup_removes_real_duplicates(spark, tmp_path):
     )
 
     from etl_from_s3_to_postgresql_template_spark.streaming.ingest import (
-        _EVENTS_RAW_SCHEMA,
+        _events_raw_schema,
     )
 
     dup_dir = tmp_path / "dup"
     dup_dir.mkdir()
-    # double the RAW file (ts stays a nanos bigint — stream_events expects
+    # double the RAW file (ts keeps its physical type — stream_events expects
     # the physical schema, not load_table's converted timestamps)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(f"{SF}/events.parquet")
+    src = spark.read.schema(_events_raw_schema(spark, SF)).parquet(f"{SF}/events.parquet")
     src.unionByName(src).coalesce(1).write.parquet(str(tmp_path / "tmp_out"))
     part = next((tmp_path / "tmp_out").glob("part-*.parquet"))
     shutil.copy(part, dup_dir / "events.parquet")
