@@ -21,17 +21,15 @@ Schema drift: the reference reads each file with its own inferred schema and
 lets ``pd.concat`` align names. Per-file reads don't scale to millions of
 files, so files are grouped by their *header line* and each group is read as
 one distributed scan; groups then ``unionByName`` with null-fill. One group
-== one schema == exact reference semantics at any file count. (Header
-sniffing reads one line per file on the driver — the same O(files) metadata
-pass the LIST already does.)
+== one schema == exact reference semantics at any file count. Header probing
+runs on EXECUTORS (sources/csv_ingest.probe_headers: concurrent limit-1 text
+scans), so the driver does no per-file I/O anywhere in process_day.
 """
 
 from __future__ import annotations
 
 import datetime as dt
-import gzip
 import os
-from collections import defaultdict
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,6 +50,7 @@ from etl_from_s3_to_postgresql_template_spark.sinks.base import Sink
 from etl_from_s3_to_postgresql_template_spark.sources.csv_ingest import (
     FileInfo,
     list_files,
+    probe_headers,
     prune_paths_by_date,
 )
 
@@ -91,33 +90,6 @@ class DayResult:
         return self.files_processed > 0
 
 
-def _header_of(path: str) -> str:
-    opener = gzip.open if path.endswith(".gz") else open
-    with opener(path, "rt", encoding="utf-8") as f:
-        return f.readline().rstrip("\n")
-
-
-def _group_by_header(
-    files: list[FileInfo], on_error: str = "fail"
-) -> tuple[list[tuple[str, list[FileInfo]]], list[FileInfo]]:
-    """Group files by header line; with on_error='skip', unreadable files
-    (bad gzip, encoding, truncation) are returned separately instead of
-    failing the day — the reference's skip-and-continue
-    (etl_pipeline.py:404-406), but *counted*, not silent. Returns
-    ([(header, files)], skipped) — the header rides along so callers never
-    re-read it."""
-    groups: dict[str, list[FileInfo]] = defaultdict(list)
-    skipped: list[FileInfo] = []
-    for fi in files:
-        try:
-            groups[_header_of(fi.path)].append(fi)
-        except Exception:
-            if on_error != "skip":
-                raise
-            skipped.append(fi)
-    return list(groups.items()), skipped
-
-
 def ingest_day_plan(
     spark: SparkSession, config: PipelineConfig, files: list[FileInfo], day: str
 ) -> tuple[DataFrame, list[FileInfo]]:
@@ -126,7 +98,7 @@ def ingest_day_plan(
     import re as _re
 
     dfs = []
-    groups, skipped = _group_by_header(files, config.on_error)
+    groups, skipped = probe_headers(spark, files, config.on_error)
     if not groups:
         raise ValueError(f"no readable files for {day}")
     n_files_read = 0
@@ -174,7 +146,9 @@ def process_day(
     """Run one day end-to-end. Returns the audit-shaped result; writes data
     + audit row to ``sink`` when given."""
     all_files = [
-        f for f in list_files(config.source_dir) if f.path.endswith((".csv", ".csv.gz"))
+        f
+        for f in list_files(config.source_dir, spark=spark)
+        if f.path.endswith((".csv", ".csv.gz"))
     ]
     matching = prune_paths_by_date(spark, all_files, day)
     if not matching:
@@ -266,7 +240,7 @@ def analyze_dates(spark: SparkSession, config: PipelineConfig) -> DataFrame:
     the A4/A5/A6 aggregations compose on top of it."""
     from etl_from_s3_to_postgresql_template_spark.sources.csv_ingest import file_listing_df
 
-    files = list_files(config.source_dir)
+    files = list_files(config.source_dir, spark=spark)
     listing = file_listing_df(spark, files, list(config.patterns) if config.patterns else None)
     return (
         listing.groupBy("src_date")

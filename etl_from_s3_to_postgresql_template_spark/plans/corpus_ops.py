@@ -92,20 +92,36 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary building: top-20 tokens by frequency with cumulative
     coverage counts (cum_cnt / corpus total = coverage; emitted as exact
     integers, the division is the reader's). The token count aggregates
-    map-side (partial agg before the shuffle); the ranking window runs
-    over the tiny post-agg vocab, not the corpus."""
+    map-side (partial agg before the shuffle); the top-20 restriction runs
+    FIRST as a distributed TakeOrderedAndProject, so the ranking/cumsum
+    window only ever sees 20 rows — at web scale the vocabulary is 1e8+
+    terms (Heaps' law) and a pre-restriction global window would funnel
+    all of it through one task. cum_cnt over ranks 1..k depends only on
+    rows 1..k, so restrict-then-window is exact, not approximate."""
     docs = load_table(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.orderBy(F.desc("cnt"), "token")
+    top = counts.orderBy(F.desc("cnt"), "token").limit(20)
+    # rank + cumulative sum over exactly 20 rows: fold them into one sorted
+    # array and posexplode — no WindowExec, no global-window partition at all
+    arr = top.agg(
+        F.sort_array(
+            F.collect_list(F.struct((-F.col("cnt")).alias("neg"), "token", "cnt"))
+        ).alias("a")
+    )
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .withColumn("cum_cnt", F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .where(F.col("rank") <= 20)
-        .select("rank", "token", "cnt", "cum_cnt")
+        arr.select("a", F.posexplode("a").alias("pos", "s"))
+        .select(
+            (F.col("pos") + 1).cast("long").alias("rank"),
+            F.col("s.token").alias("token"),
+            F.col("s.cnt").alias("cnt"),
+            F.expr("aggregate(slice(a, 1, pos + 1), 0L, (acc, x) -> acc + x.cnt)").alias(
+                "cum_cnt"
+            ),
+        )
         .orderBy("rank")
     )
 

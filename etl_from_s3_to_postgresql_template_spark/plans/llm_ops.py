@@ -419,10 +419,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 TF-IDF: top-3 terms per document (smoothed idf, sklearn-style
-    ln((N+1)/(df+1))+1). Explode -> two grouped aggs -> broadcast-join the
-    tiny df/N sides back -> window top-k. Ranking happens on the ROUNDED
-    score with a term tie-break so float noise can't reorder ranks between
-    engines."""
+    ln((N+1)/(df+1))+1). Explode -> two grouped aggs -> shuffle-join the
+    df side back on term -> window top-k. The vocabulary join is NOT
+    hinted: by Heaps' law a web-scale corpus has 1e8+ distinct terms, far
+    past broadcast size, and both sides already hash-partition on `term`
+    from their own aggregations, so the sort-merge join reuses that
+    exchange (AQE still broadcasts at small SF). N is a 1-row broadcast
+    aggregate folded into the same lazy plan — no separate count() job.
+    Ranking happens on the ROUNDED score with a term tie-break so float
+    noise can't reorder ranks between engines."""
     from pyspark.sql import Window as W
 
     from etl_from_s3_to_postgresql_template_spark.functions.text import tokens_col
@@ -431,12 +436,12 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(F.broadcast(df_), "term").select(
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(df_, "term").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "term",
         F.round(
-            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
+            F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
         ).alias("tfidf"),
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")

@@ -29,6 +29,29 @@ class Sink(Protocol):
     def write_audit(self, audit_df: DataFrame) -> None: ...
 
 
+def make_jdbc_url(
+    dialect: str, host: str, port: str | int | None, database: str
+) -> str:
+    """Dialect -> JDBC URL, the reference's documented customization surface
+    (``etl_pipeline.py:556-574`` builds postgresql/mysql/mssql SQLAlchemy
+    URLs; README.md:145-149). Credentials go in connection properties (the
+    ``user``/``password`` JDBC options), NOT the URL — URLs end up in logs
+    and the Spark UI."""
+    d = dialect.lower()
+    if d == "postgresql":
+        port = port or 5432
+        # reWriteBatchedInserts turns executor batches into true multi-row
+        # INSERTs server-side — the analogue of to_sql(method='multi')
+        return f"jdbc:postgresql://{host}:{port}/{database}?reWriteBatchedInserts=true"
+    if d == "mysql":
+        port = port or 3306
+        return f"jdbc:mysql://{host}:{port}/{database}?rewriteBatchedStatements=true"
+    if d == "mssql":
+        port = port or 1433
+        return f"jdbc:sqlserver://{host}:{port};databaseName={database}"
+    raise ValueError(f"Unsupported database type: {dialect}")
+
+
 @dataclass
 class ParquetSink:
     """Day-partitioned parquet; idempotent per-day overwrite."""

@@ -33,6 +33,7 @@ from __future__ import annotations
 import datetime as dt
 import glob as _glob
 import os
+from collections import defaultdict
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -41,7 +42,14 @@ from pyspark.sql import types as T
 
 from etl_from_s3_to_postgresql_template_spark.functions.dates import PatternSpec, extract_date_str_col
 
-__all__ = ["FileInfo", "list_files", "prune_paths_by_date", "read_csv_auto", "file_listing_df"]
+__all__ = [
+    "FileInfo",
+    "list_files",
+    "probe_headers",
+    "prune_paths_by_date",
+    "read_csv_auto",
+    "file_listing_df",
+]
 
 CSV_SUFFIXES = (".csv", ".csv.gz")
 
@@ -57,10 +65,22 @@ class FileInfo:
         return os.path.basename(self.path)
 
 
-def list_files(root: str, pattern: str = "*") -> list[FileInfo]:
-    """Enumerate files under ``root`` (S1). Local-FS implementation; the
-    s3a:// path goes through ``spark._jvm`` Hadoop FileSystem with identical
-    output, which is why callers only ever see (path, mtime, size)."""
+def list_files(
+    root: str, pattern: str = "*", spark: SparkSession | None = None
+) -> list[FileInfo]:
+    """Enumerate files under ``root`` (S1).
+
+    Scheme-qualified roots (``s3a://bucket/prefix``, ``hdfs://``,
+    ``file://``) go through the Hadoop FileSystem ``globStatus`` API — the
+    S3A connector lists via the same paginated ListObjectsV2 the reference
+    calls through boto3 (``etl_pipeline.py:287-302``) — and need ``spark``
+    for the JVM gateway. Bare local paths walk the filesystem directly.
+    Both branches return identical (path, mtime, size) tuples, which is the
+    whole point: callers never know which listing ran."""
+    if "://" in root:
+        if spark is None:
+            raise ValueError(f"listing {root!r} requires a SparkSession for the Hadoop FS API")
+        return _list_files_hadoop(spark, root, pattern)
     out: list[FileInfo] = []
     for p in sorted(_glob.glob(os.path.join(root, pattern))):
         if os.path.isfile(p):
@@ -69,6 +89,30 @@ def list_files(root: str, pattern: str = "*") -> list[FileInfo]:
                 FileInfo(p, dt.datetime.fromtimestamp(st.st_mtime, tz=dt.timezone.utc), st.st_size)
             )
     return out
+
+
+def _list_files_hadoop(spark: SparkSession, root: str, pattern: str) -> list[FileInfo]:
+    """Hadoop FileSystem globStatus listing (driver-side metadata, same as
+    the reference's paginated LIST — prune-before-read needs the names on
+    the driver either way)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    glob_path = jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/" + pattern)
+    fs = glob_path.getFileSystem(hconf)
+    statuses = fs.globStatus(glob_path)
+    out: list[FileInfo] = []
+    for st in statuses or []:
+        if st.isFile():
+            out.append(
+                FileInfo(
+                    st.getPath().toString(),
+                    dt.datetime.fromtimestamp(
+                        st.getModificationTime() / 1000.0, tz=dt.timezone.utc
+                    ),
+                    st.getLen(),
+                )
+            )
+    return sorted(out, key=lambda f: f.path)
 
 
 def _extract_date_driver(spark: SparkSession, names: list[str]) -> list[str | None]:
@@ -91,6 +135,56 @@ def prune_paths_by_date(
     """Prune-before-read (S6/F1): keep files whose filename date == day."""
     dates = _extract_date_driver(spark, [f.name for f in files])
     return [f for f, d in zip(files, dates) if d == day]
+
+
+def probe_headers(
+    spark: SparkSession, files: list[FileInfo], on_error: str = "fail"
+) -> tuple[list[tuple[str, list[FileInfo]]], list[FileInfo]]:
+    """Group files by their header line, reading headers on EXECUTORS.
+
+    Each file's first line comes from a ``spark.read.text(path).head(1)``
+    job: LocalLimit(1) short-circuits the scan after the first row of the
+    first split, so only the leading block of each file moves — never the
+    file. Jobs are submitted concurrently from a thread pool (Spark's
+    scheduler interleaves them), so wall-clock is O(files / parallelism)
+    with zero driver file I/O and zero driver GET requests — the reference
+    opened every object on the driver (and a driver-side loop is the one
+    thing that cannot scale past ~10^5 objects).
+
+    ``on_error='skip'``: unreadable files (bad gzip, encoding, truncation)
+    are returned separately instead of failing the day — the reference's
+    skip-and-continue (``etl_pipeline.py:404-406``), but *counted*, not
+    silent. Returns ([(header, files)], skipped).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    def head(fi: FileInfo) -> str:
+        rows = spark.read.text(fi.path).head(1)
+        header = rows[0]["value"] if rows else ""
+        if fi.path.endswith(".gz") and "�" in header:
+            # text source replaces undecodable bytes instead of raising;
+            # a replacement char in a supposed CSV header = corrupt input
+            raise ValueError(f"undecodable header in {fi.path}")
+        return header
+
+    groups: dict[str, list[FileInfo]] = defaultdict(list)
+    skipped: list[FileInfo] = []
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        for fi, res in zip(files, pool.map(lambda f: _try(head, f), files)):
+            if isinstance(res, Exception):
+                if on_error != "skip":
+                    raise res
+                skipped.append(fi)
+            else:
+                groups[res].append(fi)
+    return list(groups.items()), skipped
+
+
+def _try(fn, *args):
+    try:
+        return fn(*args)
+    except Exception as e:  # noqa: BLE001 — per-file fault isolation
+        return e
 
 
 def read_csv_auto(

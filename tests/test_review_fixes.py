@@ -125,3 +125,57 @@ def test_minhash_oversized_report(spark):
     assert pairs.count() == 0
     assert oversized.count() > 0
     assert oversized.agg(F.max("bucket_size")).collect()[0][0] == 10
+
+
+def test_list_files_hadoop_file_scheme(spark, tmp_path):
+    """s3a://-style listing path, exercised via the file:// scheme (same
+    Hadoop FileSystem API, locally available): identical FileInfo output
+    to the local-glob branch, and requires a session."""
+    import pytest
+
+    from etl_from_s3_to_postgresql_template_spark.sources.csv_ingest import list_files
+
+    d = tmp_path / "hls"
+    d.mkdir()
+    (d / "a_2025-02-03.csv").write_text("id\n1\n")
+    (d / "b_2025-02-04.csv").write_text("id\n2\n")
+    (d / "sub").mkdir()  # directories are not files: must be excluded
+
+    local = list_files(str(d))
+    hadoop = list_files(f"file://{d}", spark=spark)
+    assert [f.name for f in hadoop] == [f.name for f in local] == [
+        "a_2025-02-03.csv",
+        "b_2025-02-04.csv",
+    ]
+    assert [f.size for f in hadoop] == [f.size for f in local]
+
+    with pytest.raises(ValueError, match="requires a SparkSession"):
+        list_files(f"file://{d}")
+
+
+def test_probe_headers_runs_on_executors(spark, tmp_path):
+    """Distributed header probe: groups by header line, including .gz, with
+    zero driver file I/O; unreadable files skip-and-count."""
+    import gzip
+
+    from etl_from_s3_to_postgresql_template_spark.sources.csv_ingest import (
+        list_files,
+        probe_headers,
+    )
+
+    d = tmp_path / "ph"
+    d.mkdir()
+    (d / "x_2025-02-03.csv").write_text("id,a\n1,2\n")
+    (d / "y_2025-02-03.csv").write_text("id,a\n3,4\n")
+    with gzip.open(d / "z_2025-02-03.csv.gz", "wt") as f:
+        f.write("id,b\n5,6\n")
+    (d / "bad_2025-02-03.csv.gz").write_bytes(b"not gzip")
+
+    files = list_files(str(d))
+    groups, skipped = probe_headers(spark, files, on_error="skip")
+    got = {h: sorted(f.name for f in fs) for h, fs in groups}
+    assert got == {
+        "id,a": ["x_2025-02-03.csv", "y_2025-02-03.csv"],
+        "id,b": ["z_2025-02-03.csv.gz"],
+    }
+    assert [f.name for f in skipped] == ["bad_2025-02-03.csv.gz"]
