@@ -1,0 +1,56 @@
+"""Behavioral tests for the round-2 LLM-pipeline operators (llm_ops2) —
+the oracle pair proves cross-engine equality; these pin the semantics."""
+
+from __future__ import annotations
+
+import hashlib
+
+from etl_from_s3_to_postgresql_template_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_text_normalize_is_canonical(spark):
+    rows = QUERIES["text_normalize"](spark, SF).collect()
+    assert rows
+    for r in rows[:50]:
+        assert r["norm_text"] == " ".join(r["norm_text"].split())  # collapsed
+        assert r["norm_text"] == r["norm_text"].lower()
+        assert r["norm_md5"] == hashlib.md5(r["norm_text"].encode()).hexdigest()
+        assert r["norm_len"] == len(r["norm_text"])
+
+
+def test_gopher_gate_consistent_with_metrics(spark):
+    rows = QUERIES["docs_gopher_quality"](spark, SF).collect()
+    assert rows
+    n_pass = 0
+    for r in rows:
+        want = (
+            50 <= r["n_tokens"] <= 100000
+            and 2.0 <= r["mean_token_len"] <= 10.0
+            and r["n_stop"] >= 2
+        )
+        assert r["passes"] == want, r
+        n_pass += bool(r["passes"])
+    # the gate must be a filter, not a constant: both outcomes occur
+    assert 0 < n_pass
+
+
+def test_bigram_logprob_is_negative_and_complete(spark):
+    rows = QUERIES["docs_bigram_logprob"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["avg_logprob"] < 0.0  # log of a probability < 1
+        assert r["n_bigrams"] >= 1
+
+
+def test_pii_scan_finds_planted_pii(spark):
+    rows = {r["doc_id"]: r for r in QUERIES["docs_pii_scan"](spark, SF).collect()}
+    assert rows
+    for doc_id, r in rows.items():
+        # synthetic corpus is PII-free; exactly the injected items match
+        assert r["n_emails"] == (1 if doc_id % 5 == 0 else 0)
+        assert r["n_ips"] == (1 if doc_id % 7 == 0 else 0)
+    # redaction changes the text iff something matched
+    md5s = {r["redacted_md5"] for r in rows.values()}
+    assert len(md5s) == len(rows)  # all docs distinct post-redaction
