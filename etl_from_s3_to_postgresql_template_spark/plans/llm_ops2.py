@@ -1,6 +1,7 @@
-"""Round-2 LLM-pipeline additions (north-star E3/E6 extensions): text
+"""Round-2 LLM-pipeline additions (north-star E1/E3/E6 extensions): text
 normalization, Gopher-style quality rules, bigram-LM document scoring
-(perplexity-style quality), and PII scanning.
+(perplexity-style quality), PII scanning, RAG-style token chunking,
+domain-mixing weights, and the near-dup dedup keep list.
 
 Registered LAST on purpose: the driver's correctness gate verifies a
 bounded prefix of the registry per round, and that prefix is reserved for
@@ -27,6 +28,9 @@ __all__ = [
     "docs_gopher_quality",
     "docs_bigram_logprob",
     "docs_pii_scan",
+    "docs_chunk_windows",
+    "corpus_mixing_weights",
+    "dedup_survivors",
 ]
 
 
@@ -260,3 +264,168 @@ def docs_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_ips"),
         F.md5(redacted).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+@query(
+    "docs_chunk_windows",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             CAST(u.k AS BIGINT) AS chunk_idx,
+             toks[(u.k * 24 + 1):(u.k * 24 + 32)] AS chunk
+      FROM t, UNNEST(range(CAST(ceil(greatest(len(toks) - 8, 1) / 24.0) AS BIGINT))) u(k)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM c
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 RAG/context chunking: fixed token windows (size 32, stride 24,
+    overlap 8) with per-chunk md5 over the joined tokens — the hash proves
+    the SLICING is identical cross-engine, not just the counts. Window
+    count per doc is ceil(max(n-overlap,1)/stride), so every token lands
+    in >=1 chunk and the tail is kept (truncated, never dropped — dropping
+    tail tokens silently loses training data). posexplode of a slice
+    transform: one projection, chunk rows stream out of the scan stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.ceil(F.greatest(F.size(toks) - 8, F.lit(1)) / 24.0).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.slice(toks, k * 24 + 1, 32),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("chunk").cast("long").alias("n_tokens"),
+            F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
+    "corpus_mixing_weights",
+    oracle=r"""
+    WITH s AS (
+      SELECT lang, source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1, 2
+    ), tot AS (
+      SELECT SUM(n_tokens) AS tok_total, COUNT(*) AS n_strata FROM s
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           ROUND(n_tokens / tot.tok_total, 6) AS token_share,
+           ROUND((1.0 / tot.n_strata) / (n_tokens / tot.tok_total), 6) AS uniform_weight
+    FROM s CROSS JOIN tot
+    ORDER BY lang, source
+    """,
+)
+def corpus_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 domain-mixing weights: per-(lang, source) token shares plus the
+    per-stratum sampling weight that would equalize the mixture (weight =
+    target_share / actual_share with a uniform target; swap the numerator
+    for any target distribution). The strata table is tiny whatever the
+    corpus size — one grouped agg over the scan, totals via a 1-row
+    broadcast — so this plan is corpus-scale-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("long").alias("n_tokens"),
+    )
+    tot = s.agg(
+        F.sum("n_tokens").cast("double").alias("tok_total"),
+        F.count(F.lit(1)).cast("double").alias("n_strata"),
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tok_total"), 6).alias("token_share"),
+            F.round(
+                (1.0 / F.col("n_strata")) / (F.col("n_tokens") / F.col("tok_total")), 6
+            ).alias("uniform_weight"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "dedup_survivors",
+    oracle=r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, source,
+             list_distinct(
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks)-1),
+                                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+    ),
+    edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id <> b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+    SELECT c.doc_id, CAST(s.n AS BIGINT) AS replaces
+    FROM comp c
+    JOIN (SELECT cluster_id, COUNT(*) AS n FROM comp GROUP BY cluster_id) s
+      USING (cluster_id)
+    WHERE c.doc_id = c.cluster_id
+    ORDER BY c.doc_id
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 deliverable: the near-dup KEEP LIST — one canonical doc (min
+    doc_id) per duplicate cluster, with how many docs it replaces. This is
+    what a training pipeline actually ships downstream; clusters/pairs are
+    diagnostics. Same edge graph + connected components as
+    dedup_duplicate_clusters (llm_ops.py), filtered to the canonical
+    representative per cluster."""
+    from etl_from_s3_to_postgresql_template_spark.functions.text import shingles_col
+    from etl_from_s3_to_postgresql_template_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.array_distinct(shingles_col("text", 3)).alias("s")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("source"), F.col("s").alias("sa"))
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("source_b"), F.col("s").alias("sb")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    pairs = (
+        a.join(b, (F.col("source") == F.col("source_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter((inter / union) >= 0.05)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("replaces"))
+    return (
+        comp.where(F.col("id") == F.col("comp"))
+        .join(sizes, "comp")
+        .select(F.col("id").alias("doc_id"), "replaces")
+        .orderBy("doc_id")
+    )

@@ -17,9 +17,9 @@ Idempotency contract (the part worth getting right at scale):
 - The JDBC variant stamps ``_batch_id`` on every row and (when the
   driver supports it) deletes that batch's rows before inserting —
   delete-then-insert keyed by batch id is the standard idempotent-upsert
-  pattern for non-transactional sinks. No PostgreSQL exists in this
-  container, so the JDBC path reuses JdbcSink's writer options and is
-  exercised only through the parquet twin.
+  pattern for non-transactional sinks. The path is e2e-tested against
+  embedded Derby (tests/test_jdbc_sink.py); in production the URL points
+  at PostgreSQL and nothing else changes.
 """
 
 from __future__ import annotations
@@ -74,6 +74,25 @@ def run_events_stream_to_parquet(
     q = (
         stream_events(spark, sf_dir)
         .writeStream.foreachBatch(foreach_batch_parquet(out_path))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_events_stream_to_jdbc(
+    spark: SparkSession, sf_dir: str, sink: JdbcSink, checkpoint_dir: str
+) -> None:
+    """Stream the events fixture into a JDBC table via foreachBatch +
+    AvailableNow — the streaming-era version of the reference's
+    S3 -> PostgreSQL load. Same checkpoint => no-op on re-run (offsets
+    committed); a replayed batch is identifiable by ``_batch_id``."""
+    ev = stream_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    q = (
+        ev.writeStream.foreachBatch(foreach_batch_jdbc(sink))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

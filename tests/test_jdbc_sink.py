@@ -99,3 +99,28 @@ def test_jdbc_batchsize_and_numpartitions_plumbing(spark, derby_url):
     back = _read_table(spark, derby_url, "bulk")
     assert back.count() == 25_000
     assert back.agg({"id": "max"}).collect()[0][0] == 24_999
+
+
+def test_streaming_foreachbatch_to_jdbc(spark, derby_url, tmp_path):
+    """E5 x K1: the events stream lands in a JDBC table through
+    foreachBatch (the streaming-era reference load path). Re-running with
+    the same checkpoint must be a no-op — committed offsets, no
+    double-load."""
+    from etl_from_s3_to_postgresql_template_spark.sinks.base import JdbcSink
+    from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+    from etl_from_s3_to_postgresql_template_spark.streaming.sink import (
+        run_events_stream_to_jdbc,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sink = JdbcSink(url=derby_url, table_name="events_landed")
+    ckpt = str(tmp_path / "ckpt")
+    run_events_stream_to_jdbc(spark, sf, sink, ckpt)
+
+    n_src = load_table(spark, sf, "events").count()
+    back = _read_table(spark, derby_url, "events_landed")
+    assert back.count() == n_src
+    assert "_batch_id" in back.columns
+
+    run_events_stream_to_jdbc(spark, sf, sink, ckpt)  # same checkpoint: no-op
+    assert back.count() == n_src

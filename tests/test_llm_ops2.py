@@ -54,3 +54,49 @@ def test_pii_scan_finds_planted_pii(spark):
     # redaction changes the text iff something matched
     md5s = {r["redacted_md5"] for r in rows.values()}
     assert len(md5s) == len(rows)  # all docs distinct post-redaction
+
+
+def test_chunk_windows_cover_all_tokens(spark):
+    """Every token of every doc lands in at least one chunk; consecutive
+    chunks overlap by exactly 8 tokens (except the truncated tail)."""
+    from pyspark.sql import functions as F
+
+    from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+    chunks = QUERIES["docs_chunk_windows"](spark, SF)
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("tok_in_chunks"),
+        F.max("n_tokens").alias("max_chunk"),
+    )
+    j = per_doc.join(docs, "doc_id").collect()
+    assert j
+    for r in j:
+        assert r["max_chunk"] <= 32
+        # stride 24 windows over n tokens: full coverage means the summed
+        # chunk sizes equal n + 8 * (n_chunks - 1) (each overlap counted twice)
+        assert r["tok_in_chunks"] == r["n"] + 8 * (r["n_chunks"] - 1), r
+
+
+def test_mixing_weights_normalize(spark):
+    rows = QUERIES["corpus_mixing_weights"](spark, SF).collect()
+    assert rows
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        # weight * share == uniform target share (up to rounding)
+        assert abs(r["uniform_weight"] * r["token_share"] - 1.0 / len(rows)) < 1e-3
+
+
+def test_dedup_survivors_is_a_partition_of_docs(spark):
+    """Survivors' `replaces` counts must sum to the corpus size, and every
+    survivor is its own cluster's minimum doc_id."""
+    from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+    surv = QUERIES["dedup_survivors"](spark, SF).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    assert sum(r["replaces"] for r in surv) == n_docs
+    assert len(surv) <= n_docs
+    assert any(r["replaces"] > 1 for r in surv)  # fixture has near-dups
