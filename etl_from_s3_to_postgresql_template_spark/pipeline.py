@@ -205,19 +205,31 @@ def process_range(
     start_day: str,
     end_day: str,
     sink: Sink | None = None,
+    max_parallel_days: int = 1,
 ) -> list[DayResult]:
-    """The reference's day loop (etl_pipeline.py:716-722). Kept sequential
-    per-day for audit parity; each day is internally parallel."""
+    """The reference's day loop (etl_pipeline.py:716-722). Sequential by
+    default for audit parity; ``max_parallel_days > 1`` submits days
+    concurrently from a thread pool — days are independent (separate input
+    file sets, separate `dt=` partitions, separate audit rows), and Spark's
+    scheduler interleaves their jobs, so a backfill of months doesn't
+    serialize on per-day fixed costs. Results return in day order either
+    way. Keep ``max_parallel_days`` modest for JDBC sinks (each day holds
+    ``num_partitions`` connections)."""
     start = dt.date.fromisoformat(start_day)
     end = dt.date.fromisoformat(end_day)
     if start > end:
         raise ValueError(f"start {start_day} after end {end_day}")
-    out = []
+    days = []
     d = start
     while d <= end:
-        out.append(process_day(spark, config, d.isoformat(), sink))
+        days.append(d.isoformat())
         d += dt.timedelta(days=1)
-    return out
+    if max_parallel_days <= 1:
+        return [process_day(spark, config, day, sink) for day in days]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max_parallel_days) as pool:
+        return list(pool.map(lambda day: process_day(spark, config, day, sink), days))
 
 
 def recent_runs(spark: SparkSession, lake_path: str, n: int = 10) -> DataFrame:

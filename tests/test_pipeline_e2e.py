@@ -173,3 +173,23 @@ def test_analyze_dates(spark, source_dir):
     assert by["2025-02-03"] == 3
     assert by["2025-02-04"] == 1
     assert by[None] == 1  # notes.txt has no extractable date
+
+
+def test_process_range_parallel_days_equal_sequential(spark, source_dir, tmp_path):
+    """max_parallel_days submits independent days concurrently; results and
+    landed data must match the sequential run exactly (separate dt=
+    partitions, per-job staging dirs — no write races)."""
+    seq_sink = ParquetSink(str(tmp_path / "lake_seq"))
+    par_sink = ParquetSink(str(tmp_path / "lake_par"))
+    cfg = PipelineConfig(source_dir=source_dir)
+    seq = process_range(spark, cfg, "2025-02-03", "2025-02-04", seq_sink)
+    par = process_range(
+        spark, cfg, "2025-02-03", "2025-02-04", par_sink, max_parallel_days=2
+    )
+    assert [(r.day, r.files_processed, r.total_rows) for r in seq] == [
+        (r.day, r.files_processed, r.total_rows) for r in par
+    ]
+    a = spark.read.parquet(str(tmp_path / "lake_seq" / "merged"))
+    b = spark.read.parquet(str(tmp_path / "lake_par" / "merged"))
+    assert a.count() == b.count()
+    assert sorted(a.columns) == sorted(b.columns)
