@@ -18,9 +18,9 @@ from etl_from_s3_to_postgresql_template_spark.plans import streaming_ops  # noqa
 from etl_from_s3_to_postgresql_template_spark.plans import multimodal_ops  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import query_pack_tpch2  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import query_pack_ext  # noqa: F401
+from etl_from_s3_to_postgresql_template_spark.plans import llm_ops2  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import query_pack  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import core_ops  # noqa: F401
-from etl_from_s3_to_postgresql_template_spark.plans import llm_ops2  # noqa: F401
 
 QUERIES = registry.QUERIES
 ORACLE = registry.ORACLE

@@ -16,27 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from etl_from_s3_to_postgresql_template_spark.plans.money import _davg, _dec, _dsum  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans.registry import query
 from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
-
-
-def _dec(c):
-    """Exact, order-independent money accumulator: cast each row's double to
-    DECIMAL(18,6) before SUM. Double summation order differs between Spark
-    partitions and the DuckDB oracle, and a half-cent boundary then flips
-    ROUND (seen live: 378060.515 at sf0.01). Decimal sums are exact, so the
-    pre-round value is bit-identical in both engines; oracles mirror this
-    with SUM(CAST(x AS DECIMAL(18,6)))."""
-    return c.cast("decimal(18,6)")
-
-
-def _dsum(c, scale=2):
-    return F.round(F.sum(_dec(c)), scale).cast("double")
-
-
-def _davg(c, scale=2):
-    return F.round(F.sum(_dec(c)).cast("double") / F.count(F.lit(1)), scale).cast("double")
-
 
 
 @query(

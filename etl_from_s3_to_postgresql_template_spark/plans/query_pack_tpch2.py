@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from etl_from_s3_to_postgresql_template_spark.plans.query_pack import _dec, _dsum
+from etl_from_s3_to_postgresql_template_spark.plans.money import _dec, _dsum
 from etl_from_s3_to_postgresql_template_spark.plans.registry import query
 from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
 
