@@ -85,3 +85,64 @@ def test_streaming_dedup_removes_real_duplicates(spark, tmp_path):
     n_unique = src.count()
     got = run_dedup_events_stream(spark, str(dup_dir))
     assert got.count() == n_unique
+
+
+def test_stateful_query_on_rocksdb_state_store(spark, tmp_path):
+    """The at-scale state backend: the same stateful aggregation runs on
+    the RocksDB state-store provider (incremental checkpointing, state
+    spills off-heap — the backend for 1e8+-key state) and produces results
+    identical to batch. Provider engagement is proven by the checkpoint's
+    RocksDB zip layout (the HDFS-backed default writes .delta files
+    instead)."""
+    import glob as g
+
+    from pyspark.sql import functions as F
+
+    ckpt = str(tmp_path / "rocksdb_ckpt")
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    from etl_from_s3_to_postgresql_template_spark.sources.registry import (
+        events_physical_schema,
+        load_table,
+        normalize_events_ts,
+    )
+
+    try:
+        ev = (
+            spark.readStream.schema(events_physical_schema(spark, SF))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(SF)
+        )
+        agg = (
+            normalize_events_ts(ev, for_streaming=True)
+            .withWatermark("ts", "10 minutes")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("rocksdb_out")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {r["event_type"]: r["n"] for r in spark.table("rocksdb_out").collect()}
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+    want = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+    # RocksDB layout: versioned zips under state/, no HDFS-store .delta files
+    assert g.glob(f"{ckpt}/state/**/*.zip", recursive=True)
+    assert not g.glob(f"{ckpt}/state/**/*.delta", recursive=True)
