@@ -1,7 +1,9 @@
-"""As-of join: for each left row, the latest right row at-or-before it.
+"""As-of join: for each left row, the closest right row at-or-before it
+(backward, the default), at-or-after it (forward), or on either side
+(nearest) — the full ``pandas.merge_asof`` direction surface.
 
 Spark SQL has no native as-of join (SURVEY §2.5). This composes one from
-built-ins: range-join on (by-key, right_ts <= left_ts) + window row_number
+built-ins: range-join on (by-key, direction predicate) + window row_number
 to keep the closest right row, then a left join to preserve unmatched left
 rows. Everything stays JVM-side.
 
@@ -39,16 +41,23 @@ def asof_join(
     tolerance: Column | None = None,
     right_tiebreak: str | None = None,
     left_id: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: latest right row with right_on <= left_on per key.
+    """Left as-of join per key: the closest right row at-or-before
+    (``direction='backward'``, the default), at-or-after (``'forward'``),
+    or on either side (``'nearest'``) of each left row — the full
+    ``pandas.merge_asof`` direction surface, composed from built-ins.
 
-    ``right_tiebreak``: right column whose descending order breaks exact-ts
-    ties deterministically (required for reproducible results when right
-    timestamps repeat). ``left_id``: a unique left key column to anchor rows;
-    falls back to ``monotonically_increasing_id()`` (stable within one plan
-    execution, but prefer a natural key when one exists). Left and right
-    column names must be disjoint (rename before calling).
-    """
+    ``nearest`` breaks equidistant ties toward the EARLIER right row
+    (backward), deterministically. ``right_tiebreak``: right column whose
+    descending order breaks exact-ts ties (required for reproducible
+    results when right timestamps repeat). ``left_id``: a unique left key
+    column to anchor rows; falls back to ``monotonically_increasing_id()``
+    (stable within one plan execution, but prefer a natural key when one
+    exists). Left and right column names must be disjoint (rename before
+    calling)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     if left_id is not None:
         lid = left_id
         lkey = left
@@ -56,13 +65,37 @@ def asof_join(
         lid = "__asof_lid"
         lkey = left.withColumn(lid, F.monotonically_increasing_id())
 
-    cond = right[right_on] <= lkey[left_on]
+    if direction == "backward":
+        cond = right[right_on] <= lkey[left_on]
+        order = [F.desc(right_on)]
+    elif direction == "forward":
+        cond = right[right_on] >= lkey[left_on]
+        order = [F.asc(right_on)]
+    else:  # nearest: bounded ONLY by tolerance — require one at scale
+        cond = F.lit(True)
+        # distance asc; equidistant -> backward (earlier right row) wins.
+        # NTZ timestamps don't cast to double directly; go through
+        # TIMESTAMP (value-identical under the engine's pinned UTC TZ)
+        order = [
+            F.abs(
+                F.col(right_on).cast("timestamp").cast("double")
+                - F.col(left_on).cast("timestamp").cast("double")
+            ),
+            F.asc(right_on),
+        ]
     if left_by is not None:
         cond = (lkey[left_by] == right[right_by]) & cond
     if tolerance is not None:
-        cond = cond & (right[right_on] >= lkey[left_on] - tolerance)
+        if direction == "backward":
+            cond = cond & (right[right_on] >= lkey[left_on] - tolerance)
+        elif direction == "forward":
+            cond = cond & (right[right_on] <= lkey[left_on] + tolerance)
+        else:
+            cond = cond & (
+                (right[right_on] >= lkey[left_on] - tolerance)
+                & (right[right_on] <= lkey[left_on] + tolerance)
+            )
 
-    order = [F.desc(right_on)]
     if right_tiebreak is not None:
         order.append(F.desc(right_tiebreak))
     w = W.partitionBy(lid).orderBy(*order)

@@ -19,6 +19,7 @@ from etl_from_s3_to_postgresql_template_spark.plans import multimodal_ops  # noq
 from etl_from_s3_to_postgresql_template_spark.plans import query_pack_tpch2  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import query_pack_ext  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import llm_ops2  # noqa: F401
+from etl_from_s3_to_postgresql_template_spark.plans import analytics_ops  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import query_pack  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import core_ops  # noqa: F401
 

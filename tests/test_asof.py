@@ -63,3 +63,62 @@ def test_asof_join_matches_pandas(spark):
     got = {r["lid"]: r["rid"] for r in out.collect()}
     for lid, want in expected.items():
         assert got[lid] == (None if pd.isna(want) else want)
+
+
+def test_asof_join_forward_matches_pandas(spark):
+    lpdf = pd.DataFrame([r.asDict() for r in LEFT]).sort_values("lts")
+    rpdf = pd.DataFrame([r.asDict() for r in RIGHT]).sort_values("rts")
+    expected = pd.merge_asof(
+        lpdf, rpdf, left_on="lts", right_on="rts", left_by="key", right_by="rkey",
+        direction="forward",
+    ).set_index("lid")["rid"]
+    out = asof_join(
+        spark.createDataFrame(LEFT), spark.createDataFrame(RIGHT),
+        left_on="lts", right_on="rts", left_by="key", right_by="rkey",
+        right_tiebreak="rid", left_id="lid", direction="forward",
+    )
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    for lid, want in expected.items():
+        assert got[lid] == (None if pd.isna(want) else want)
+
+
+def test_asof_join_nearest_matches_pandas(spark):
+    lpdf = pd.DataFrame([r.asDict() for r in LEFT]).sort_values("lts")
+    rpdf = pd.DataFrame([r.asDict() for r in RIGHT]).sort_values("rts")
+    expected = pd.merge_asof(
+        lpdf, rpdf, left_on="lts", right_on="rts", left_by="key", right_by="rkey",
+        direction="nearest",
+    ).set_index("lid")["rid"]
+    out = asof_join(
+        spark.createDataFrame(LEFT), spark.createDataFrame(RIGHT),
+        left_on="lts", right_on="rts", left_by="key", right_by="rkey",
+        right_tiebreak="rid", left_id="lid", direction="nearest",
+    )
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    for lid, want in expected.items():
+        assert got[lid] == (None if pd.isna(want) else want)
+
+
+def test_asof_join_forward_equals_grouped_forward(spark):
+    left = spark.createDataFrame(LEFT).withColumnRenamed("key", "k")
+    right = spark.createDataFrame(RIGHT).withColumnRenamed("rkey", "k")
+    grouped = asof_join_grouped(
+        left, right, left_on="lts", right_on="rts", by="k", direction="forward"
+    )
+    by_lid = {r["lid"]: r["rid"] for r in grouped.collect()}
+    window = asof_join(
+        spark.createDataFrame(LEFT), spark.createDataFrame(RIGHT),
+        left_on="lts", right_on="rts", left_by="key", right_by="rkey",
+        right_tiebreak="rid", left_id="lid", direction="forward",
+    )
+    assert by_lid == {r["lid"]: r["rid"] for r in window.collect()}
+
+
+def test_asof_join_rejects_unknown_direction(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(
+            spark.createDataFrame(LEFT), spark.createDataFrame(RIGHT),
+            left_on="lts", right_on="rts", direction="sideways",
+        )
