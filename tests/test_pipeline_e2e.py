@@ -193,3 +193,27 @@ def test_process_range_parallel_days_equal_sequential(spark, source_dir, tmp_pat
     b = spark.read.parquet(str(tmp_path / "lake_par" / "merged"))
     assert a.count() == b.count()
     assert sorted(a.columns) == sorted(b.columns)
+
+
+def test_lake_schema_evolution_across_days(spark, tmp_path):
+    """A later day introduces a new column: day-partitioned parquet +
+    mergeSchema reads give the union schema with nulls for the old day —
+    ingest keeps working without migration, monitoring queries unchanged."""
+    d = tmp_path / "src"
+    d.mkdir()
+    (d / "a_2025-02-03.csv").write_text("id,v\n1,10\n")
+    (d / "a_2025-02-04.csv").write_text("id,v,extra\n2,20,x\n")
+    sink = ParquetSink(str(tmp_path / "lake"))
+    cfg = PipelineConfig(source_dir=str(d))
+    process_range(spark, cfg, "2025-02-03", "2025-02-04", sink)
+
+    lake = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "lake" / "merged"))
+    assert "extra" in lake.columns
+    rows = {r["id"]: r for r in lake.collect()}
+    assert rows[1]["extra"] is None  # old day null-fills the new column
+    assert rows[2]["extra"] == "x"
+    # monitoring query still works over the evolved lake
+    from etl_from_s3_to_postgresql_template_spark.pipeline import rows_per_source_date
+
+    per_day = {str(r["dt"]): r["row_count"] for r in rows_per_source_date(spark, str(tmp_path / "lake")).collect()}
+    assert per_day == {"2025-02-03": 1, "2025-02-04": 1}
