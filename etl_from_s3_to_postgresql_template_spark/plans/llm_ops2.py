@@ -31,6 +31,8 @@ __all__ = [
     "docs_chunk_windows",
     "corpus_mixing_weights",
     "dedup_survivors",
+    "similarity_topk_int8",
+    "similarity_topk_hamming",
 ]
 
 
@@ -428,4 +430,151 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes, "comp")
         .select(F.col("id").alias("doc_id"), "replaces")
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "similarity_topk_int8",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+      FROM embeddings
+    ), q8 AS (
+      SELECT e.vec_id, m.max_abs,
+             list_transform(e.embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / m.max_abs) + 0.5) AS BIGINT)) AS q
+      FROM embeddings e JOIN m USING (vec_id) WHERE m.max_abs > 0
+    ), p AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(list_dot_product(a.q, b.q) AS BIGINT) AS int_dot,
+             (CAST(list_dot_product(a.q, b.q) AS DOUBLE) * a.max_abs * b.max_abs) / 16129.0
+               AS approx_dot
+      FROM q8 a, q8 b WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id
+    ), r AS (
+      SELECT q_id, n_id, int_dot, approx_dot,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx_dot DESC, n_id) AS rn
+      FROM p
+    )
+    SELECT q_id, n_id, int_dot, ROUND(approx_dot, 6) AS approx_dot, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 10
+    """,
+)
+def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 quantized search tier: top-10 by approximate dot product over
+    symmetric-int8 codes (4x memory vs float32 — the difference between an
+    in-RAM and a spilled ANN index at corpus scale). The integer dot is
+    EXACT cross-engine (BIGINT arithmetic); the descaling to approx_dot is
+    one per-row IEEE expression written in the same operation order in
+    both engines, so the RANKING is deterministic too. Same broadcast-
+    queries / corpus-never-shuffles contract as the float brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_abs = F.array_max(F.transform("embedding", lambda v: F.abs(v.cast("double"))))
+    q8 = (
+        emb.withColumn("max_abs", max_abs)
+        .where(F.col("max_abs") > 0)
+        .select(
+            "vec_id",
+            "max_abs",
+            F.transform(
+                "embedding",
+                lambda v: F.floor(v.cast("double") * (F.lit(127.0) / F.col("max_abs")) + F.lit(0.5)),
+            ).alias("q"),
+        )
+    )
+    a = q8.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("max_abs").alias("ma_a"), F.col("q").alias("qa")
+    )
+    b = q8.select(
+        F.col("vec_id").alias("n_id"), F.col("max_abs").alias("ma_b"), F.col("q").alias("qb")
+    )
+    int_dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            int_dot.alias("int_dot"),
+            (
+                (F.col("int_dot").cast("double") * F.col("ma_a") * F.col("ma_b")) / F.lit(16129.0)
+            ).alias("approx_dot"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.desc("approx_dot"), "n_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select("q_id", "n_id", "int_dot", F.round("approx_dot", 6).alias("approx_dot"), "rank")
+    )
+
+
+@query(
+    "similarity_topk_hamming",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             list_reduce(list_transform(range(32),
+               i -> CASE WHEN embedding[i+1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END),
+               (a, b) -> a | b) AS w1,
+             list_reduce(list_transform(range(32),
+               i -> CASE WHEN embedding[i+33] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END),
+               (a, b) -> a | b) AS w2
+      FROM embeddings
+    ), p AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(bit_count(xor(a.w1, b.w1)) + bit_count(xor(a.w2, b.w2)) AS BIGINT) AS hamming
+      FROM s a, s b WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id
+    ), r AS (
+      SELECT q_id, n_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS rn
+      FROM p
+    )
+    SELECT q_id, n_id, hamming, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 10
+    """,
+)
+def similarity_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 binary-sketch search tier: 64-dim vectors collapse to 64 SIGN
+    BITS (two 32-bit words — 32x memory vs float32), ranked by Hamming
+    distance. Integer-only end to end, so the oracle is bit-exact. This is
+    the coarsest, cheapest rerank funnel stage: hamming-prefilter ->
+    int8-rescore -> float-verify, each tier ~an order of magnitude
+    smaller. Bits pack via one fold per word; no shuffle for the corpus
+    side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def word(lo: int):
+        # SQL-expr form: the DataFrame-API shiftleft only takes a literal
+        # shift amount; the SQL function accepts the lambda variable
+        return F.expr(
+            f"""aggregate(
+                  transform(sequence(0, 31),
+                            i -> IF(element_at(embedding, i + {lo} + 1) > 0D,
+                                    shiftleft(1L, i), 0L)),
+                  0L, (a, b) -> a | b)"""
+        )
+
+    s = emb.select("vec_id", word(0).alias("w1"), word(32).alias("w2"))
+    a = s.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("w1").alias("a1"), F.col("w2").alias("a2")
+    )
+    b = s.select(F.col("vec_id").alias("n_id"), F.col("w1").alias("b1"), F.col("w2").alias("b2"))
+    hamming = (
+        F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+        + F.bit_count(F.col("a2").bitwiseXOR(F.col("b2")))
+    ).cast("long")
+    from pyspark.sql import Window as W
+
+    pairs = (
+        a.crossJoin(b).where(F.col("q_id") != F.col("n_id")).select("q_id", "n_id", hamming.alias("hamming"))
+    )
+    w = W.partitionBy("q_id").orderBy("hamming", "n_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select("q_id", "n_id", "hamming", "rank")
     )

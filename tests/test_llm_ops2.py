@@ -100,3 +100,25 @@ def test_dedup_survivors_is_a_partition_of_docs(spark):
     assert sum(r["replaces"] for r in surv) == n_docs
     assert len(surv) <= n_docs
     assert any(r["replaces"] > 1 for r in surv)  # fixture has near-dups
+
+
+def test_quantized_search_tiers_recall_vs_float(spark):
+    """int8 and sign-bit search must be APPROXIMATIONS of the float
+    ranking, not noise: require recall@10 floors against the exact cosine
+    top-10 (int8 preserves dot products closely -> high floor; 64-bit sign
+    sketches are coarse -> lower floor)."""
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in QUERIES["similarity_topk_bruteforce"](spark, SF).collect()
+    }
+    int8 = {
+        (r["q_id"], r["n_id"]) for r in QUERIES["similarity_topk_int8"](spark, SF).collect()
+    }
+    ham = {
+        (r["q_id"], r["n_id"])
+        for r in QUERIES["similarity_topk_hamming"](spark, SF).collect()
+    }
+    n_queries = len({q for q, _ in exact})
+    assert len(int8 & exact) / len(exact) >= 0.5, "int8 recall collapsed"
+    assert len(ham & exact) / len(exact) >= 0.1, "hamming recall collapsed"
+    assert len(ham) == 10 * n_queries

@@ -56,7 +56,15 @@ def test_topn_uses_take_ordered(spark):
 
 def test_no_accidental_cartesian(spark):
     # BNLJ/cross is legitimate ONLY where semantics demand it
-    allowed = {"similarity_topk_bruteforce", "dedup_embedding_pairs", "join_range_bands"}
+    allowed = {
+        "similarity_topk_bruteforce",
+        "dedup_embedding_pairs",
+        "join_range_bands",
+        # quantized/binary search tiers: same broadcast-queries brute-force
+        # contract as similarity_topk_bruteforce
+        "similarity_topk_int8",
+        "similarity_topk_hamming",
+    }
     for name in sorted(QUERIES):
         if name in allowed or name.startswith(("streaming_", "multimodal_", "scan_")):
             continue
