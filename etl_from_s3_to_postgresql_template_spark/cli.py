@@ -13,11 +13,12 @@ Deviations (deliberate):
 
 - Exit codes are meaningful (0 ok, 1 runtime/config failure, 2 bad args);
   the reference logs and returns success regardless.
-- A ``--lake-path`` parquet sink is first-class (the 100-TB landing path);
-  JDBC engages when the DB env/flags are present, exactly like the
-  reference's "skip upload when DB config missing" behavior — except we
-  *fail* instead of silently skipping unless a lake path is given, because
-  a pipeline that quietly discards its output is not auditable.
+- A ``--lake-path`` parquet sink is first-class (the 100-TB landing path)
+  and takes PRECEDENCE: when given, it is the sink and JDBC env config is
+  ignored. Without it, JDBC engages when the DW_PG_* env is complete —
+  like the reference's "skip upload when DB config missing" behavior,
+  except we *fail* when neither destination is configured, because a
+  pipeline that quietly discards its output is not auditable.
 
 Usage::
 
@@ -180,6 +181,19 @@ def main(argv: list[str] | None = None) -> int:
             f" skipped={r.skipped_files}" if r.skipped_files else "",
         )
     logger.info("PROCESS COMPLETE: %d/%d day(s) successful", ok, days)
+    # Meaningful exit status (module docstring deviation 1): a day that HAD
+    # matching files but processed none is a failure; a day with no matching
+    # files at all is merely empty (normal inside a backfill range) — but if
+    # EVERY day is empty/failed, the run produced nothing and that's 1 too.
+    failed = [r for r in results if r.files_found > 0 and not r.ok]
+    if failed or ok == 0:
+        logger.error(
+            "Run unsuccessful: %d day(s) failed, %d/%d successful",
+            len(failed),
+            ok,
+            days,
+        )
+        return 1
     return 0
 
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,6 +54,26 @@ from etl_from_s3_to_postgresql_template_spark.sources.csv_ingest import (
     probe_headers,
     prune_paths_by_date,
 )
+
+# Serializes audit appends across concurrent process_day calls in this
+# process. The per-day DATA writes are safe concurrently (each day's
+# dynamic-partition overwrite stages under its own .spark-staging dir; JDBC
+# appends are row inserts), but append-mode writes to ONE audit path share a
+# single FileOutputCommitter `_temporary` dir, so a job commit can delete a
+# concurrent job's staged files — intermittent lost audit rows. A lock is
+# correct here because process_range's parallelism is thread-pool-in-one-
+# process by construction; cross-process backfills must target different
+# lake paths or sequence themselves.
+_AUDIT_LOCK = threading.Lock()
+
+
+class NoReadableFilesError(ValueError):
+    """Every file matching a day was unreadable (probe_headers skipped all)."""
+
+    def __init__(self, day: str, skipped: list[FileInfo]):
+        self.day = day
+        self.skipped = skipped
+        super().__init__(f"no readable files for {day}")
 
 
 @dataclass
@@ -100,7 +121,7 @@ def ingest_day_plan(
     dfs = []
     groups, skipped = probe_headers(spark, files, config.on_error)
     if not groups:
-        raise ValueError(f"no readable files for {day}")
+        raise NoReadableFilesError(day, skipped)
     n_files_read = 0
     for header, group in groups:
         reader = spark.read.option("header", "true")
@@ -154,7 +175,23 @@ def process_day(
     if not matching:
         return DayResult(day, 0, 0, 0, 0)
 
-    merged, skipped = ingest_day_plan(spark, config, matching, day)
+    try:
+        merged, skipped = ingest_day_plan(spark, config, matching, day)
+    except NoReadableFilesError as e:
+        # on_error='skip' skip-and-counted every file: the day FAILS
+        # (ok=False, reference returns False at etl_pipeline.py:411) but
+        # the range keeps going — one rotten day must not kill a backfill.
+        if config.on_error == "skip":
+            return DayResult(
+                day,
+                len(matching),
+                0,
+                0,
+                0,
+                [],
+                [os.path.basename(f.path) for f in e.skipped],
+            )
+        raise
     skipped_names = [os.path.basename(f.path) for f in skipped]
     processed = [f for f in matching if os.path.basename(f.path) not in set(skipped_names)]
     if config.drop_empty_columns:
@@ -184,7 +221,8 @@ def process_day(
             "files_merged int, table_name string, total_row_count long, "
             "column_count int, source_files string",
         )
-        sink.write_audit(audit)
+        with _AUDIT_LOCK:
+            sink.write_audit(audit)
     else:
         total_rows = merged.count()
 
@@ -228,8 +266,17 @@ def process_range(
         return [process_day(spark, config, day, sink) for day in days]
     from concurrent.futures import ThreadPoolExecutor
 
+    # First day runs alone: SaveMode.Append auto-creates the data and audit
+    # tables on first touch, and two concurrent first-writers can race that
+    # CREATE (JDBC has no create-if-absent handshake). Once the tables
+    # exist, appends are safe to interleave (audit serialized by
+    # _AUDIT_LOCK above).
+    head = [process_day(spark, config, days[0], sink)]
+    rest = days[1:]
+    if not rest:
+        return head
     with ThreadPoolExecutor(max_workers=max_parallel_days) as pool:
-        return list(pool.map(lambda day: process_day(spark, config, day, sink), days))
+        return head + list(pool.map(lambda day: process_day(spark, config, day, sink), rest))
 
 
 def recent_runs(spark: SparkSession, lake_path: str, n: int = 10) -> DataFrame:

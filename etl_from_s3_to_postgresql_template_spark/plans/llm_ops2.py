@@ -148,7 +148,8 @@ def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id,
            CAST(SUM(d.c) AS BIGINT) AS n_bigrams,
-           ROUND(SUM(d.c * ln((lm.pair_cnt + 1.0) / (w1_tot.w1_cnt + vocab.v)))
+           ROUND(CAST(SUM(CAST(d.c * ln((lm.pair_cnt + 1.0) / (w1_tot.w1_cnt + vocab.v))
+                              AS DECIMAL(38,15))) AS DOUBLE)
                  / SUM(d.c), 4) AS avg_logprob
     FROM doc_pairs d
     JOIN lm USING (w1, w2)
@@ -194,11 +195,19 @@ def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_bigrams"),
+            # Accumulate the weighted terms as DECIMAL, not DOUBLE: decimal
+            # addition is exact and order-independent, so the sum can't hit
+            # the ROUND half-boundary flip that double sums show across
+            # partition orders / engines (plans/money.py). Each term's
+            # double->decimal(38,15) cast is deterministic per row; only
+            # the final divide + round happen in floating point.
             F.round(
                 F.sum(
-                    F.col("c")
-                    * F.log((F.col("pair_cnt") + 1.0) / (F.col("w1_cnt") + F.col("v")))
-                )
+                    (
+                        F.col("c")
+                        * F.log((F.col("pair_cnt") + 1.0) / (F.col("w1_cnt") + F.col("v")))
+                    ).cast("decimal(38,15)")
+                ).cast("double")
                 / F.sum("c"),
                 4,
             ).alias("avg_logprob"),

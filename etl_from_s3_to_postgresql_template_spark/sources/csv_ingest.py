@@ -161,9 +161,13 @@ def probe_headers(
     def head(fi: FileInfo) -> str:
         rows = spark.read.text(fi.path).head(1)
         header = rows[0]["value"] if rows else ""
-        if fi.path.endswith(".gz") and "�" in header:
-            # text source replaces undecodable bytes instead of raising;
-            # a replacement char in a supposed CSV header = corrupt input
+        if "�" in header:
+            # text source replaces undecodable bytes instead of raising; a
+            # replacement char in a supposed CSV header = corrupt input.
+            # Applies to plain .csv too — the reference opened every file
+            # with strict utf-8 (etl_pipeline.py:368-374), so undecodable
+            # plain CSVs failed there as well; grouping them under a
+            # mojibake header would silently load garbage columns.
             raise ValueError(f"undecodable header in {fi.path}")
         return header
 

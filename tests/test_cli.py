@@ -89,6 +89,43 @@ def test_full_run_range_to_lake(cli_source, spark, tmp_path):
     assert audit.count() == 2  # one audit row per day
 
 
+def test_failed_day_exits_nonzero(spark, tmp_path):
+    """A day whose only matching file is unreadable (on_error=skip drops it,
+    zero processed) must exit 1 — the docstring's 'meaningful exit codes'."""
+    d = tmp_path / "src"
+    d.mkdir()
+    # .gz magic bytes absent -> gzip read fails -> skipped -> 0 readable files
+    (d / "data_2025-02-03.csv.gz").write_bytes(b"not actually gzip")
+    rc = main(
+        [
+            "--source-dir",
+            str(d),
+            "--start-date",
+            "2025-02-03",
+            "--on-error",
+            "skip",
+            "--lake-path",
+            str(tmp_path / "lake"),
+        ]
+    )
+    assert rc == 1
+
+
+def test_empty_range_exits_nonzero(cli_source, tmp_path):
+    """A range where no day matches any file produced nothing: exit 1."""
+    rc = main(
+        [
+            "--source-dir",
+            cli_source,
+            "--start-date",
+            "2024-01-01",
+            "--lake-path",
+            str(tmp_path / "lake"),
+        ]
+    )
+    assert rc == 1
+
+
 def test_make_jdbc_url_dialects():
     assert (
         make_jdbc_url("postgresql", "h", None, "db")

@@ -155,6 +155,39 @@ def test_on_error_skip_counts_bad_files(spark, tmp_path):
     assert res.total_rows == 1
 
 
+def test_undecodable_plain_csv_header_is_corrupt(spark, tmp_path):
+    """A non-gzip CSV whose header has undecodable bytes is corrupt input,
+    same as the .gz case — the reference's strict-utf-8 open raised for
+    plain .csv too (etl_pipeline.py:368-374). It must be failed or
+    skip-and-counted, never silently grouped under a mojibake header."""
+    d = tmp_path / "src"
+    d.mkdir()
+    (d / "good_2025-02-03.csv").write_text("id,v\n1,10\n")
+    (d / "mojibake_2025-02-03.csv").write_bytes(b"id,v\xff\xfe\n2,20\n")
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        process_day(spark, PipelineConfig(source_dir=str(d)), "2025-02-03")
+
+    res = process_day(spark, PipelineConfig(source_dir=str(d), on_error="skip"), "2025-02-03")
+    assert res.files_found == 2 and res.files_processed == 1
+    assert res.skipped_files == ["mojibake_2025-02-03.csv"]
+
+
+def test_all_files_unreadable_day_fails_not_raises(spark, tmp_path):
+    """on_error='skip' + every matching file unreadable: the day returns a
+    failed DayResult (ok False) instead of raising, so a backfill range
+    continues past one rotten day."""
+    d = tmp_path / "src"
+    d.mkdir()
+    (d / "bad_2025-02-03.csv.gz").write_bytes(b"not gzip")
+    res = process_day(spark, PipelineConfig(source_dir=str(d), on_error="skip"), "2025-02-03")
+    assert not res.ok
+    assert res.files_found == 1 and res.files_processed == 0
+    assert res.skipped_files == ["bad_2025-02-03.csv.gz"]
+
+
 def test_recent_runs_and_rows_per_day(spark, source_dir, tmp_path):
     from etl_from_s3_to_postgresql_template_spark.pipeline import recent_runs, rows_per_source_date
 
