@@ -324,29 +324,45 @@ def ngram_jaccard_pairs(
     )
 
 
+class ComponentsNotConverged(RuntimeError):
+    """connected_components hit max_iterations with labels still moving —
+    the returned labels would be WRONG (some nodes not yet at their
+    component minimum). Raise instead of silently returning them."""
+
+
 def connected_components(
     nodes: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over a candidate-
-    pair graph via iterative min-label propagation (the Pregel formulation).
+    pair graph. Returns (id, comp) where ``comp`` is the smallest id
+    reachable from ``id`` — the canonical representative every member of a
+    duplicate cluster agrees on. ``nodes``: one row per document
+    (``id_col``); ``pairs``: undirected edges as (id_a, id_b).
 
-    ``nodes``: one row per document (``id_col``). ``pairs``: undirected
-    edges as (id_a, id_b). Returns (id, comp) where ``comp`` is the
-    smallest id reachable from ``id`` — the canonical representative every
-    member of a duplicate cluster agrees on.
+    Two formulations behind one contract:
 
-    Scale design: each iteration is one shuffle join (edges x labels, both
-    partitioned by key) + one groupBy-min; iterations needed = graph
-    diameter, and near-dup graphs are unions of near-cliques (diameter
-    ~2-3). Labels are localCheckpoint()ed per iteration — without lineage
-    truncation the plan doubles every round and the driver, not the data,
-    becomes the bottleneck. For graphs with giant components the
-    alternating Large-Star/Small-Star formulation (Kiveris et al., "CC in
-    MapReduce and Spark") halves rounds; near-dup graphs don't need it.
+    - ``algorithm='label'`` (default): Pregel-style min-label propagation.
+      One shuffle join + one groupBy-min per round; rounds needed = graph
+      DIAMETER. Right for near-dup graphs, which are unions of
+      near-cliques (diameter ~2-3).
+    - ``algorithm='star'``: alternating Large-Star/Small-Star edge
+      rewriting (Kiveris et al., "Connected Components in MapReduce and
+      Beyond", SoCC'14). Rounds needed = O(log^2 n) regardless of
+      diameter — the scale path for long-chain / giant components where
+      label propagation would need diameter rounds.
+
+    Both checkpoint per round (lineage truncation — without it the plan
+    doubles every round and the driver becomes the bottleneck) and both
+    RAISE :class:`ComponentsNotConverged` if ``max_iterations`` passes
+    without a fixed point, because unconverged labels are wrong answers,
+    not approximate ones.
     """
+    if algorithm == "star":
+        return _star_components(nodes, pairs, id_col, max_iterations)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -371,8 +387,90 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise ComponentsNotConverged(
+        f"label propagation still moving after {max_iterations} rounds "
+        f"(graph diameter exceeds the budget — use algorithm='star')"
+    )
+
+
+def _star_components(
+    nodes: DataFrame, pairs: DataFrame, id_col: str, max_iterations: int
+) -> DataFrame:
+    """Large-Star/Small-Star alternation. Each round rewrites the edge set;
+    the fixed point is a forest of stars (every non-root points straight at
+    its component minimum).
+
+    - Large-Star: per node u, connect every STRICTLY LARGER neighbor to
+      m(u) = min(neighbors(u) ∪ {u}).
+    - Small-Star: per node u (edges directed larger->smaller), connect every
+      smaller neighbor AND u itself to m(u).
+
+    Per round: two groupBy-min aggregations + two joins + a dedup — all on
+    (src, dst) pairs, never adjacency lists, so a high-degree node is an
+    AQE-splittable skewed key rather than one giant row (the collect_list
+    formulation OOMs exactly there). Fixed point is detected on the
+    small-star output with an order-independent (count, xxhash64-sum)
+    signature — one tiny aggregate instead of a full exceptAll join.
+    """
+    # Self-loop-free symmetric start; (a,b) kept once in each direction.
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = None
+    for _ in range(max_iterations):
+        # Large-star over the symmetric closure of the current edge set.
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).dropDuplicates(["src", "dst"])
+        mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+        mins = mins.select("src", F.least("mn", "src").alias("m"))
+        large = (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+        # Small-star over larger->smaller directed edges.
+        directed = large.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        ).dropDuplicates(["src", "dst"])
+        mins2 = directed.groupBy("src").agg(F.min("dst").alias("m"))
+        attach = directed.join(mins2, "src")
+        small = (
+            attach.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(attach.select(F.col("src"), F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+            .localCheckpoint(eager=True)
+        )
+        new_sig = signature(small)
+        edges = small
+        if new_sig == sig:
+            # Stars: every src points at its component min.
+            roots = edges.groupBy("src").agg(F.min("dst").alias("comp"))
+            return (
+                nodes.select(F.col(id_col).alias("id"))
+                .join(roots.withColumnRenamed("src", "id"), "id", "left")
+                .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+            )
+        sig = new_sig
+    raise ComponentsNotConverged(
+        f"star alternation not at fixed point after {max_iterations} rounds"
+    )
 
 
 def fuzzy_pairs_blocked(

@@ -91,6 +91,58 @@ def test_connected_components_transitive_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
 
 
+def test_connected_components_long_chain_label_raises_star_converges(spark):
+    """A 60-node path graph has diameter 59: min-label propagation cannot
+    finish inside max_iterations=20 and must RAISE (unconverged labels are
+    wrong answers, not approximations), while Large-Star/Small-Star
+    alternation converges in O(log^2 n) rounds and labels the whole chain
+    with its minimum."""
+    import pytest as _pytest
+
+    from etl_from_s3_to_postgresql_template_spark.operators.dedup import (
+        ComponentsNotConverged,
+        connected_components,
+    )
+
+    n = 60
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    # Path 0-1-2-...-59, shuffled edge order; plus singleton 1000.
+    chain = [(i, i + 1) for i in range(n - 1)]
+    chain = chain[1::2] + chain[0::2]
+    nodes = nodes.unionByName(spark.createDataFrame([(1000,)], "doc_id long"))
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+
+    with _pytest.raises(ComponentsNotConverged):
+        connected_components(nodes, pairs, max_iterations=20)
+
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(nodes, pairs, max_iterations=20, algorithm="star").collect()
+    }
+    assert got == {**{i: 0 for i in range(n)}, 1000: 1000}
+
+
+def test_connected_components_star_matches_label_on_cliques(spark):
+    """Both algorithms must agree on the near-dup-shaped graph (two small
+    cliques + a bridge + singletons)."""
+    from etl_from_s3_to_postgresql_template_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (5, 6), (6, 7), (3, 5), (8, 9)],
+        "id_a long, id_b long",
+    )
+    lab = {r["id"]: r["comp"] for r in connected_components(nodes, pairs).collect()}
+    star = {
+        r["id"]: r["comp"]
+        for r in connected_components(nodes, pairs, algorithm="star").collect()
+    }
+    assert lab == star
+    assert lab[7] == 1 and lab[9] == 8 and lab[0] == 0
+
+
 def test_connected_components_no_edges(spark):
     from etl_from_s3_to_postgresql_template_spark.operators.dedup import (
         connected_components,
