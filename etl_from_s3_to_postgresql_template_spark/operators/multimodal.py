@@ -8,13 +8,16 @@ executor-side in columnar batches and never transit the driver. That
 plumbing — schemas, batch iteration, partition parallelism — is real and
 tested.
 
-STUB NOTICE: this container has no image/audio codecs (no PIL/ffmpeg), so
-the *codec* inside each operator is a deterministic fake over a synthetic
-container format (header + payload bytes, below). Every such site is marked
-``# STUB:`` — swapping in a real codec (PIL.Image.open, soundfile, pyav)
-changes only the inside of the per-batch function, nothing about the Spark
-plumbing. ``decode_media(strict=True)`` raises NotImplementedError where a
-real codec would be required.
+CODEC POLICY: blobs in the synthetic container format below always decode
+via the deterministic parser (keeps the DuckDB oracle pairs byte-stable).
+Blobs with UNKNOWN magic fall through to REAL codecs when the library is
+importable on the executor — PIL for images, pyav for video — detected
+lazily inside the per-batch function (executor-side, not driver-side).
+Where no codec applies, the stub behavior stands: NULL metadata, or
+NotImplementedError under ``decode_media(strict=True)``. This container
+ships neither PIL nor pyav, so in-container tests exercise the detection
+seam and the stub path; the real-codec contract test
+(tests/test_multimodal.py) auto-activates wherever the libs exist.
 
 Synthetic container format (deterministic, seedless):
     magic[4] = IMG!/AUD!/VID! | a uint32 | b uint32 | payload bytes
@@ -38,11 +41,60 @@ __all__ = [
     "extract_features",
     "resize_images",
     "sample_frames",
+    "have_real_codecs",
 ]
 
 _MAGIC = {0: b"IMG!", 1: b"AUD!", 2: b"VID!"}
 _KIND = {b"IMG!": "image", b"AUD!": "audio", b"VID!": "video"}
 FRAME_BYTES = 64  # fixed synthetic frame size
+
+
+def have_real_codecs() -> dict[str, bool]:
+    """Which real codec libraries are importable HERE (call on the
+    executor for executor truth; local[32] shares one process)."""
+    import importlib.util
+
+    return {
+        "pil": importlib.util.find_spec("PIL") is not None,
+        "av": importlib.util.find_spec("av") is not None,
+    }
+
+
+def _real_image_meta(b: bytes):
+    """PIL path for non-synthetic blobs. Returns the decode_media metadata
+    tuple or None (PIL absent, or bytes aren't an image it can sniff)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    try:
+        with Image.open(io.BytesIO(b)) as img:
+            w, h = img.size
+        return ("image", w, h, None, None, None, len(b))
+    except Exception:
+        return None
+
+
+def _real_video_meta(b: bytes):
+    """pyav path for non-synthetic blobs: container-level stream metadata."""
+    try:
+        import av
+    except ImportError:
+        return None
+    import io
+
+    try:
+        with av.open(io.BytesIO(b)) as container:
+            vs = next((s for s in container.streams if s.type == "video"), None)
+            if vs is None:
+                return None
+            cc = vs.codec_context
+            n = int(vs.frames) if vs.frames else None
+            return ("video", cc.width, cc.height, None, None, n, len(b))
+    except Exception:
+        return None
 
 
 def _payload(seed: int, n: int) -> bytes:
@@ -109,11 +161,14 @@ def decode_media(df: DataFrame, blob_col: str = "blob", strict: bool = False) ->
                 b = bytes(blob) if blob is not None else b""
                 kind = _KIND.get(b[:4]) if len(b) >= 12 else None
                 if kind is None:
-                    # covers unknown magic AND truncated/corrupt blobs
-                    # (< header size) — both are "no codec" cases
+                    # Unknown magic / truncated blob: hand it to the real
+                    # codecs when present (PIL sniff, then pyav), else the
+                    # stub behavior — NULL metadata, or raise under strict.
+                    meta = _real_image_meta(b) or _real_video_meta(b)
+                    if meta is not None:
+                        metas.append(meta)
+                        continue
                     if strict:
-                        # STUB: a real build would hand unknown containers to
-                        # a codec sniffer (PIL/ffprobe). Not available here.
                         raise NotImplementedError(f"no codec for blob prefix {b[:4]!r}")
                     metas.append((None, None, None, None, None, None, len(b)))
                     continue
@@ -174,20 +229,40 @@ def extract_features(
 def resize_images(df: DataFrame, width: int, height: int, blob_col: str = "blob") -> DataFrame:
     """Re-encode image blobs at a new size (non-images pass through).
 
-    STUB: real resample = PIL Image.resize; the fake re-synthesizes the
-    deterministic payload at the new dimensions, preserving the container
-    contract (decode_media(resize_images(df)) reports the new size).
+    Synthetic containers re-synthesize the deterministic payload at the new
+    dimensions (oracle-stable; decode_media(resize_images(df)) reports the
+    new size). Unknown-magic blobs resample through PIL when it is
+    importable (LANCZOS + PNG re-encode) and pass through untouched
+    otherwise.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def real_resize(b: bytes):
+            try:
+                from PIL import Image
+            except ImportError:
+                return None
+            import io
+
+            try:
+                with Image.open(io.BytesIO(b)) as img:
+                    resized = img.resize((width, height), Image.LANCZOS)
+                buf = io.BytesIO()
+                resized.save(buf, format="PNG")
+                return buf.getvalue()
+            except Exception:
+                return None
+
         for pdf in batches:
             out = []
             for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
                 b = bytes(blob)
                 if b[:4] == _MAGIC[0]:
                     out.append(_MAGIC[0] + struct.pack(">II", width, height) + _payload(int(mid), width * height))
+                elif b[:4] in _KIND:
+                    out.append(b)  # synthetic audio/video: not an image
                 else:
-                    out.append(b)
+                    out.append(real_resize(b) or b)
             pdf[blob_col] = out
             yield pdf
 
@@ -196,22 +271,48 @@ def resize_images(df: DataFrame, width: int, height: int, blob_col: str = "blob"
 
 def sample_frames(df: DataFrame, every: int = 2, blob_col: str = "blob") -> DataFrame:
     """Explode video blobs into sampled frames: one output row per kept
-    frame (media_id, frame_idx, frame binary). Non-videos produce no rows.
-    The row-explosion happens inside the Arrow batch — no driver hop."""
+    frame (media_id, frame_idx, frame binary). The row-explosion happens
+    inside the Arrow batch — no driver hop. Synthetic VID! containers slice
+    their fixed-size payload frames; unknown-magic blobs decode through
+    pyav when importable (every Nth frame as raw rgb24 bytes); otherwise a
+    non-video produces no rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def real_frames(b: bytes):
+            try:
+                import av
+            except ImportError:
+                return None
+            import io
+
+            try:
+                out = []
+                with av.open(io.BytesIO(b)) as container:
+                    if not any(s.type == "video" for s in container.streams):
+                        return None
+                    for i, frame in enumerate(container.decode(video=0)):
+                        if i % every == 0:
+                            out.append((i, frame.to_ndarray(format="rgb24").tobytes()))
+                return out
+            except Exception:
+                return None
+
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
                 b = bytes(blob)
-                if b[:4] != _MAGIC[2]:
-                    continue
-                n_frames = struct.unpack(">II", b[4:12])[1]
-                payload = b[12:]
-                for i in range(0, n_frames, every):
-                    ids.append(mid)
-                    idxs.append(i)
-                    frames.append(payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES])
+                if b[:4] == _MAGIC[2]:
+                    n_frames = struct.unpack(">II", b[4:12])[1]
+                    payload = b[12:]
+                    for i in range(0, n_frames, every):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES])
+                elif b[:4] not in _KIND:
+                    for i, fb in real_frames(b) or []:
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(fb)
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(run, "media_id long, frame_idx int, frame binary")

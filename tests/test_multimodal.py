@@ -67,9 +67,75 @@ def test_sample_frames(spark, media):
 
 
 def test_strict_decode_raises_on_unknown(spark):
+    """Unknown magic with no real codec importable: strict raises. If PIL
+    ever appears in this environment the bytes below are still not an
+    image, so the raise must survive the real-codec fallthrough too."""
     bad = spark.createDataFrame([(1, b"XXXX" + b"\0" * 8)], "media_id long, blob binary")
-    import pyspark.errors
 
     with pytest.raises(Exception) as exc_info:
         decode_media(bad, strict=True).collect()
     assert "NotImplementedError" in str(exc_info.value) or "no codec" in str(exc_info.value)
+
+
+def test_synthetic_decode_independent_of_real_codecs(spark, media):
+    """CODEC POLICY contract: synthetic containers decode identically
+    whether or not PIL/pyav exist (they short-circuit before the real-codec
+    fallthrough), so the multimodal oracle pairs are environment-stable."""
+    rows = decode_media(media).collect()
+    assert all(r["fmt"] in ("image", "audio", "video") for r in rows)
+    # the fallthrough only ever sees unknown magic; synthetic blobs never do
+    from etl_from_s3_to_postgresql_template_spark.operators.multimodal import _real_image_meta
+
+    assert _real_image_meta(b"IMG!" + b"\0" * 20) is None  # PIL absent or can't sniff
+
+
+def test_real_codec_contract_pil(spark):
+    """Runs wherever PIL exists (skips here): a real PNG blob must decode
+    through the SAME decode_media/mapInPandas plumbing with the same
+    metadata columns the stub path fills, and resize must report the new
+    size on re-decode."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (20, 14)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame([(1, png)], "media_id long, blob binary")
+    row = decode_media(df).collect()[0]
+    assert (row["fmt"], row["width"], row["height"]) == ("image", 20, 14)
+    assert row["payload_bytes"] == len(png)
+    assert row["sample_rate"] is None and row["n_frames"] is None
+
+    resized = decode_media(resize_images(df, 8, 6)).collect()[0]
+    assert (resized["width"], resized["height"]) == (8, 6)
+
+
+def test_real_codec_contract_pyav(spark):
+    """Runs wherever pyav exists (skips here): a real encoded video must
+    yield stream metadata through decode_media and sampled frames through
+    sample_frames' pyav fallthrough."""
+    av = pytest.importorskip("av")
+    import io
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("h264", rate=4)
+        stream.width, stream.height = 32, 24
+        stream.pix_fmt = "yuv420p"
+        import numpy as np
+
+        for i in range(6):
+            frame = av.VideoFrame.from_ndarray(
+                np.full((24, 32, 3), i * 20, dtype=np.uint8), format="rgb24"
+            )
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    blob = buf.getvalue()
+    df = spark.createDataFrame([(1, blob)], "media_id long, blob binary")
+    row = decode_media(df).collect()[0]
+    assert (row["fmt"], row["width"], row["height"]) == ("video", 32, 24)
+    frames = sample_frames(df, every=2).collect()
+    assert frames and all(r["frame_idx"] % 2 == 0 for r in frames)
+    assert all(len(bytes(r["frame"])) == 32 * 24 * 3 for r in frames)
