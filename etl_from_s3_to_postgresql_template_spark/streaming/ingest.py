@@ -59,6 +59,89 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_events_ts(raw, for_streaming=True)
 
 
+#: The column contract every events stream source honors (events.parquet
+#: physical schema after normalize_events_ts, minus nothing).
+EVENTS_STREAM_COLUMNS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def stream_events_rate(
+    spark: SparkSession,
+    rows_per_batch: int = 1000,
+    n_users: int = 50,
+    start_timestamp_ms: int = 1735689600000,  # 2025-01-01T00:00:00Z
+    advance_ms_per_batch: int = 60_000,
+) -> DataFrame:
+    """Kafka-shaped UNBOUNDED source behind the same contract as
+    :func:`stream_events`: same columns, same types, but micro-batches keep
+    arriving forever instead of draining a fixed file set.
+
+    Built on the deterministic ``rate-micro-batch`` source (seq number +
+    batch-advanced timestamp), projected into the events schema — so every
+    downstream operator (watermarked windows, dropDuplicatesWithinWatermark,
+    applyInPandasWithState) runs unmodified against an endless stream. In
+    production the one line that changes is this source becoming
+    ``spark.readStream.format("kafka")...`` + a value-deserializing
+    projection; nothing downstream moves. That seam is the point.
+    """
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("startTimestamp", start_timestamp_ms)
+        .option("advanceMillisPerBatch", advance_ms_per_batch)
+        .load()
+    )  # columns: timestamp timestamp, value long
+    etypes = F.array(*[F.lit(t) for t in ("click", "view", "purchase", "scroll", "login")])
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % n_users).alias("user_id"),
+        F.element_at(etypes, (F.col("value") % 5).cast("int") + 1).alias("event_type"),
+        ((F.col("value") % 9973) / F.lit(100.0)).alias("value"),
+        F.to_json(F.struct(F.col("value").alias("seq"))).alias("props"),
+    )
+
+
+def run_dedup_events_to_landing(
+    spark: SparkSession,
+    src_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+) -> None:
+    """Restartable watermarked streaming dedup into the idempotent parquet
+    landing: file source over ``src_dir`` (parquet events, new files picked
+    up per start), dropDuplicatesWithinWatermark state in the checkpointed
+    state store, foreachBatch batch_id-keyed landing.
+
+    This is the restart-with-state contract: stop the query, add files,
+    call again with the SAME ``checkpoint_dir`` — the source resumes from
+    committed offsets and the dedup state SURVIVES the restart, so a
+    duplicate of an already-seen event_id arriving after the restart (still
+    inside the watermark) is dropped, and landed rows stay exactly-once.
+    """
+    from etl_from_s3_to_postgresql_template_spark.streaming.sink import (
+        foreach_batch_parquet,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    ev = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        ev.writeStream.foreachBatch(foreach_batch_parquet(out_path))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _run_to_memory(spark: SparkSession, agg: DataFrame, output_mode: str) -> DataFrame:
     name = f"stream_out_{next(_name_counter)}"
     q = (

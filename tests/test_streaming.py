@@ -146,3 +146,89 @@ def test_stateful_query_on_rocksdb_state_store(spark, tmp_path):
     # RocksDB layout: versioned zips under state/, no HDFS-store .delta files
     assert g.glob(f"{ckpt}/state/**/*.zip", recursive=True)
     assert not g.glob(f"{ckpt}/state/**/*.delta", recursive=True)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_dedup_state_survives_checkpoint_restart(spark, tmp_path):
+    """Exactly-once across a stop/restart: out-of-order input, duplicates
+    WITHIN one run, duplicates ACROSS the restart boundary (same event_id
+    re-arriving in run 2 while still inside the watermark). The state store
+    checkpoint must carry the dedup keys over the restart, so landed rows
+    are one per distinct event_id — no loss, no double-count."""
+    import datetime as dt
+
+    from etl_from_s3_to_postgresql_template_spark.streaming.ingest import (
+        run_dedup_events_to_landing,
+    )
+    from etl_from_s3_to_postgresql_template_spark.streaming.sink import read_landing
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ts(minute):
+        return dt.datetime(2025, 2, 3, 12, minute)
+
+    # Run 1: ids 1..50, shuffled/out-of-order ts, ids 10 and 20 duplicated.
+    rows1 = [(i, ts(i % 30), i % 7, "click", float(i), None) for i in range(1, 51)]
+    rows1 += [(10, ts(9), 3, "click", 10.0, None), (20, ts(21), 6, "click", 20.0, None)]
+    rows1 = rows1[1::2] + rows1[0::2]  # scramble arrival order
+    _write_events(spark, src, rows1)
+    run_dedup_events_to_landing(spark, src, out, ckpt)
+    landed1 = read_landing(spark, out)
+    assert landed1.count() == 50
+    assert landed1.select("event_id").distinct().count() == 50
+
+    # Run 2 (restart, same checkpoint): ids 40..80 — 40..50 are duplicates
+    # of run 1 within the 1h watermark, 51..80 are new; again out-of-order.
+    rows2 = [(i, ts((i * 3) % 30), i % 7, "view", float(i), None) for i in range(40, 81)]
+    rows2 = rows2[1::2] + rows2[0::2]
+    _write_events(spark, src, rows2)
+    run_dedup_events_to_landing(spark, src, out, ckpt)
+
+    landed2 = read_landing(spark, out)
+    got = sorted(r["event_id"] for r in landed2.select("event_id").collect())
+    assert got == list(range(1, 81)), "cross-restart duplicates must be dropped exactly-once"
+
+    # Replay with the same checkpoint: committed offsets -> no-op.
+    run_dedup_events_to_landing(spark, src, out, ckpt)
+    assert read_landing(spark, out).count() == 80
+
+
+def test_rate_source_contract_and_composition(spark, tmp_path):
+    """The kafka-shaped rate seam: same column contract as stream_events,
+    and downstream watermarked dedup composes unmodified on the unbounded
+    source (one deterministic micro-batch drained via availableNow)."""
+    from etl_from_s3_to_postgresql_template_spark.streaming.ingest import (
+        EVENTS_STREAM_COLUMNS,
+        stream_events_rate,
+        stream_events,
+    )
+
+    rate = stream_events_rate(spark, rows_per_batch=200, n_users=50)
+    assert rate.isStreaming
+    assert tuple(rate.columns) == EVENTS_STREAM_COLUMNS
+    static = stream_events(spark, SF)
+    assert tuple(static.columns) == tuple(rate.columns)
+
+    out = (
+        rate.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_contract_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(60)
+    out.stop()
+    rows = spark.table("rate_contract_out").collect()
+    assert len(rows) == 200
+    assert all(0 <= r["user_id"] < 50 for r in rows)
+    assert {r["event_type"] for r in rows} <= {"click", "view", "purchase", "scroll", "login"}
