@@ -26,6 +26,13 @@ from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
 __all__ = [
     "similarity_lsh_recall_gate",
     "similarity_ivf_recall_gate",
+    "dedup_minhash_accuracy_gate",
+    "dedup_simhash_precision_gate",
+    "agg_sketch_error_gate",
+    "events_gap_sessionize",
+    "tokens_pmi_top_pairs",
+    "docs_url_domains",
+    "dedup_incremental_day",
 ]
 
 
@@ -92,3 +99,312 @@ def similarity_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = brute_force_topk(queries_df, candidates, k=10)
     approx = ivf_topk(queries_df, candidates, k=10)
     return _recall_gate(exact, approx, floor=0.3)
+
+
+@query(
+    "dedup_minhash_accuracy_gate",
+    oracle="SELECT TRUE AS found_pairs, TRUE AS est_err_ok",
+)
+def dedup_minhash_accuracy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 quality gate for the rows-only MinHash tier: every LSH candidate
+    pair's signature-estimated Jaccard must track the EXACT token-3-gram
+    Jaccard (computed only on the candidate pairs — the two-stage scale
+    shape). Floors: max abs error <= 0.25, mean <= 0.10; measured bands at
+    both SFs are max ~0.11 / mean ~0.03 with 32 hashes (sigma ~ 0.09)."""
+    from etl_from_s3_to_postgresql_template_spark.operators.dedup import (
+        minhash_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_candidates(docs, "text", "doc_id", threshold=0.3)
+    exact = ngram_jaccard_pairs(docs, cands.select("id_a", "id_b"), "text", "doc_id", threshold=0.0)
+    err = F.abs(F.col("est_jaccard") - F.col("jaccard"))
+    return (
+        cands.join(exact, ["id_a", "id_b"])
+        .agg(
+            (F.count(F.lit(1)) > 0).alias("found_pairs"),
+            ((F.max(err) <= 0.25) & (F.avg(err) <= 0.10)).alias("est_err_ok"),
+        )
+    )
+
+
+@query(
+    "dedup_simhash_precision_gate",
+    oracle="SELECT TRUE AS found_pairs, TRUE AS precision_ok",
+)
+def dedup_simhash_precision_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 quality gate for the rows-only SimHash tier: pairs within Hamming
+    distance 3 must be real near-dups ON AVERAGE — mean exact 3-gram
+    Jaccard >= 0.4 (measured 0.76-0.87 at both SFs; individual short-doc
+    collisions can hit 0, which is why the gate is on the mean)."""
+    from etl_from_s3_to_postgresql_template_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = simhash_candidates(docs, "text", "doc_id")
+    exact = ngram_jaccard_pairs(docs, cands.select("id_a", "id_b"), "text", "doc_id", threshold=0.0)
+    return exact.agg(
+        (F.count(F.lit(1)) > 0).alias("found_pairs"),
+        (F.avg("jaccard") >= 0.4).alias("precision_ok"),
+    )
+
+
+@query(
+    "agg_sketch_error_gate",
+    oracle="SELECT TRUE AS hll_ok, TRUE AS median_ok",
+)
+def agg_sketch_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for the rows-only sketch tier: per-group HLL++ distinct
+    within 5% of exact (rsd=0.01; measured <= 0.9%), approx median within
+    1% of exact (measured <= 0.08%). One scan computes sketch and exact
+    side by side; the gate reduces to one hash-checkable row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("a"),
+        F.countDistinct("l_orderkey").alias("e"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("am"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("em"),
+    )
+    hll_err = F.abs(F.col("a") - F.col("e")) / F.col("e")
+    med_err = F.abs(F.col("am").cast("double") - F.col("em")) / F.col("em")
+    return per_group.agg(
+        (F.max(hll_err) <= 0.05).alias("hll_ok"),
+        (F.max(med_err) <= 0.01).alias("median_ok"),
+    )
+
+
+@query(
+    "events_gap_sessionize",
+    oracle=r"""
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), marks AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 300000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o
+    ), grp AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      FROM marks
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM grp GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+)
+def events_gap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH gap sessionization (the lag->mark->cumsum classic): a session
+    breaks after a >5-minute silence per user. Complements the streaming
+    session_window twin (window_session_events) with the backfill-side
+    formulation every warehouse needs.
+
+    Scale: two window passes over the SAME (user_id, ts) partitioning —
+    one shuffle total, then a partial-aggregated groupBy on (user, session).
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w = W.partitionBy("user_id").orderBy(*order)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(prev.isNull() | ((us - prev) > 300_000_000), 1).otherwise(0).alias("is_new"),
+    )
+    sessioned = marked.select(
+        "user_id",
+        "ts",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("session_id"),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "tokens_pmi_top_pairs",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+    ), uni AS (
+      SELECT unnest(toks) AS w FROM t
+    ), ucnt AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w
+    ), ntok AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n FROM ucnt
+    ), bg AS (
+      SELECT UNNEST(list_transform(range(len(toks) - 1),
+             i -> {'w1': toks[i+1], 'w2': toks[i+2]})) AS s
+      FROM t WHERE len(toks) >= 2
+    ), bcnt AS (
+      SELECT s.w1 AS w1, s.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+    ), nbig AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n FROM bcnt
+    )
+    SELECT b.w1, b.w2, b.c AS pair_count,
+           ROUND(ln((b.c / nbig.n) / ((u1.c / ntok.n) * (u2.c / ntok.n))), 4) AS pmi
+    FROM bcnt b
+    JOIN ucnt u1 ON b.w1 = u1.w
+    JOIN ucnt u2 ON b.w2 = u2.w
+    CROSS JOIN ntok CROSS JOIN nbig
+    WHERE b.c >= 5
+    ORDER BY pmi DESC, b.w1, b.w2 LIMIT 20
+    """,
+)
+def tokens_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-20 adjacent token pairs by pointwise
+    mutual information (min pair count 5) — the classic corpus-analysis op
+    for finding multiword units worth single tokens.
+
+    Scale: token and bigram counts are two map-side-combined aggregations
+    of one scan; the PMI join keys are words (the unigram table joins
+    twice); the global constants ride in as 1-row broadcasts; final top-20
+    is a TakeOrdered, not a sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower(F.trim("text")), r"\s+").alias("t"))
+    uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_tok = uni.agg(F.sum("c").cast("double").alias("n_tok"))
+    n = F.size("t")
+    bigrams = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.slice("t", 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bcnt = (
+        toks.where(n >= 2)
+        .select(F.explode(bigrams).alias("s"))
+        .groupBy(F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    n_big = bcnt.agg(F.sum("pair_count").cast("double").alias("n_big"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("pair_count") / F.col("n_big"))
+            / ((F.col("c1") / F.col("n_tok")) * (F.col("c2") / F.col("n_tok")))
+        ),
+        4,
+    )
+    return (
+        bcnt.filter(F.col("pair_count") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+        .select("w1", "w2", "pair_count", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
+
+
+_URL_RE = r"https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9./_-]*)?"
+
+
+@query(
+    "docs_url_domains",
+    oracle=rf"""
+    WITH withurl AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0
+                          THEN ' see https://site' || (doc_id % 20) || '.example.org/p/' || doc_id || ' now'
+                          ELSE '' END AS text
+      FROM documents
+    ), urls AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '{_URL_RE}')) AS url FROM withurl
+    )
+    SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM urls GROUP BY 1 ORDER BY n_urls DESC, domain
+    """,
+)
+def docs_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL statistics — the provenance/source-mix profile every
+    web-corpus pipeline runs before filtering by domain. The fixture text
+    is URL-free, so deterministic URLs are injected doc_id-keyed on BOTH
+    engines (same move as docs_pii_scan).
+
+    Scale: regexp extraction is a projection; explode + one partial-agg'd
+    groupBy on domain."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" see https://site"),
+                (F.col("doc_id") % 20).cast("string"),
+                F.lit(".example.org/p/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" now"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    urls = docs.select(
+        "doc_id", F.explode(F.regexp_extract_all(injected, F.lit(_URL_RE), F.lit(0))).alias("url")
+    )
+    return (
+        urls.select("doc_id", F.regexp_extract("url", r"https?://([A-Za-z0-9.-]+)", 1).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_urls"), "domain")
+    )
+
+
+@query(
+    "dedup_incremental_day",
+    oracle="""
+    WITH lake AS (
+      SELECT md5(text) AS h FROM documents WHERE doc_id < 300
+    ), incoming AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250
+    ), fresh AS (
+      SELECT doc_id, h FROM incoming WHERE h NOT IN (SELECT h FROM lake)
+    ), ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM fresh
+    )
+    SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def dedup_incremental_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-day) dedup: which incoming documents are NEW vs
+    the lake — dedup against history WITHOUT rescanning history content.
+    Modeled on the fixture: lake = doc_id < 300, incoming = doc_id >= 250
+    (the 250-299 overlap must self-exclude by content hash), then
+    first-wins within the incoming batch itself.
+
+    Scale shape: the lake side reduces to a HASH COLUMN (md5 here for the
+    cross-engine oracle; xxhash64 in production) — at 100 TB you persist
+    that hash column day over day and anti-join the new day against it;
+    content never moves twice. Anti join + per-hash first-wins window."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    lake = docs.filter(F.col("doc_id") < 300).select(F.md5("text").alias("h"))
+    incoming = docs.filter(F.col("doc_id") >= 250).select("doc_id", F.md5("text").alias("h"))
+    fresh = incoming.join(lake, "h", "left_anti")
+    rn = F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+    return (
+        fresh.withColumn("rn", rn).filter(F.col("rn") == 1).select("doc_id").orderBy("doc_id")
+    )
