@@ -124,3 +124,27 @@ def test_streaming_foreachbatch_to_jdbc(spark, derby_url, tmp_path):
 
     run_events_stream_to_jdbc(spark, sf, sink, ckpt)  # same checkpoint: no-op
     assert back.count() == n_src
+
+
+def test_parallel_range_to_jdbc_no_create_race(spark, derby_url, tmp_path):
+    """process_range(max_parallel_days>1) into JDBC: the first day runs
+    alone (settles SaveMode.Append table auto-creation), the rest append
+    concurrently; audit rows land one-per-day with no lost appends."""
+    from etl_from_s3_to_postgresql_template_spark.pipeline import process_range
+
+    d = tmp_path / "src"
+    d.mkdir()
+    for i in range(1, 7):
+        (d / f"sales_2025-02-0{i}.csv").write_text(f"id,amount\n{i},{i}.5\n{i + 10},{i}.0\n")
+
+    sink = JdbcSink(url=derby_url, table_name="merged_par", audit_table="audit_par")
+    results = process_range(
+        spark, PipelineConfig(source_dir=str(d)), "2025-02-01", "2025-02-06", sink,
+        max_parallel_days=3,
+    )
+    assert [r.ok for r in results] == [True] * 6
+    assert _read_table(spark, derby_url, "merged_par").count() == 12
+    audit = _read_table(spark, derby_url, "audit_par")
+    assert audit.count() == 6  # exactly one audit row per day, none lost
+    days = sorted(str(r["date_of_data"])[:10] for r in audit.collect())
+    assert days == [f"2025-02-0{i}" for i in range(1, 7)]

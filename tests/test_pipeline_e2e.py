@@ -315,3 +315,27 @@ def test_lake_schema_evolution_across_days(spark, tmp_path):
 
     per_day = {str(r["dt"]): r["row_count"] for r in rows_per_source_date(spark, str(tmp_path / "lake")).collect()}
     assert per_day == {"2025-02-03": 1, "2025-02-04": 1}
+
+
+def test_parallel_range_audit_rows_not_lost(spark, tmp_path):
+    """Regression for the audit-append race: N concurrent days append to ONE
+    parquet audit path; with the serialized write_audit every day's row must
+    land (the unserialized FileOutputCommitter overlap intermittently lost
+    rows or failed jobs)."""
+    d = tmp_path / "src"
+    d.mkdir()
+    for i in range(1, 9):
+        (d / f"sales_2025-03-0{i}.csv").write_text(f"id,v\n{i},1\n")
+    lake = str(tmp_path / "lake")
+    results = process_range(
+        spark,
+        PipelineConfig(source_dir=str(d)),
+        "2025-03-01",
+        "2025-03-08",
+        ParquetSink(lake),
+        max_parallel_days=4,
+    )
+    assert all(r.ok for r in results) and len(results) == 8
+    audit = spark.read.parquet(f"{lake}/data_processing_log")
+    assert audit.count() == 8
+    assert audit.select("date_of_data").distinct().count() == 8
