@@ -26,7 +26,37 @@ from pyspark.sql import functions as F
 
 from etl_from_s3_to_postgresql_template_spark.functions.vectors import as_double_vec, cosine_col, dot_col
 
-__all__ = ["brute_force_topk", "lsh_topk", "hyperplanes", "ivf_topk"]
+__all__ = ["brute_force_topk", "lsh_topk", "hyperplanes", "ivf_topk", "fit_ivf_centroids"]
+
+
+def fit_ivf_centroids(
+    candidates: DataFrame,
+    n_lists: int = 16,
+    n_vec: str = "n_vec",
+    seed: int = 42,
+    train_fraction: float = 1.0,
+    max_train_rows: int = 100_000,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer ONCE and return plain centroid lists.
+
+    This is the production split: centroids are a fitted artifact
+    (train on a bounded sample, persist the few-KB list, reuse across every
+    query), not something a query plan should re-train. ``ivf_topk`` accepts
+    the result via ``centroids=`` and then builds a pure-projection plan.
+    Training is bounded the same way as the inline path: optional sample
+    fraction plus a hard row cap — k-means needs a representative sample,
+    not the corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train_src = candidates
+    if train_fraction < 1.0:
+        train_src = train_src.sample(False, train_fraction, seed)
+    train = train_src.limit(max_train_rows).select(
+        array_to_vector(as_double_vec(F.col(n_vec))).alias("features")
+    )
+    km = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
+    return [list(map(float, c)) for c in km.clusterCenters()]
 
 
 def brute_force_topk(
@@ -85,32 +115,33 @@ def ivf_topk(
     round_to: int = 6,
     train_fraction: float = 1.0,
     max_train_rows: int = 100_000,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer -> probe the
     ``n_probe`` nearest centroid lists per query -> exact cosine inside.
 
     The scale shape: candidates are assigned to lists ONCE (one narrow
     pass + a partitioned write in a real deployment); per query only
-    ``n_probe/n_lists`` of the corpus is scored. Centroids come from MLlib
-    KMeans (seeded); they ride into the plan as literals, so list assignment
-    is a pure projection — no model object at query time.
+    ``n_probe/n_lists`` of the corpus is scored. Centroids ride into the
+    plan as literals, so list assignment is a pure projection — no model
+    object at query time.
 
-    Centroid training is bounded (``train_fraction`` sample + hard
-    ``max_train_rows`` cap) — k-means quality needs a representative
-    sample, not the corpus; at billions of vectors training on everything
-    is pure waste.
+    Pass ``centroids`` from :func:`fit_ivf_centroids` to keep training out
+    of query build entirely (the production split). When omitted, a seeded
+    bounded-sample training pass runs inline — convenient for the oracle
+    harness, identical output (same seed => same centroids).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train_src = candidates
-    if train_fraction < 1.0:
-        train_src = train_src.sample(False, train_fraction, seed)
-    train = train_src.limit(max_train_rows).select(
-        array_to_vector(as_double_vec(F.col(n_vec))).alias("features")
-    )
-    km = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
-    centroids = [list(map(float, c)) for c in km.clusterCenters()]
+    if centroids is None:
+        centroids = fit_ivf_centroids(
+            candidates,
+            n_lists=n_lists,
+            n_vec=n_vec,
+            seed=seed,
+            train_fraction=train_fraction,
+            max_train_rows=max_train_rows,
+        )
+    if len(centroids) != n_lists:
+        raise ValueError(f"expected {n_lists} centroids, got {len(centroids)}")
 
     def nearest_lists(vec_col, n_keep: int):
         v = as_double_vec(vec_col)

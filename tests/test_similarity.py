@@ -76,3 +76,20 @@ def test_lsh_recall_floor(spark, emb):
     # sign-LSH with 4 bands on 500 random vectors: recall is imperfect by
     # design; the floor guards against blocking bugs (recall ~0).
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_ivf_precomputed_centroids_identical(spark, emb):
+    """The production split: fit_ivf_centroids once, query many times. Same
+    seed => same centroids => byte-identical result to inline training."""
+    from etl_from_s3_to_postgresql_template_spark.operators.similarity import (
+        fit_ivf_centroids,
+        ivf_topk,
+    )
+
+    queries = emb.filter(emb.vec_id < 3).selectExpr("vec_id as q_id", "embedding as q_vec")
+    cands = emb.selectExpr("vec_id as n_id", "embedding as n_vec")
+    cents = fit_ivf_centroids(cands, n_lists=8)
+    assert len(cents) == 8 and all(len(c) == len(cents[0]) for c in cents)
+    inline = ivf_topk(queries, cands, k=5, n_lists=8).collect()
+    fitted = ivf_topk(queries, cands, k=5, n_lists=8, centroids=cents).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, fitted))
