@@ -373,19 +373,20 @@ def connected_components(
     )
     for _ in range(max_iterations):
         msgs = edges.join(labels, edges.src == labels.id).select(
-            F.col("dst").alias("id"), F.col("comp")
+            F.col("dst").alias("id"), F.col("comp"), F.lit(None).cast("long").alias("prev")
         )
+        # Carry each node's previous label THROUGH the min-aggregation (as a
+        # second min over a column only the labels leg populates), so the
+        # convergence check is a filter on the checkpointed result — no
+        # extra join, no extra shuffle per round.
         new_labels = (
-            labels.unionByName(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
+            labels.select("id", "comp", F.col("comp").alias("prev"))
+            .unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"), F.min("prev").alias("prev"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("comp") != F.col("prev")).limit(1).count()
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             return labels
     raise ComponentsNotConverged(

@@ -408,3 +408,118 @@ def dedup_incremental_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fresh.withColumn("rn", rn).filter(F.col("rn") == 1).select("doc_id").orderBy("doc_id")
     )
+
+
+@query(
+    "docs_ngram_novelty",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(len(toks) - 7),
+                    i -> {'gi': i, 'g': md5(array_to_string(toks[i+1:i+8], ' '))})) AS s
+      FROM t WHERE len(toks) >= 8
+    ), occ AS (
+      SELECT doc_id, s.gi AS gi, s.g AS g,
+             ROW_NUMBER() OVER (PARTITION BY s.g ORDER BY doc_id, s.gi) AS rn
+      FROM g
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           ROUND(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 4)
+             AS novelty_ratio
+    FROM occ GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus memorization scan: per document, the fraction of its
+    8-grams that are FIRST occurrences in (doc_id, position) order — low
+    novelty = the document is mostly text already seen earlier in the
+    corpus (near-copy, boilerplate, template). The complement of
+    corpus_decontaminate: that guards the eval boundary, this profiles
+    internal repetition before training.
+
+    Scale: grams collapse to fixed-width hashes immediately (md5 here for
+    the cross-engine oracle; xxhash64 in production — gram STRINGS never
+    shuffle); first-occurrence is one window over the gram-hash
+    partitioning; the per-doc aggregate is map-side combined."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    ).where(F.size("t") >= 8)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 8),"
+                " i -> struct(i as gi, md5(concat_ws(' ', slice(t, i + 1, 8))) as g))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.gi").alias("gi"), F.col("s.g").alias("g"))
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("g").orderBy("doc_id", "gi"))
+    occ = grams.withColumn("rn", rn)
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)) / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("novelty_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "corpus_boilerplate_ngrams",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(len(toks) - 7),
+                    i -> array_to_string(toks[i+1:i+8], ' '))) AS gram
+      FROM t WHERE len(toks) >= 8
+    )
+    SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+           CAST(COUNT(*) AS BIGINT) AS total_count
+    FROM g GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY doc_freq DESC, total_count DESC, gram LIMIT 20
+    """,
+)
+def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: the 8-grams shared by the most documents
+    (headers, footers, license blurbs, navigation chrome) — the removal
+    list every web-corpus pipeline computes before dedup, because
+    boilerplate inflates near-dup similarity between unrelated pages.
+
+    Scale note: UNLIKE the novelty scan this keeps gram strings, because
+    the output IS the human-auditable removal list — but only grams
+    surviving doc_freq >= 2 reach the final top-20 TakeOrdered; the
+    aggregation itself is map-side combined on the gram key, and a
+    production run would pre-collapse to hashes and join strings back for
+    the survivors only."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    ).where(F.size("t") >= 8)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 8), i -> concat_ws(' ', slice(t, i + 1, 8)))")
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("total_count"),
+        )
+        .filter(F.col("doc_freq") >= 2)
+        .orderBy(F.desc("doc_freq"), F.desc("total_count"), "gram")
+        .limit(20)
+    )
