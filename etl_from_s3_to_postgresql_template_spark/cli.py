@@ -71,7 +71,38 @@ def build_parser() -> argparse.ArgumentParser:
         default="fail",
         help="Unreadable source files: fail the day (default) or skip-and-count",
     )
+    p.add_argument(
+        "--env-file",
+        default=".env",
+        help="KEY=VALUE config file loaded before flags resolve (reference "
+        "load_dotenv parity; existing environment wins). Default: ./.env",
+    )
     return p
+
+
+def load_env_file(path: str) -> dict[str, str]:
+    """Minimal .env loader (reference etl_pipeline.py:269-284 uses
+    python-dotenv; same semantics without the dependency): KEY=VALUE lines,
+    '#' comments and blanks skipped, optional single/double quotes
+    stripped, EXISTING environment variables are NOT overridden — the
+    shell outranks the file, exactly like load_dotenv(override=False)."""
+    loaded: dict[str, str] = {}
+    if not os.path.isfile(path):
+        return loaded
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, _, value = line.partition("=")
+            key = key.strip()
+            value = value.strip()
+            if len(value) >= 2 and value[0] == value[-1] and value[0] in "'\"":
+                value = value[1:-1]
+            if key and key not in os.environ:
+                os.environ[key] = value
+                loaded[key] = value
+    return loaded
 
 
 class _BadDate(Exception):
@@ -103,6 +134,16 @@ def _jdbc_sink_from_env(table_name: str):
 
 def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s - %(levelname)s - %(message)s")
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    # .env must load BEFORE the parser builds (env-var flag defaults like
+    # ETL_SOURCE_DIR resolve at build time), so pre-scan for --env-file.
+    env_file = ".env"
+    for i, a in enumerate(argv):
+        if a == "--env-file" and i + 1 < len(argv):
+            env_file = argv[i + 1]
+        elif a.startswith("--env-file="):
+            env_file = a.split("=", 1)[1]
+    load_env_file(env_file)
     args = build_parser().parse_args(argv)
 
     if not args.source_dir:

@@ -4,6 +4,7 @@ main() (etl_pipeline.py:663-727), plus a full run against the e2e fixture."""
 from __future__ import annotations
 
 import gzip
+import os
 
 import pytest
 
@@ -135,3 +136,41 @@ def test_make_jdbc_url_dialects():
     assert make_jdbc_url("mssql", "h", None, "db") == "jdbc:sqlserver://h:1433;databaseName=db"
     with pytest.raises(ValueError, match="Unsupported database type"):
         make_jdbc_url("oracle", "h", None, "db")
+
+
+def test_env_file_loading(cli_source, tmp_path, monkeypatch, spark):
+    """Reference load_dotenv parity: KEY=VALUE file feeds flag defaults
+    (ETL_SOURCE_DIR etc.), quotes are stripped, comments skipped, and a
+    real environment variable outranks the file."""
+    from etl_from_s3_to_postgresql_template_spark.cli import load_env_file
+
+    monkeypatch.delenv("ETL_SOURCE_DIR", raising=False)
+    monkeypatch.delenv("ETL_LAKE_PATH", raising=False)
+    monkeypatch.setenv("ALREADY_SET", "env-wins")
+    envf = tmp_path / "config.env"
+    lake = tmp_path / "lake"
+    envf.write_text(
+        "# comment line\n"
+        f"ETL_SOURCE_DIR={cli_source}\n"
+        f'ETL_LAKE_PATH="{lake}"\n'
+        "ALREADY_SET=file-loses\n"
+        "\n"
+        "not a kv line\n"
+    )
+    loaded = load_env_file(str(envf))
+    assert loaded["ETL_SOURCE_DIR"] == cli_source
+    assert loaded["ETL_LAKE_PATH"] == str(lake)  # quotes stripped
+    assert "ALREADY_SET" not in loaded and os.environ["ALREADY_SET"] == "env-wins"
+
+    # And end-to-end: source dir + lake path come entirely from the file.
+    monkeypatch.delenv("ETL_SOURCE_DIR", raising=False)
+    monkeypatch.delenv("ETL_LAKE_PATH", raising=False)
+    rc = main(["--env-file", str(envf), "--start-date", "2025-02-03", "--table-name", "merged"])
+    assert rc == 0
+    assert spark.read.parquet(f"{lake}/merged").count() == 2
+
+
+def test_missing_env_file_is_fine(cli_source, tmp_path):
+    from etl_from_s3_to_postgresql_template_spark.cli import load_env_file
+
+    assert load_env_file(str(tmp_path / "nope.env")) == {}
