@@ -36,6 +36,8 @@ __all__ = [
     "docs_ngram_novelty",
     "corpus_boilerplate_ngrams",
     "dedup_duplicate_clusters_star",
+    "join_skew_salted",
+    "orders_daily_anomaly",
 ]
 
 
@@ -591,4 +593,103 @@ def dedup_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("id").alias("doc_id"),
         F.col("comp").alias("cluster_id"),
         "cluster_size",
+    )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_custkey AS custkey, c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) :: DOUBLE AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2 ORDER BY n_orders DESC, custkey LIMIT 50
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salted join (operators/skew.py) proven against the PLAIN
+    join's oracle: per-row salt on the fact side, small side replicated
+    n_salts times, join on (key, salt) — the result set is salt-invariant
+    and must hash-match the unsalted equi-join, which is exactly what the
+    oracle compare enforces. This is the explicit fallback for the
+    one-key-hotter-than-an-executor case AQE's skew split can't fix."""
+    from etl_from_s3_to_postgresql_template_spark.operators.skew import salted_join
+    from etl_from_s3_to_postgresql_template_spark.plans.money import _dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    )
+    joined = salted_join(orders, cust, on="o_custkey", n_salts=8)
+    return (
+        joined.groupBy(
+            F.col("o_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy(F.desc("n_orders"), "custkey")
+        .limit(50)
+    )
+
+
+@query(
+    "orders_daily_anomaly",
+    oracle=r"""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS dt, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ), w AS (
+      SELECT dt, n,
+             avg(n) OVER (ORDER BY dt ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS mu,
+             stddev_samp(n) OVER (ORDER BY dt ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sd,
+             COUNT(*) OVER (ORDER BY dt ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS w_n
+      FROM d
+    )
+    SELECT strftime(dt, '%Y-%m-%d') AS order_date, n AS n_orders,
+           ROUND((n - mu) / NULLIF(sd, 0), 4) AS z,
+           COALESCE(w_n >= 3 AND sd > 0 AND abs(ROUND((n - mu) / NULLIF(sd, 0), 4)) > 3, FALSE) AS is_anomaly
+    FROM w ORDER BY order_date
+    """,
+)
+def orders_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational anomaly detection on load volume — the audit-log
+    monitoring query the reference's data_processing_log exists to answer
+    (README.md:211-222 'monitor rows per day'): each day's order count
+    z-scored against its trailing 7-day window; |z| > 3 flags a spike or
+    an ingestion gap.
+
+    Scale note: the window is GLOBAL-ordered, which is normally forbidden
+    (single task) — but it runs on the per-day AGGREGATE (one row per day:
+    thousands of rows for years of data), after the map-side-combined
+    count has already collapsed the fact table. That is the general rule:
+    global windows are fine strictly above a cardinality-collapsing agg."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = (
+        orders.groupBy(F.to_date("o_orderdate").alias("dt"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy("dt").rowsBetween(-7, -1)
+    mu = F.avg("n").over(w)
+    sd = F.stddev_samp("n").over(w)
+    w_n = F.count(F.lit(1)).over(w)
+    return (
+        d.select(
+            F.date_format("dt", "yyyy-MM-dd").alias("order_date"),
+            F.col("n").alias("n_orders"),
+            F.round((F.col("n") - mu) / F.nullif(sd, F.lit(0)), 4).alias("z"),
+            # threshold on the ROUNDED z: the raw double ratio can straddle
+            # 3.0 between engines; the 4-dp rounding both sides share cannot
+            F.coalesce(
+                (w_n >= 3)
+                & (sd > 0)
+                & (F.abs(F.round((F.col("n") - mu) / F.nullif(sd, F.lit(0)), 4)) > 3),
+                F.lit(False),
+            ).alias("is_anomaly"),
+        )
+        .orderBy("order_date")
     )
