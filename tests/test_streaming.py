@@ -232,3 +232,28 @@ def test_rate_source_contract_and_composition(spark, tmp_path):
     assert len(rows) == 200
     assert all(0 <= r["user_id"] < 50 for r in rows)
     assert {r["event_type"] for r in rows} <= {"click", "view", "purchase", "scroll", "login"}
+
+
+def test_transform_with_state_equals_batch(spark):
+    """Runs wherever transformWithStateInPandas' python deps exist (the TWS
+    state protocol needs google.protobuf — skips here): running per-user
+    count+max via the Spark 4 typed-state API must equal the batch
+    aggregate after draining the fixture."""
+    pytest_ = __import__("pytest")
+    pytest_.importorskip("google.protobuf.descriptor")
+    from etl_from_s3_to_postgresql_template_spark.streaming.ingest import (
+        run_tws_user_stats_stream,
+    )
+
+    got = {
+        r["user_id"]: (r["n"], r["max_value"])
+        for r in run_tws_user_stats_stream(spark, SF).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["max_value"])
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("max_value"))
+        .collect()
+    }
+    assert got == want
