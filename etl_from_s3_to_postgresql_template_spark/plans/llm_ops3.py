@@ -38,6 +38,7 @@ __all__ = [
     "dedup_duplicate_clusters_star",
     "join_skew_salted",
     "orders_daily_anomaly",
+    "corpus_weighted_sample",
 ]
 
 
@@ -692,4 +693,71 @@ def orders_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_anomaly"),
         )
         .orderBy("order_date")
+    )
+
+
+@query(
+    "corpus_weighted_sample",
+    oracle=r"""
+    WITH s AS (
+      SELECT lang, source,
+             CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1, 2
+    ), tot AS (
+      SELECT SUM(n_tokens) AS tok_total, COUNT(*) AS n_strata FROM s
+    ), w AS (
+      SELECT lang, source,
+             LEAST((1.0 / tot.n_strata) / (n_tokens / tot.tok_total), 1.0) AS p
+      FROM s CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+             < lower(lpad(to_hex(CAST(floor(w.p * 16777216) AS BIGINT)), 6, '0'))
+             AS kept
+    FROM documents d JOIN w USING (lang, source)
+    ORDER BY d.doc_id
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer of corpus_mixing_weights: ACTUALLY draw the
+    mixture-equalizing sample. Each doc's per-stratum acceptance
+    probability (uniform-target weight, capped at 1) is compared against a
+    uniform-[0,1) value derived from the doc id's md5 — hex prefixes of
+    equal length preserve numeric order, so the comparison runs on strings
+    and both engines agree bit-for-bit. No RNG: membership is stable
+    across runs, engines, partitionings, and replays (the property that
+    makes a sampled corpus reproducible).
+
+    Scale: the weight table is |strata| rows (broadcast by AQE); the draw
+    is a projection — one scan, one tiny join, no shuffle of documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    s = docs.groupBy("lang", "source").agg(F.sum(toks).alias("n_tokens"))
+    tot = s.agg(
+        F.sum("n_tokens").cast("double").alias("tok_total"),
+        F.count(F.lit(1)).cast("double").alias("n_strata"),
+    )
+    w = (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.least(
+                (1.0 / F.col("n_strata")) / (F.col("n_tokens") / F.col("tok_total")),
+                F.lit(1.0),
+            ).alias("p"),
+        )
+    )
+    threshold = F.lower(
+        F.lpad(F.hex(F.floor(F.col("p") * 16777216).cast("long")), 6, "0")
+    )
+    return (
+        docs.join(w, ["lang", "source"])
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6) < threshold).alias("kept"),
+        )
+        .orderBy("doc_id")
     )
