@@ -77,7 +77,15 @@ class ParquetSink:
 
 @dataclass
 class JdbcSink:
-    """JDBC (PostgreSQL et al.) sink with reference-derived defaults."""
+    """JDBC (PostgreSQL et al.) sink with reference-derived defaults.
+
+    Delivery semantics: AT-LEAST-ONCE under task retries — a JDBC write
+    task that fails mid-batch and retries re-inserts its partition (same
+    as the reference's chunk loop on re-run). For exactly-once, land into
+    a staging table keyed by a run/batch id and reconcile (the pattern
+    streaming/sink.foreach_batch_jdbc documents), or make the target table
+    idempotent with a primary key + MERGE. The parquet lake path is
+    exactly-once already (dynamic partition overwrite)."""
 
     url: str  # e.g. jdbc:postgresql://host:5432/db?reWriteBatchedInserts=true
     table_name: str = "table_name"

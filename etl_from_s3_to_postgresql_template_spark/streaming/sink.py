@@ -103,3 +103,51 @@ def run_events_stream_to_jdbc(
 def read_landing(spark: SparkSession, out_path: str, table_name: str = "events_stream") -> DataFrame:
     """Read the foreachBatch parquet landing table back."""
     return spark.read.parquet(f"{out_path}/{table_name}")
+
+
+def run_corpus_stream_to_landing(
+    spark: SparkSession, src_dir: str, out_path: str, checkpoint_dir: str
+) -> None:
+    """Streaming corpus ingestion, end-to-end: file-arrival documents ->
+    per-batch quality gate -> content-hash dedup WITHIN the batch AND
+    against everything already landed -> parquet landing.
+
+    The cross-batch dedup is the incremental-day shape
+    (plans/llm_ops3.dedup_incremental_day): the landed set participates
+    only as its hash column, so history never rescans content. Because
+    membership is content-keyed, the landing is IDEMPOTENT at the content
+    level — a replayed batch (crash before checkpoint commit) or even a
+    full re-run with a fresh checkpoint re-lands nothing, which is
+    stronger than offset-tracking alone and exactly what a training-corpus
+    store needs (a duplicate document is corpus corruption; a missed
+    offset is just latency).
+    """
+    schema = "doc_id long, text string, lang string, source string"
+    docs = spark.readStream.schema(schema).parquet(src_dir)
+    target = f"{out_path}/docs"
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        from etl_from_s3_to_postgresql_template_spark.functions.text import (
+            normalize_text_col,
+        )
+
+        toks = F.size(F.split(F.lower(F.trim("text")), r"\s+"))
+        good = batch_df.filter(toks.between(2, 100_000))
+        # content key = md5 of the CANONICAL normal form (lowercase +
+        # whitespace collapse, the same form exact dedup keys on)
+        hashed = good.withColumn("h", F.md5(normalize_text_col("text"))).dropDuplicates(["h"])
+        try:
+            seen = sess.read.parquet(target).select("h")
+            hashed = hashed.join(seen, "h", "left_anti")
+        except Exception:
+            pass  # first batch: nothing landed yet
+        hashed.write.mode("append").parquet(target)
+
+    q = (
+        docs.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

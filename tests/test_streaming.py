@@ -257,3 +257,55 @@ def test_transform_with_state_equals_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_corpus_pipeline_e2e(spark, tmp_path):
+    """System composition: streaming document arrival -> quality gate ->
+    content dedup (in-batch + vs landed) -> landing -> compaction. Asserts
+    content-level idempotence: cross-run duplicates never re-land, even on
+    a full replay with a fresh checkpoint."""
+    from etl_from_s3_to_postgresql_template_spark.sinks.compact import compact_parquet
+    from etl_from_s3_to_postgresql_template_spark.streaming.sink import (
+        run_corpus_stream_to_landing,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    doc_schema = "doc_id long, text string, lang string, source string"
+
+    def write_docs(rows):
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode("append").parquet(src)
+
+    # Batch 1: 3 good docs (one internal duplicate pair) + 1 too-short doc.
+    write_docs(
+        [
+            (1, "alpha beta gamma delta", "en", "web"),
+            (2, "alpha beta gamma delta", "en", "web"),  # dup of 1 by content
+            (3, "epsilon zeta eta theta", "en", "web"),
+            (4, "tiny", "en", "web"),  # fails quality gate (1 token)
+        ]
+    )
+    run_corpus_stream_to_landing(spark, src, out, str(tmp_path / "ck1"))
+    landed = spark.read.parquet(f"{out}/docs")
+    assert landed.count() == 2
+    assert {r["doc_id"] for r in landed.collect()} == {1, 3}
+
+    # Batch 2: cross-batch duplicate of doc 1 + genuinely new doc.
+    write_docs(
+        [
+            (5, "ALPHA  beta gamma delta", "en", "web"),  # same normalized content as 1
+            (6, "iota kappa lambda mu", "en", "web"),
+        ]
+    )
+    run_corpus_stream_to_landing(spark, src, out, str(tmp_path / "ck1"))
+    assert {r["doc_id"] for r in spark.read.parquet(f"{out}/docs").collect()} == {1, 3, 6}
+
+    # Full replay with a FRESH checkpoint: content idempotence holds.
+    run_corpus_stream_to_landing(spark, src, out, str(tmp_path / "ck2"))
+    assert {r["doc_id"] for r in spark.read.parquet(f"{out}/docs").collect()} == {1, 3, 6}
+
+    # Compaction: many tiny appended files -> 1, content unchanged.
+    report = compact_parquet(spark, f"{out}/docs", target_file_bytes=1 << 30)
+    after = spark.read.parquet(f"{out}/docs")
+    assert {r["doc_id"] for r in after.collect()} == {1, 3, 6}
+    assert report.files_after <= report.files_before
