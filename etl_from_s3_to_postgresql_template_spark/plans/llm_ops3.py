@@ -39,6 +39,9 @@ __all__ = [
     "join_skew_salted",
     "orders_daily_anomaly",
     "corpus_weighted_sample",
+    "streaming_approx_distinct_gate",
+    "dq_referential_integrity",
+    "graph_token_pagerank",
 ]
 
 
@@ -760,4 +763,203 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6) < threshold).alias("kept"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "streaming_approx_distinct_gate",
+    oracle="SELECT TRUE AS found_windows, TRUE AS approx_ok",
+)
+def streaming_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming x sketch composition gate: per-hour APPROX distinct users
+    computed by a real streaming query (HLL++ inside a watermarked tumbling
+    window — the only distinct-count streaming supports at state-bounded
+    cost) must land within 5% of the batch EXACT count for every window.
+    Exact distinct in streaming would require unbounded per-window sets;
+    the sketch is the 100 TB answer, and this gate prices its error."""
+    from etl_from_s3_to_postgresql_template_spark.streaming.ingest import (
+        _run_to_memory,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("a"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"), "a")
+    )
+    streamed = _run_to_memory(spark, agg, "complete")
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("e"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"), "e")
+    )
+    err = F.abs(F.col("a") - F.col("e")) / F.col("e")
+    return streamed.join(exact, "w_start").agg(
+        (F.count(F.lit(1)) > 0).alias("found_windows"),
+        (F.max(err) <= 0.05).alias("approx_ok"),
+    )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'orders.custkey->customer' AS fk,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS orphans
+    UNION ALL
+    SELECT 'lineitem.orderkey->orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.suppkey->supplier',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+                AS BIGINT)
+    ORDER BY fk
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table data-quality: orphan counts for the three fact->dim
+    foreign keys (the check every warehouse runs after every load; the
+    reference's audit table records row counts, this records whether the
+    rows JOIN). Each check is a left-anti join that reduces to a count —
+    keys only, no payload shuffle; AQE picks broadcast when the dim fits."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    def orphans(fact: DataFrame, fk: str, dim: DataFrame, pk: str, label: str) -> DataFrame:
+        n = (
+            fact.select(F.col(fk).alias("k"))
+            .join(dim.select(F.col(pk).alias("k")), "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("orphans"))
+        )
+        return n.select(F.lit(label).alias("fk"), F.col("orphans"))
+
+    return (
+        orphans(orders, "o_custkey", cust, "c_custkey", "orders.custkey->customer")
+        .unionByName(orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem.orderkey->orders"))
+        .unionByName(orphans(li, "l_suppkey", supp, "s_suppkey", "lineitem.suppkey->supplier"))
+        .orderBy("fk")
+    )
+
+
+@query(
+    "graph_token_pagerank",
+    oracle=r"""
+    WITH t AS (
+      SELECT string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+    ), bg AS (
+      SELECT UNNEST(list_transform(range(len(toks) - 1),
+             i -> {'w1': toks[i+1], 'w2': toks[i+2]})) AS s
+      FROM t WHERE len(toks) >= 2
+    ), e AS (
+      SELECT s.w1 AS src, s.w2 AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM bg GROUP BY 1, 2
+    ), nodes AS (
+      SELECT DISTINCT tok FROM (SELECT src AS tok FROM e UNION SELECT dst FROM e)
+    ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outw AS (SELECT src, CAST(SUM(w) AS DOUBLE) AS ow FROM e GROUP BY src),
+    ef AS (
+      SELECT e.src, e.dst, e.w / outw.ow AS f FROM e JOIN outw USING (src)
+    ),
+    r0 AS (SELECT tok, (SELECT 1.0 / n FROM nn) AS r FROM nodes),
+    r1 AS (
+      SELECT nodes.tok,
+             0.15 * (SELECT 1.0 / n FROM nn)
+             + 0.85 * COALESCE(CAST(SUM(CAST(r0.r * ef.f AS DECIMAL(38,15))) AS DOUBLE), 0.0) AS r
+      FROM nodes
+      LEFT JOIN ef ON ef.dst = nodes.tok
+      LEFT JOIN r0 ON r0.tok = ef.src
+      GROUP BY nodes.tok
+    ),
+    r2 AS (
+      SELECT nodes.tok,
+             0.15 * (SELECT 1.0 / n FROM nn)
+             + 0.85 * COALESCE(CAST(SUM(CAST(r1.r * ef.f AS DECIMAL(38,15))) AS DOUBLE), 0.0) AS r
+      FROM nodes
+      LEFT JOIN ef ON ef.dst = nodes.tok
+      LEFT JOIN r1 ON r1.tok = ef.src
+      GROUP BY nodes.tok
+    ),
+    r3 AS (
+      SELECT nodes.tok,
+             0.15 * (SELECT 1.0 / n FROM nn)
+             + 0.85 * COALESCE(CAST(SUM(CAST(r2.r * ef.f AS DECIMAL(38,15))) AS DOUBLE), 0.0) AS r
+      FROM nodes
+      LEFT JOIN ef ON ef.dst = nodes.tok
+      LEFT JOIN r2 ON r2.tok = ef.src
+      GROUP BY nodes.tok
+    )
+    SELECT tok, ROUND(r, 9) AS rank
+    FROM r3 ORDER BY rank DESC, tok LIMIT 20
+    """,
+)
+def graph_token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph algorithm, cross-engine EXACT: 3 unrolled PageRank
+    iterations (damping 0.85, weighted edges = bigram counts) over the
+    token co-occurrence graph, top-20 central tokens. Each iteration's
+    contribution sum accumulates as DECIMAL(38,15) — decimal addition is
+    exact and order-independent, so the double ranks are bit-identical
+    across partitionings AND engines, which is what lets an ITERATIVE
+    algorithm hash-match a recursive oracle at all (a double sum would
+    drift by accumulation order in round 1 and compound).
+
+    Scale shape: per iteration one shuffle join (ranks x edges on src,
+    both hash-partitioned) + one groupBy(dst) — the Pregel cost model; a
+    production run localCheckpoints per iteration past ~5 rounds
+    (operators/dedup.connected_components shows the pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower(F.trim("text")), r"\s+").alias("t")).where(
+        F.size("t") >= 2
+    )
+    n = F.size("t")
+    bigrams = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.slice("t", 2, n - 1),
+        lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+    )
+    e = (
+        toks.select(F.explode(bigrams).alias("s"))
+        .groupBy(F.col("s.src").alias("src"), F.col("s.dst").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("tok"))
+        .unionByName(e.select(F.col("dst").alias("tok")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    outw = e.groupBy("src").agg(F.sum("w").cast("double").alias("ow"))
+    ef = e.join(outw, "src").select("src", "dst", (F.col("w") / F.col("ow")).alias("f"))
+
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "tok", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            ef.join(ranks.select(F.col("tok").alias("src"), "r"), "src")
+            .groupBy("dst")
+            .agg(F.sum((F.col("r") * F.col("f")).cast("decimal(38,15)")).cast("double").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "tok"), "tok", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "tok",
+                (
+                    0.15 * (F.lit(1.0) / F.col("n"))
+                    + 0.85 * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.select("tok", F.round("r", 9).alias("rank"))
+        .orderBy(F.desc("rank"), "tok")
+        .limit(20)
     )
