@@ -407,3 +407,56 @@ def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", "o_custkey", "o_totalprice").orderBy(
         F.desc("o_totalprice"), "o_orderkey"
     ).limit(10)
+
+
+@query(
+    "project_extract_all_dates",
+    oracle=f"""
+    WITH f AS ({_SYNTH_SQL})
+    SELECT o_orderkey, filename, 'iso_date' AS pattern,
+           strftime(true_date, '%Y-%m-%d') AS extracted
+    FROM f WHERE o_orderkey % 4 = 0
+    UNION ALL
+    SELECT o_orderkey, filename, 'year_month', strftime(true_date, '%Y-%m')
+    FROM f WHERE o_orderkey % 4 = 0
+    UNION ALL
+    SELECT o_orderkey, filename, 'compact_date', strftime(true_date, '%Y-%m-%d')
+    FROM f WHERE o_orderkey % 4 = 1
+    UNION ALL
+    SELECT o_orderkey, filename, 'underscore_date', strftime(true_date, '%Y-%m-%d')
+    FROM f WHERE o_orderkey % 4 = 2
+    UNION ALL
+    SELECT o_orderkey, filename, 'dot_date', strftime(true_date, '%Y-%m-%d')
+    FROM f WHERE o_orderkey % 4 = 3
+    ORDER BY o_orderkey, pattern
+    """,
+)
+def project_extract_all_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 table-valued mode (reference extract_all_dates,
+    etl_pipeline.py:217-230, return_format='dict'): ONE ROW PER MATCHING
+    PATTERN instead of first-match-wins. Spark-first this is
+    explode(array(struct(pattern, value))) over the same Column cascade —
+    a generator expression fused with the scan, where a Python UDTF would
+    be a per-row interpreter hop (SURVEY §2.12: explode covers UDTF-shaped
+    needs). The oracle knows the matching patterns by construction of the
+    synthetic filenames."""
+    from etl_from_s3_to_postgresql_template_spark.functions.dates import DEFAULT_PATTERNS
+
+    files = _synth_filenames(spark, sf_dir)
+    candidates = F.array(
+        *[
+            F.struct(
+                F.lit(p.name).alias("pattern"),
+                p.date_str(F.col("filename")).alias("extracted"),
+            )
+            for p in DEFAULT_PATTERNS
+        ]
+    )
+    return (
+        files.select(
+            "o_orderkey", "filename", F.explode(candidates).alias("m")
+        )
+        .filter(F.col("m.extracted").isNotNull())
+        .select("o_orderkey", "filename", F.col("m.pattern").alias("pattern"), F.col("m.extracted").alias("extracted"))
+        .orderBy("o_orderkey", "pattern")
+    )
