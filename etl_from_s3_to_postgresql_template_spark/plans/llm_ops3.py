@@ -42,6 +42,8 @@ __all__ = [
     "streaming_approx_distinct_gate",
     "dq_referential_integrity",
     "graph_token_pagerank",
+    "table_diff_snapshots",
+    "events_cumulative_users",
 ]
 
 
@@ -963,3 +965,103 @@ def graph_token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "tok")
         .limit(20)
     )
+
+
+@query(
+    "table_diff_snapshots",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
+    ), b AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END
+               AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 1
+    )
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM a FULL OUTER JOIN b USING (o_orderkey)
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_orderstatus <> b.o_orderstatus OR a.o_totalprice <> b.o_totalprice
+    ORDER BY o_orderkey
+    """,
+)
+def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the lake-maintenance primitive behind CDC audits and
+    reconciliation (which rows were added / removed / changed between two
+    loads of the same table). Synthetic snapshots derive deterministically
+    from orders so the oracle sees the same pair.
+
+    Scale: ONE full-outer join on the key with change classification in
+    the projection; unchanged rows drop before any further processing. At
+    100 TB both snapshots hash-partition on the key and AQE handles the
+    residual skew; no column-level compare explosion (struct equality is
+    one comparison per column, fused in codegen)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = orders.filter(F.col("o_orderkey") % 3 != 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    aa = a.select([F.col(c).alias(f"a_{c}") for c in a.columns])
+    bb = b.select([F.col(c).alias(f"b_{c}") for c in b.columns])
+    j = aa.join(bb, aa.a_o_orderkey == bb.b_o_orderkey, "full_outer")
+    change = (
+        F.when(F.col("a_o_orderkey").isNull(), "added")
+        .when(F.col("b_o_orderkey").isNull(), "removed")
+        .otherwise("changed")
+    )
+    differs = (
+        F.col("a_o_orderkey").isNull()
+        | F.col("b_o_orderkey").isNull()
+        | (F.col("a_o_orderstatus") != F.col("b_o_orderstatus"))
+        | (F.col("a_o_totalprice") != F.col("b_o_totalprice"))
+    )
+    return (
+        j.filter(differs)
+        .select(
+            F.coalesce("a_o_orderkey", "b_o_orderkey").alias("o_orderkey"),
+            change.alias("change"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "events_cumulative_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ), per_day AS (
+      SELECT d0, CAST(COUNT(*) AS BIGINT) AS new_users FROM first_seen GROUP BY d0
+    )
+    SELECT strftime(d0, '%Y-%m-%d') AS day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d0) AS BIGINT) AS cumulative_users
+    FROM per_day ORDER BY day
+    """,
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth curve: cumulative distinct users by day, EXACTLY, without a
+    running countDistinct (which has no bounded-state distributed form):
+    distinct-over-time reduces to first-event-per-user + a cumulative sum
+    over the per-day new-user counts. Two map-side-combined aggregations
+    + a window over the tiny per-day frame (same rule as
+    orders_daily_anomaly: global windows only above a collapsing agg)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    per_day = first_seen.groupBy("d0").agg(F.count(F.lit(1)).alias("new_users"))
+    cum = F.sum("new_users").over(W.orderBy("d0").rowsBetween(W.unboundedPreceding, 0))
+    return per_day.select(
+        F.date_format("d0", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        cum.alias("cumulative_users"),
+    ).orderBy("day")
