@@ -251,3 +251,246 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+__all__ += [
+    "docs_repeated_spans",
+    "split_leakage_scan",
+    "tokens_heavy_hitters_gate",
+]
+
+
+@query(
+    "docs_repeated_spans",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+    ), g AS (
+      SELECT doc_id, j AS pos, md5(array_to_string(t[j:j+7], ' ')) AS gm
+      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(t) - 7)) AS j)
+      WHERE len(t) >= 8
+    ), dup AS (
+      SELECT gm FROM g GROUP BY gm HAVING COUNT(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT doc_id, pos FROM g WHERE gm IN (SELECT gm FROM dup)
+    ), isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM hits
+    )
+    SELECT doc_id, MIN(pos) AS span_start,
+           MAX(pos) - MIN(pos) + 8 AS span_tokens,
+           COUNT(*) AS n_dup_grams
+    FROM isl GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start
+    """,
+)
+def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") at token
+    granularity: find every maximal token span whose 8-gram windows all
+    occur in at least one OTHER document. Downstream either trims the span
+    or drops the doc — this is the operator behind "remove any substring
+    repeated verbatim across the corpus".
+
+    Spark shape: position-indexed 8-grams via transform(sequence) + slice
+    (no UDF), md5 gram keys (engine-neutral; the scale path swaps in
+    operators/corpus.py::hashed_shingles_col's 8-byte polynomial hashes),
+    one groupBy to find cross-doc grams, one window to merge adjacent hits
+    into maximal spans (islands: pos - row_number). Grams shuffle once;
+    documents never shuffle whole.
+
+    Reference scope note: the reference pipeline has no dedup at all
+    (etl_pipeline.py drops exact-duplicate rows only via pandas
+    drop_duplicates, line ~430); this is north-star E1 surface."""
+    from etl_from_s3_to_postgresql_template_spark.functions.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.transform(tokens_col(F.col("text")), lambda t: F.lower(t))
+    n = 8
+    with_toks = docs.select("doc_id", toks.alias("t")).where(F.size("t") >= n)
+    grams = with_toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                lambda j: F.md5(F.concat_ws(" ", F.slice(F.col("t"), j, n))),
+            )
+        ).alias("pos0", "gm"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gm")
+    dup = (
+        grams.groupBy("gm")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gm")
+    )
+    hits = grams.join(dup, "gm").select("doc_id", "pos")
+    grp = F.col("pos") - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
+    return (
+        hits.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + n).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select("doc_id", "span_start", "span_tokens", "n_dup_grams")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+@query(
+    "split_leakage_scan",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+      FROM embeddings
+    ), q8 AS (
+      SELECT e.vec_id,
+             substring(md5(CAST(e.vec_id AS VARCHAR)), 1, 1) IN ('0', '1') AS is_holdout,
+             list_transform(e.embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / m.max_abs) + 0.5) AS BIGINT)) AS q
+      FROM embeddings e JOIN m USING (vec_id) WHERE m.max_abs > 0
+    ), n AS (
+      SELECT vec_id, is_holdout, q,
+             CAST(list_dot_product(q, q) AS BIGINT) AS nrm FROM q8
+    ), p AS (
+      SELECT h.vec_id AS holdout_id, t.vec_id AS train_id,
+             CAST(list_dot_product(h.q, t.q) AS BIGINT) AS int_dot,
+             CAST(list_dot_product(h.q, t.q) AS DOUBLE)
+               / sqrt(CAST(h.nrm * t.nrm AS DOUBLE)) AS cos_q
+      FROM n h JOIN n t ON h.is_holdout AND NOT t.is_holdout
+    )
+    SELECT holdout_id, train_id, int_dot, ROUND(cos_q, 6) AS cos_q
+    FROM p WHERE cos_q >= 0.40
+    ORDER BY holdout_id, train_id
+    """,
+)
+def split_leakage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/holdout LEAKAGE audit: every (holdout, train) embedding pair
+    whose int8-quantized cosine >= 0.40 — near-duplicates that straddle the
+    split boundary and would inflate eval scores. (Production would gate at
+    ~0.9; the fixture's random embeddings top out near 0.47 cross-split, so
+    the registered threshold is 0.40 to exercise a non-empty report.) Split membership is the
+    same md5 rule as split_train_holdout, so this composes with the corpus
+    splitter; similarity is the int8 tier's EXACT BIGINT dot (quantized
+    cosine: one sqrt over a BIGINT product, written in the same operation
+    order in both engines -> hash-exact, no float-sum order hazard).
+
+    Scale shape: the holdout side (~1/8) is the small side of the
+    cross-comparison and broadcasts; the train/corpus side never shuffles.
+    At real corpus scale the same audit runs with the LSH/IVF blocking
+    tiers as the candidate generator and this exact scorer on candidates
+    only (the operators already compose: similarity.py lsh_topk ->
+    int8 rescoring)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_abs = F.array_max(F.transform("embedding", lambda v: F.abs(v.cast("double"))))
+    q8 = (
+        emb.withColumn("max_abs", max_abs)
+        .where(F.col("max_abs") > 0)
+        .select(
+            "vec_id",
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+            .isin("0", "1")
+            .alias("is_holdout"),
+            F.transform(
+                "embedding",
+                lambda v: F.floor(
+                    v.cast("double") * (F.lit(127.0) / F.col("max_abs")) + F.lit(0.5)
+                ),
+            ).alias("q"),
+        )
+    )
+    dot_qq = F.aggregate(
+        F.zip_with("q", "q", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    normed = q8.withColumn("nrm", dot_qq)
+    hold = normed.where(F.col("is_holdout")).select(
+        F.col("vec_id").alias("holdout_id"), F.col("q").alias("qh"), F.col("nrm").alias("nh")
+    )
+    train = normed.where(~F.col("is_holdout")).select(
+        F.col("vec_id").alias("train_id"), F.col("q").alias("qt"), F.col("nrm").alias("nt")
+    )
+    int_dot = F.aggregate(
+        F.zip_with("qh", "qt", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    pairs = (
+        F.broadcast(hold)
+        .crossJoin(train)
+        .withColumn("int_dot", int_dot)
+        .withColumn(
+            "cos_q",
+            F.col("int_dot").cast("double")
+            / F.sqrt((F.col("nh") * F.col("nt")).cast("double")),
+        )
+    )
+    return (
+        pairs.where(F.col("cos_q") >= 0.40)
+        .select("holdout_id", "train_id", "int_dot", F.round("cos_q", 6).alias("cos_q"))
+        .orderBy("holdout_id", "train_id")
+    )
+
+
+@query(
+    "tokens_heavy_hitters_gate",
+    oracle=r"""
+    WITH tok AS (
+      SELECT UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS t FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM tok),
+    cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_heavy, TRUE AS all_heavy_found
+    FROM cnt, tot WHERE c > n / 50.0
+    """,
+)
+def tokens_heavy_hitters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters as a single-pass sketch, certified by its
+    own guarantee: any token with global frequency > N/k must survive in
+    the union of per-partition MG(k) summaries (pigeonhole over partitions).
+    The mapInPandas stage streams each partition's token batches through a
+    k=50-counter MG dict (bounded memory regardless of vocabulary size —
+    the reason to use MG instead of a groupBy at 100 TB: no shuffle of the
+    long-tail vocabulary, only <= k*partitions candidate rows leave the
+    executors). The gate then computes the EXACT heavy set with a normal
+    aggregate and asserts candidate-superset, reducing the partition-
+    dependent sketch to a deterministic one-row verdict the driver can
+    hash-match (same pattern as the ANN recall gates above).
+
+    Tokenization happens Spark-side (functions/text.py tokens_col) BEFORE
+    the sketch, so the sketch and the exact side see byte-identical
+    tokens."""
+    from etl_from_s3_to_postgresql_template_spark.functions.text import tokens_col
+
+    k = 50
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.transform(tokens_col(F.col("text")), lambda t: F.lower(t))).alias("t")
+    )
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for t in pdf["t"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < k:
+                    counters[t] = 1
+                else:
+                    dead = [key for key in counters if counters[key] == 1]
+                    for key in counters:
+                        counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"t": list(counters), "lb": list(counters.values())})
+
+    candidates = tok.mapInPandas(mg_partition, schema="t string, lb long").select("t").distinct()
+    total = tok.count()
+    exact_heavy = (
+        tok.groupBy("t").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") > total / 50.0)
+    )
+    missed = exact_heavy.join(candidates, "t", "left_anti")
+    return exact_heavy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_heavy"),
+    ).crossJoin(missed.agg((F.count(F.lit(1)) == 0).alias("all_heavy_found")))
