@@ -494,3 +494,136 @@ def tokens_heavy_hitters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_heavy.agg(
         F.count(F.lit(1)).cast("long").alias("n_heavy"),
     ).crossJoin(missed.agg((F.count(F.lit(1)) == 0).alias("all_heavy_found")))
+
+
+__all__ += [
+    "events_wau_rolling",
+    "events_user_paths",
+    "join_skew_diagnosis",
+]
+
+
+@query(
+    "events_wau_rolling",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ), days AS (SELECT DISTINCT d FROM du)
+    SELECT a.d AS day, CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS wau
+    FROM days a JOIN du b ON b.d >= a.d - INTERVAL 6 DAY AND b.d <= a.d
+    GROUP BY a.d ORDER BY a.d
+    """,
+)
+def events_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (WAU curve). DISTINCT
+    inside a sliding window has no window-function form in either engine,
+    so the standard distributed shape is used: dedup to (day, user) pairs
+    first (collapses the raw event volume by the per-day event rate — the
+    only pass over full data), then range-join the pairs to the tiny
+    distinct-day spine (broadcast by AQE) and count distinct per day.
+    Work after the dedup is O(active_pairs * 7), independent of raw event
+    count — the property that keeps this viable at 100 TB of events."""
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    days = du.select(F.col("d").alias("day")).distinct()
+    return (
+        days.join(
+            du,
+            (F.col("d") >= F.expr("day - INTERVAL 6 DAYS")) & (F.col("d") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .orderBy("day")
+    )
+
+
+@query(
+    "events_user_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS l FROM events GROUP BY user_id
+    ), tri AS (
+      SELECT array_to_string(l[j:j+2], '>') AS path
+      FROM seq, LATERAL (SELECT UNNEST(generate_series(1, len(l) - 2)) AS j)
+      WHERE len(l) >= 3
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tri GROUP BY path
+    ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining: the 10 most common 3-step event-type journeys.
+    Per-user ordered reconstruction via sort_array over (ts, event_id,
+    type) structs — one shuffle on user_id, state bounded by the per-user
+    event count (the same bound any sessionization already accepts);
+    trigrams come from a transform(sequence) slice (no UDF, no second
+    shuffle — the trigram counts partial-aggregate map-side). Final top-10
+    is a TakeOrdered, deterministic via the (n DESC, path) tiebreak."""
+    events = load_table(spark, sf_dir, "events")
+    seq = events.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ).alias("l")
+    )
+    tri = (
+        seq.where(F.size("l") >= 3)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - 2),
+                    lambda j: F.concat_ws(">", F.slice(F.col("l"), j, 3)),
+                )
+            ).alias("path")
+        )
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
+
+
+@query(
+    "join_skew_diagnosis",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS total_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_per_key,
+             ROUND(quantile_cont(cnt, 0.5), 4) AS p50,
+             ROUND(quantile_cont(cnt, 0.99), 4) AS p99,
+             ROUND(CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt), 4) AS skew_ratio
+      FROM c
+    ), top AS (SELECT key AS top_key FROM c ORDER BY cnt DESC, key LIMIT 1)
+    SELECT * FROM stats, top
+    """,
+)
+def join_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew report for the orders->customer join key: key count,
+    max/median/p99 per-key cardinality, skew ratio (max/mean), and the
+    heaviest key. This is the measurement that decides between a plain
+    shuffle join, AQE skew splitting, and explicit salting
+    (operators/skew.py) — run it BEFORE burning a 100 TB shuffle, since a
+    single hot key determines the join's straggler tail. One partial-agg
+    shuffle over the key; the report itself is a 1-row reduce."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(F.col("o_custkey").alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.max("cnt").cast("long").alias("max_per_key"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99"),
+        F.round(
+            F.max("cnt").cast("double") * F.count(F.lit(1)) / F.sum("cnt"), 4
+        ).alias("skew_ratio"),
+    )
+    top = c.orderBy(F.desc("cnt"), "key").limit(1).select(F.col("key").alias("top_key"))
+    return stats.crossJoin(top)
