@@ -627,3 +627,99 @@ def join_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = c.orderBy(F.desc("cnt"), "key").limit(1).select(F.col("key").alias("top_key"))
     return stats.crossJoin(top)
+
+
+__all__ += [
+    "text_langid_confusion",
+    "join_null_safe",
+]
+
+
+@query(
+    "text_langid_confusion",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents
+    ), hits AS (
+      SELECT doc_id, lang,
+        len(list_filter(tk, x -> x IN ('der','die','und','das','von','zu','mit','den'))) AS de,
+        len(list_filter(tk, x -> x IN ('the','and','of','to','in','is','a','that'))) AS en,
+        len(list_filter(tk, x -> x IN ('el','la','de','que','y','en','un','los'))) AS es,
+        len(list_filter(tk, x -> x IN ('le','la','de','et','les','des','en','un'))) AS fr,
+        len(list_filter(tk, x -> x IN ('的','是','在','了','和','有','我','不'))) AS zh
+      FROM toks
+    ), pred AS (
+      SELECT lang,
+             CASE WHEN greatest(de,en,es,fr,zh) = 0 THEN 'und'
+                  WHEN de = greatest(de,en,es,fr,zh) THEN 'de'
+                  WHEN en = greatest(de,en,es,fr,zh) THEN 'en'
+                  WHEN es = greatest(de,en,es,fr,zh) THEN 'es'
+                  WHEN fr = greatest(de,en,es,fr,zh) THEN 'fr'
+                  ELSE 'zh' END AS lang_guess
+      FROM hits
+    )
+    SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY lang, lang_guess
+    ORDER BY lang, lang_guess
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a pipeline op: the confusion matrix of the
+    heuristic language-ID (functions/text.py lang_id_col) against the
+    stored ``lang`` label. This is the health check a production corpus
+    pipeline runs after every classifier change — per-(label, prediction)
+    counts, from which precision/recall per language fall out. One
+    narrow projection + one partial-agg shuffle over at most
+    |langs|^2 groups."""
+    from etl_from_s3_to_postgresql_template_spark.functions.text import lang_id_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id_col("text").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT NULLIF(user_id % 10, 0) AS k, COUNT(*) AS n_click
+      FROM events WHERE event_type = 'click' GROUP BY k
+    ), b AS (
+      SELECT NULLIF(user_id % 10, 0) AS k, COUNT(*) AS n_view
+      FROM events WHERE event_type = 'view' GROUP BY k
+    )
+    SELECT a.k, CAST(a.n_click AS BIGINT) AS n_click, CAST(b.n_view AS BIGINT) AS n_view
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY a.k NULLS FIRST
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the NULL key
+    bucket matches itself instead of silently dropping — §2.5 completion
+    for the one equality semantics the pack didn't yet exercise. A plain
+    `=` would lose the NULL group on both sides (a real bug class when a
+    'sentinel becomes NULL' refactor meets an inner join). Null-safe
+    equality still hash-partitions both sides on the key (NULLs co-locate
+    in one partition), so the join stays a shuffle/broadcast hash join —
+    no nested-loop penalty at scale."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.col("user_id") % 10, F.lit(0)).alias("k")
+    a = (
+        events.where(F.col("event_type") == "click")
+        .groupBy(k)
+        .agg(F.count(F.lit(1)).alias("n_click"))
+    )
+    b = (
+        events.where(F.col("event_type") == "view")
+        .groupBy(k)
+        .agg(F.count(F.lit(1)).alias("n_view"))
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .select(a["k"].alias("k"), "n_click", "n_view")
+        .orderBy(F.col("k").asc_nulls_first())
+    )
