@@ -32,9 +32,24 @@ HEADLINE = [
 ]
 
 
+def _calibrate() -> float:
+    """Fixed single-core busy loop (~1 s on an unloaded box). Reported as
+    calib_loop_sec so per-round headline numbers can be normalized for
+    host speed: the shared box's effective CPU throughput varies by >2x
+    between rounds (measured: the same commit benched 6.0 s and ~20 s on
+    different days, with this loop at 1.0 s vs 3.1 s — same ratio).
+    Compare value/calib_loop_sec across rounds, not raw value."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    calib = _calibrate()
     spark = get_spark("bench")
 
     # Warmup phase (untimed): one full pass over every headline query, plus
@@ -77,6 +92,9 @@ def main() -> None:
                 # first timed pass per query, post-warmup (was "cold" before
                 # the warmup phase existed; name kept for round comparability)
                 "cold_total": round(sum(cold.values()), 3),
+                # single-core busy-loop seconds on this host at bench time;
+                # divide `value` by this to compare rounds on a shared box
+                "calib_loop_sec": calib,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

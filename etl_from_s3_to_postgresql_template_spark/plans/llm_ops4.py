@@ -318,13 +318,18 @@ def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos0", "gm"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gm")
-    dup = (
-        grams.groupBy("gm")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("gm")
+    # Cross-doc test as a whole-partition window over the gram key
+    # (min(doc_id) != max(doc_id)  <=>  >=2 distinct docs): the gram
+    # explode materializes ONCE and shuffles once, instead of the
+    # groupBy-then-rejoin form that scans and explodes the corpus twice.
+    wg = W.partitionBy("gm")
+    hits = (
+        grams.withColumn(
+            "is_dup", F.min("doc_id").over(wg) != F.max("doc_id").over(wg)
+        )
+        .where(F.col("is_dup"))
+        .select("doc_id", "pos")
     )
-    hits = grams.join(dup, "gm").select("doc_id", "pos")
     grp = F.col("pos") - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
     return (
         hits.withColumn("grp", grp)
