@@ -728,3 +728,158 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(a["k"].alias("k"), "n_click", "n_view")
         .orderBy(F.col("k").asc_nulls_first())
     )
+
+
+__all__ += [
+    "docs_perplexity_buckets",
+    "docs_dedup_containment",
+    "orders_pareto_abc",
+]
+
+
+def _bigram_logprob_oracle() -> str:
+    from etl_from_s3_to_postgresql_template_spark.plans import registry as _reg
+
+    return _reg.ORACLE["docs_bigram_logprob"]
+
+
+@query(
+    "docs_perplexity_buckets",
+    oracle=f"""
+    WITH base AS ({_bigram_logprob_oracle()})
+    SELECT doc_id, avg_logprob,
+           CASE ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+    FROM base ORDER BY doc_id
+    """,
+)
+def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    document by its LM score (the Laplace-smoothed bigram log-prob from
+    docs_bigram_logprob — same plan, reused) and split the corpus into
+    head/middle/tail terciles. Training mixes then sample tiers at
+    different rates. The tercile assignment is a single global ntile —
+    deterministic via the (score, doc_id) tiebreak; at corpus scale the
+    same assignment comes from approx score quantiles + a per-row CASE
+    (no global sort), the trade documented for the equi-depth histogram."""
+    from etl_from_s3_to_postgresql_template_spark.plans.llm_ops2 import docs_bigram_logprob
+
+    scored = docs_bigram_logprob(spark, sf_dir)
+    tier = F.ntile(3).over(W.orderBy(F.desc("avg_logprob"), "doc_id"))
+    return (
+        scored.withColumn(
+            "tier",
+            F.when(tier == 1, "head").when(tier == 2, "middle").otherwise("tail"),
+        )
+        .select("doc_id", "avg_logprob", "tier")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "docs_dedup_containment",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks)-1),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 4) AS contain_a_in_b,
+           ROUND(len(list_intersect(a.s, b.s)) * 1.0 / len(b.s), 4) AS contain_b_in_a,
+           ROUND(len(list_intersect(a.s, b.s)) * 1.0
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0 / least(len(a.s), len(b.s)) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def docs_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 containment near-dup (Broder's containment coefficient,
+    |A∩B| / |A|): catches SUBSET duplicates — a short doc fully embedded
+    in a longer one — which symmetric Jaccard dilutes below any workable
+    threshold. This is the right detector for quote-expansion and
+    boilerplate-wrapped copies. Same source-blocked pair generation as
+    dedup_ngram_jaccard_exact (blocking keeps the pair count quadratic
+    only within blocks; the MinHash tier generates candidates at scale);
+    gate fires when the smaller side is >=50% contained."""
+    from etl_from_s3_to_postgresql_template_spark.functions.text import shingles_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", "source", F.array_distinct(shingles_col("text", 3)).alias("s"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "source", F.col("s").alias("sa"))
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("source_b"), F.col("s").alias("sb")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    na, nb = F.size("sa"), F.size("sb")
+    return (
+        a.join(b, (F.col("source") == F.col("source_b")) & (F.col("id_a") < F.col("id_b")))
+        .where(inter * 1.0 / F.least(na, nb) >= 0.5)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter * 1.0 / na, 4).alias("contain_a_in_b"),
+            F.round(inter * 1.0 / nb, 4).alias("contain_b_in_a"),
+            F.round(inter * 1.0 / (na + nb - inter), 4).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "orders_pareto_abc",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      FROM orders GROUP BY o_custkey
+    ), tot AS (SELECT SUM(rev) AS t FROM r),
+    ranked AS (
+      SELECT o_custkey, rev,
+             CAST(SUM(rev) OVER (ORDER BY rev DESC, o_custkey) AS DOUBLE)
+               / CAST(t AS DOUBLE) AS cum_share
+      FROM r, tot
+    )
+    SELECT CASE WHEN cum_share <= 0.5 THEN 'A'
+                WHEN cum_share <= 0.8 THEN 'B' ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS class_revenue
+    FROM ranked GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC segmentation: customers ranked by exact-decimal
+    revenue, classified by cumulative revenue share (A: first 50%, B: to
+    80%, C: rest). The running share is a window cumsum over DECIMAL
+    (order-independent exactness -> the class boundary can't flip between
+    engines), divided once into double. The global-order window runs over
+    the per-customer AGGREGATE (|customers| rows, not |orders|) — the
+    volume reduction is what makes a total-order window acceptable; at
+    larger scale the same curve uses repartitionByRange + per-partition
+    prefix sums."""
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev")
+    )
+    tot = r.agg(F.sum("rev").alias("t"))
+    ranked = r.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_share",
+        F.sum("rev").over(W.orderBy(F.desc("rev"), "o_custkey")).cast("double")
+        / F.col("t").cast("double"),
+    )
+    cls = (
+        F.when(F.col("cum_share") <= 0.5, "A")
+        .when(F.col("cum_share") <= 0.8, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("rev"), 2).cast("double").alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
