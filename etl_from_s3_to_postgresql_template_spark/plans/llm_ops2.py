@@ -417,18 +417,20 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
+    from etl_from_s3_to_postgresql_template_spark.operators.dedup import blocked_pair_ids
+
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", "source", F.array_distinct(shingles_col("text", 3)).alias("s")
     )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("source"), F.col("s").alias("sa"))
-    b = sh.select(
-        F.col("doc_id").alias("id_b"), F.col("source").alias("source_b"), F.col("s").alias("sb")
-    )
+    cand = blocked_pair_ids(sh, "source")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
     pairs = (
-        a.join(b, (F.col("source") == F.col("source_b")) & (F.col("id_a") < F.col("id_b")))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .filter((inter / union) >= 0.05)
         .select("id_a", "id_b")
     )
