@@ -199,3 +199,29 @@ def test_no_hinted_broadcast_on_sf_scaled_tables(spark):
                         c in sub for c in ("p_partkey", "s_suppkey", "o_orderkey,", "c_custkey,")
                     ), f"{name}: broadcast hint on an SF-scaled table:\n{sub}"
                     break
+
+
+def test_dynamic_partition_pruning_on_partitioned_lake(spark, tmp_path):
+    """Joining a day-partitioned lake table against a filtered dim must
+    insert a dynamic-pruning subquery on the partition column — at 100 TB
+    this is what keeps a fact-dim join from scanning every partition when
+    the selective filter sits on the dim side."""
+    import pyspark.sql.functions as F
+
+    from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+    ev = load_table(spark, SF, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "lake")
+    ev.write.partitionBy("day").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("2024-01-03", "keep"), ("2024-01-05", "drop")], "day string, tag string"
+    ).where(F.col("tag") == "keep")
+    joined = fact.join(dim, "day")
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "dynamicpruning" in plan.lower()
+    assert joined.count() == ev.where(F.col("day") == "2024-01-03").count()
