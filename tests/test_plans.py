@@ -225,3 +225,50 @@ def test_dynamic_partition_pruning_on_partitioned_lake(spark, tmp_path):
     )
     assert "dynamicpruning" in plan.lower()
     assert joined.count() == ev.where(F.col("day") == "2024-01-03").count()
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark):
+    """Spark's runtime row-level filtering: a selective dim-side filter
+    makes the optimizer build a bloom filter and inject might_contain on
+    the fact side's scan, pruning shuffle input before the join. The
+    size thresholds default to 10 GB scans — correct in production, never
+    reached at fixture scale — so the test lowers them (restored after)
+    purely to prove the engine configuration supports the rewrite."""
+    import pyspark.sql.functions as F
+
+    from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select("l_orderkey", "o_totalprice")
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "might_contain" in plan.lower()
+        # bloom filters admit false positives only: the join result is exact
+        expected = (
+            load_table(spark, SF, "lineitem")
+            .join(
+                load_table(spark, SF, "orders").where(
+                    F.col("o_orderpriority") == "1-URGENT"
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert j.count() == expected
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
