@@ -524,20 +524,28 @@ def events_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside a sliding window has no window-function form in either engine,
     so the standard distributed shape is used: dedup to (day, user) pairs
     first (collapses the raw event volume by the per-day event rate — the
-    only pass over full data), then range-join the pairs to the tiny
-    distinct-day spine (broadcast by AQE) and count distinct per day.
-    Work after the dedup is O(active_pairs * 7), independent of raw event
-    count — the property that keeps this viable at 100 TB of events."""
+    only pass over full data), then EXPLODE each pair into the 7 window
+    days it contributes to and count distinct per day with a plain
+    equi-shuffle. The explode form is O(7 * active_pairs) — linear; the
+    tempting alternative (range-join the pairs against a day spine) is a
+    non-equi join that Spark executes as a nested loop, O(days * pairs),
+    and measured 13x on a 10x fixture (tools/bench_scale.py) before this
+    rewrite. The final equi-join back to the distinct-day spine keeps the
+    output to days that actually had events (spine is tiny; AQE
+    broadcasts it)."""
     events = load_table(spark, sf_dir, "events")
     du = events.select(
         F.date_trunc("day", "ts").alias("d"), "user_id"
     ).distinct()
     days = du.select(F.col("d").alias("day")).distinct()
+    contrib = du.select(
+        F.explode(
+            F.expr("sequence(d, d + INTERVAL 6 DAYS, INTERVAL 1 DAY)")
+        ).alias("day"),
+        "user_id",
+    )
     return (
-        days.join(
-            du,
-            (F.col("d") >= F.expr("day - INTERVAL 6 DAYS")) & (F.col("d") <= F.col("day")),
-        )
+        contrib.join(days, "day")
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
         .orderBy("day")
