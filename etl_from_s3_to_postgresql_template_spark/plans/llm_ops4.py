@@ -896,3 +896,88 @@ def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+__all__ += [
+    "orders_mom_growth",
+    "window_topk_with_ties",
+]
+
+
+@query(
+    "orders_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      FROM orders GROUP BY month
+    )
+    SELECT strftime(month, '%Y-%m') AS month,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+           ROUND((CAST(rev AS DOUBLE) - CAST(lag(rev) OVER w AS DOUBLE))
+                 / CAST(lag(rev) OVER w AS DOUBLE), 4) AS mom_growth
+    FROM m WINDOW w AS (ORDER BY month)
+    ORDER BY month
+    """,
+)
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: monthly revenue with month-over-month
+    growth rate. Aggregates to |months| rows first (the only full-data
+    pass), then a lag window over the tiny aggregate — a global-order
+    window over dozens of rows is free; the growth division happens once
+    per row on DECIMAL-exact sums cast to double in the same order in
+    both engines. Month is emitted as a string (date objects never hash
+    equal cross-engine; repo-wide convention)."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev")
+    )
+    w = W.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return (
+        m.select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            F.round("rev", 2).cast("double").alias("revenue"),
+            F.round(
+                (F.col("rev").cast("double") - prev.cast("double")) / prev.cast("double"), 4
+            ).alias("mom_growth"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "window_topk_with_ties",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             rank() OVER (PARTITION BY o_custkey ORDER BY ROUND(o_totalprice, 0) DESC) AS rnk
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk
+    FROM r WHERE rnk <= 2 AND o_custkey < 100
+    ORDER BY o_custkey, rnk, o_orderkey
+    """,
+)
+def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES per group (rank(), not row_number()): the SQL
+    `FETCH FIRST k ROWS WITH TIES` semantic — equal-valued rows all
+    surface instead of an arbitrary winner being picked. The tie surface
+    is forced by ranking on the price rounded to whole units. Same
+    single Window node / one shuffle as the row_number top-k
+    (window_topk_per_group); only the rank function differs, and rank()
+    needs no unique tiebreak to stay deterministic because ties share a
+    rank by construction."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc(F.round("o_totalprice", 0)))
+    return (
+        orders.where(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 2)
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    )
