@@ -437,6 +437,27 @@ def split_leakage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mg_fold(counters: dict, tokens, k: int) -> dict:
+    """One Misra-Gries fold step over a token sequence with capacity ``k``
+    (classic decrement-all on overflow). Guarantee (the property
+    tests/test_properties.py checks on random streams): after folding any
+    stream of length n, every item with true frequency > n/k is a key of
+    ``counters``; and summing per-partition folds keeps that guarantee
+    globally by pigeonhole. Mutates and returns ``counters``."""
+    for t in tokens:
+        if t in counters:
+            counters[t] += 1
+        elif len(counters) < k:
+            counters[t] = 1
+        else:
+            dead = [key for key in counters if counters[key] == 1]
+            for key in counters:
+                counters[key] -= 1
+            for key in dead:
+                del counters[key]
+    return counters
+
+
 @query(
     "tokens_heavy_hitters_gate",
     oracle=r"""
@@ -477,17 +498,7 @@ def tokens_heavy_hitters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         counters: dict = {}
         for pdf in batches:
-            for t in pdf["t"]:
-                if t in counters:
-                    counters[t] += 1
-                elif len(counters) < k:
-                    counters[t] = 1
-                else:
-                    dead = [key for key in counters if counters[key] == 1]
-                    for key in counters:
-                        counters[key] -= 1
-                    for key in dead:
-                        del counters[key]
+            _mg_fold(counters, pdf["t"], k)
         yield pd.DataFrame({"t": list(counters), "lb": list(counters.values())})
 
     candidates = tok.mapInPandas(mg_partition, schema="t string, lb long").select("t").distinct()
