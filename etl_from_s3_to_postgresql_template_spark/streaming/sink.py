@@ -151,3 +151,47 @@ def run_corpus_stream_to_landing(
         .start()
     )
     q.awaitTermination()
+
+
+def foreach_batch_rollup(rollup_path: str, spec, prepare: Callable | None = None) -> Callable:
+    """Batch writer that FOLDS each micro-batch into an incremental rollup
+    (sinks/incremental.py) instead of landing raw rows: streaming
+    materialized-view maintenance for distributive aggregates.
+
+    foreachBatch is at-least-once; apply_delta's applied-token ledger
+    (token = the batch_id) turns that into exactly-once aggregate state —
+    a replayed batch hits the ledger and no-ops, so the rollup can never
+    double-count. This composes the two delivery mechanisms the engine
+    already tests separately (batch_id-keyed landing, idempotent delta
+    folds) into end-to-end exactly-once rollup maintenance."""
+    from etl_from_s3_to_postgresql_template_spark.sinks.incremental import apply_delta
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        delta = prepare(batch_df) if prepare is not None else batch_df
+        apply_delta(
+            batch_df.sparkSession, rollup_path, delta, spec, token=f"batch-{batch_id}"
+        )
+
+    return _write
+
+
+def run_events_stream_to_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    rollup_path: str,
+    checkpoint_dir: str,
+    spec,
+    prepare: Callable | None = None,
+) -> None:
+    """Stream the events fixture into an incrementally-maintained rollup
+    via foreachBatch + AvailableNow; exactly-once per the ledger above.
+    ``prepare`` projects each raw micro-batch into the spec's key/measure
+    columns (runs inside foreachBatch as a normal batch plan)."""
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(foreach_batch_rollup(rollup_path, spec, prepare))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

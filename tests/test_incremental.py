@@ -87,3 +87,45 @@ def test_out_of_order_days_commute(spark, rollup_dir):
     assert _sorted_rows(got.select(*sorted(got.columns))) == _sorted_rows(
         full.select(*sorted(full.columns))
     )
+
+
+def _prepare(df):
+    return df.select(
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+        F.lit(1).cast("long").alias("n_events"),
+        F.col("value").cast("decimal(18,6)").alias("sum_value"),
+        F.col("ts").alias("first_ts"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+def test_streaming_rollup_maintenance_exactly_once(spark, tmp_path):
+    """Streaming materialized-view maintenance: stream the events fixture
+    through foreach_batch_rollup; the rollup must equal the batch
+    recompute, and replaying the whole stream with a FRESH checkpoint
+    (every batch re-delivered — the worst-case at-least-once scenario)
+    must change nothing, because batch_id tokens hit the ledger."""
+    from etl_from_s3_to_postgresql_template_spark.streaming.sink import (
+        run_events_stream_to_rollup,
+    )
+
+    rollup = str(tmp_path / "rollup")
+    events = load_table(spark, SF, "events")
+    run_events_stream_to_rollup(
+        spark, SF, rollup, str(tmp_path / "ckpt1"), SPEC, prepare=_prepare
+    )
+    full = SPEC.combine(_prepare(events))
+    got = spark.read.parquet(rollup)
+    assert _sorted_rows(got.select(*sorted(got.columns))) == _sorted_rows(
+        full.select(*sorted(full.columns))
+    )
+
+    # full replay: fresh checkpoint -> same batch_ids re-delivered
+    run_events_stream_to_rollup(
+        spark, SF, rollup, str(tmp_path / "ckpt2"), SPEC, prepare=_prepare
+    )
+    got2 = spark.read.parquet(rollup)
+    assert _sorted_rows(got2.select(*sorted(got2.columns))) == _sorted_rows(
+        full.select(*sorted(full.columns))
+    )
