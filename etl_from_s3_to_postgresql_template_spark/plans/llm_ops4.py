@@ -992,3 +992,66 @@ def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 2)
         .orderBy("o_custkey", "rnk", "o_orderkey")
     )
+
+
+__all__ += ["basket_part_pairs_lift"]
+
+
+@query(
+    "basket_part_pairs_lift",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+    pc AS (SELECT l_partkey, COUNT(*) AS c FROM op GROUP BY l_partkey),
+    pp AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_both
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY p1, p2 HAVING COUNT(*) >= 2
+    )
+    SELECT p1, p2, CAST(n_both AS BIGINT) AS n_both,
+           ROUND(CAST(n_both AS DOUBLE) * n.n_orders / (ca.c * cb.c), 4) AS lift
+    FROM pp JOIN pc ca ON pp.p1 = ca.l_partkey
+            JOIN pc cb ON pp.p2 = cb.l_partkey, n
+    ORDER BY lift DESC, p1, p2 LIMIT 20
+    """,
+)
+def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top part pairs by lift (co-occurrence over
+    independence) across order baskets, min support 2 — the association-
+    rule primitive behind recommenders and assortment analysis. The
+    within-basket pair join is an equi self-join on the order key
+    (quadratic only in the per-basket item count, ~4 here — the same
+    bound a priori accepts); part marginals join back by part key; lift
+    arithmetic is one double expression over integer counts, written in
+    the same operation order in both engines. Final top-20 is
+    TakeOrdered with a full (lift, p1, p2) tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.select("l_orderkey").distinct().count()
+    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("o_b"), F.col("l_partkey").alias("p2"))
+    pp = (
+        a.join(b, (F.col("o") == F.col("o_b")) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= 2)
+    )
+    ca = pc.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))
+    cb = pc.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))
+    return (
+        pp.join(ca, "p1")
+        .join(cb, "p2")
+        .select(
+            "p1",
+            "p2",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double") * F.lit(n_orders) / (F.col("c1") * F.col("c2")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "p1", "p2")
+        .limit(20)
+    )
