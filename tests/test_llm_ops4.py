@@ -188,3 +188,62 @@ class TestParetoAbc:
         total = sum(r["class_revenue"] for r in rows)
         assert by_cls["A"]["class_revenue"] / total <= 0.5
         assert (by_cls["A"]["class_revenue"] + by_cls["B"]["class_revenue"]) / total <= 0.8
+
+
+class TestWauRolling:
+    def test_hand_computed_wau(self, spark):
+        import tempfile, os
+
+        rows = [
+            # (event_id, ts, user) — 3 days, users overlap
+            (1, "2024-01-01 01:00:00", 10),
+            (2, "2024-01-01 02:00:00", 11),
+            (3, "2024-01-02 01:00:00", 10),
+            (4, "2024-01-09 01:00:00", 12),  # 8 days later: day1/2 outside its window
+        ]
+        ev = spark.createDataFrame(
+            [(i, t, u, "click", 1.0, "{}") for i, t, u in rows],
+            "event_id long, ts string, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        d = tempfile.mkdtemp()
+        ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        from etl_from_s3_to_postgresql_template_spark.plans.llm_ops4 import events_wau_rolling
+
+        got = {r["day"].strftime("%Y-%m-%d"): r["wau"] for r in events_wau_rolling(spark, d).collect()}
+        # day1: {10,11}; day2: day1+day2 {10,11}; day9 (>6d after day2): {12}
+        assert got == {"2024-01-01": 2, "2024-01-02": 2, "2024-01-09": 1}
+
+
+class TestNullSafeJoin:
+    def test_null_bucket_survives(self, spark):
+        from etl_from_s3_to_postgresql_template_spark.plans.llm_ops4 import join_null_safe
+
+        rows = join_null_safe(spark, "/root/testdata/sf0.001").collect()
+        keys = [r["k"] for r in rows]
+        assert None in keys  # the whole point: NULL==NULL under <=>
+        # and the NULL bucket's counts equal the user_id%10==0 slices
+        from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        nc = ev.where((F.col("user_id") % 10 == 0) & (F.col("event_type") == "click")).count()
+        nv = ev.where((F.col("user_id") % 10 == 0) & (F.col("event_type") == "view")).count()
+        null_row = next(r for r in rows if r["k"] is None)
+        assert (null_row["n_click"], null_row["n_view"]) == (nc, nv)
+
+
+class TestTopkWithTies:
+    def test_ties_all_surface(self, spark):
+        from etl_from_s3_to_postgresql_template_spark.plans.llm_ops4 import (
+            window_topk_with_ties,
+        )
+
+        rows = window_topk_with_ties(spark, "/root/testdata/sf0.001").collect()
+        # rank semantics: within a customer, equal rounded prices share a
+        # rank, and every rnk<=2 row appears — so a customer may have >2 rows
+        by_cust: dict = {}
+        for r in rows:
+            by_cust.setdefault(r["o_custkey"], []).append(r)
+        for cust, rs in by_cust.items():
+            rnks = sorted(r["rnk"] for r in rs)
+            assert rnks[0] == 1
+            assert all(r <= 2 for r in rnks)
