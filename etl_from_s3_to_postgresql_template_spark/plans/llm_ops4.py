@@ -383,12 +383,15 @@ def split_leakage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine: one sqrt over a BIGINT product, written in the same operation
     order in both engines -> hash-exact, no float-sum order hazard).
 
-    Scale shape: the holdout side (~1/8) is the small side of the
-    cross-comparison and broadcasts; the train/corpus side never shuffles.
-    At real corpus scale the same audit runs with the LSH/IVF blocking
-    tiers as the candidate generator and this exact scorer on candidates
-    only (the operators already compose: similarity.py lsh_topk ->
-    int8 rescoring)."""
+    Scale shape: the holdout side (~1/8) is the smaller side of the
+    cross-comparison; no broadcast HINT — it grows with corpus size, so
+    the choice belongs to AQE (broadcast at fixture scale, shuffle when
+    the 1/8 outgrows executor memory; hinting it would OOM at 100 TB —
+    the exact failure mode tests/test_plans.py's no-hinted-broadcast
+    guard exists for). At real corpus scale the same audit runs with the
+    LSH/IVF blocking tiers as the candidate generator and this exact
+    scorer on candidates only (the operators already compose:
+    similarity.py lsh_topk -> int8 rescoring)."""
     emb = load_table(spark, sf_dir, "embeddings")
     max_abs = F.array_max(F.transform("embedding", lambda v: F.abs(v.cast("double"))))
     q8 = (
@@ -421,8 +424,7 @@ def split_leakage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with("qh", "qt", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v
     )
     pairs = (
-        F.broadcast(hold)
-        .crossJoin(train)
+        hold.crossJoin(train)
         .withColumn("int_dot", int_dot)
         .withColumn(
             "cos_q",

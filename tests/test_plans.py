@@ -196,7 +196,17 @@ def test_no_hinted_broadcast_on_sf_scaled_tables(spark):
                     break  # 1-row/grouped scalar: cardinality no longer the relation's
                 if "Relation" in sub:
                     assert not any(
-                        c in sub for c in ("p_partkey", "s_suppkey", "o_orderkey,", "c_custkey,")
+                        c in sub
+                        for c in (
+                            "p_partkey",
+                            "s_suppkey",
+                            "o_orderkey,",
+                            "c_custkey,",
+                            # corpus-scaled tables: a hint here OOMs at 100 TB
+                            "doc_id,",
+                            "vec_id,",
+                            "event_id,",
+                        )
                     ), f"{name}: broadcast hint on an SF-scaled table:\n{sub}"
                     break
 
