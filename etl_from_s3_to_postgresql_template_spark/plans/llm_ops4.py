@@ -1057,3 +1057,152 @@ def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "p1", "p2")
         .limit(20)
     )
+
+
+__all__ += ["corpus_prep_funnel2"]
+
+
+@query(
+    "corpus_prep_funnel2",
+    oracle=f"""
+    WITH lp AS ({_bigram_logprob_oracle()}),
+    tier AS (
+      SELECT doc_id,
+             ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) <= 2 AS ok_ppl
+      FROM lp
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, md5(array_to_string(t[j:j+7], ' ')) AS gm
+      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(t) - 7)) AS j)
+      WHERE len(t) >= 8
+    ),
+    dupg AS (SELECT gm FROM g GROUP BY gm HAVING COUNT(DISTINCT doc_id) >= 2),
+    exposure AS (
+      SELECT doc_id, COUNT(*) AS n_grams,
+             SUM(CASE WHEN gm IN (SELECT gm FROM dupg) THEN 1 ELSE 0 END) AS n_dup
+      FROM g GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(CASE WHEN len(toks2) >= 3
+                  THEN list_transform(range(1, len(toks2)-1),
+                                      i -> toks2[i] || ' ' || toks2[i+1] || ' ' || toks2[i+2])
+                  ELSE [array_to_string(toks2, ' ')] END) AS s
+      FROM (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks2 FROM documents)
+    ),
+    losers AS (
+      SELECT DISTINCT b.doc_id AS doc_id
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0 / least(len(a.s), len(b.s)) >= 0.5
+    ),
+    flags AS (
+      SELECT d.doc_id,
+             COALESCE(t.ok_ppl, FALSE) AS ok_ppl,
+             COALESCE(e.n_dup * 1.0 / e.n_grams, 0) < 0.3 AS ok_span,
+             l.doc_id IS NULL AS ok_cont
+      FROM documents d
+      LEFT JOIN tier t USING (doc_id)
+      LEFT JOIN exposure e USING (doc_id)
+      LEFT JOIN losers l USING (doc_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS input_docs,
+           CAST(SUM(CASE WHEN ok_ppl THEN 1 ELSE 0 END) AS BIGINT) AS after_perplexity,
+           CAST(SUM(CASE WHEN ok_ppl AND ok_span THEN 1 ELSE 0 END) AS BIGINT) AS after_span_gate,
+           CAST(SUM(CASE WHEN ok_ppl AND ok_span AND ok_cont THEN 1 ELSE 0 END) AS BIGINT)
+             AS after_containment
+    FROM flags
+    """,
+)
+def corpus_prep_funnel2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-2 corpus-governance funnel, the capstone composition of the
+    round's new operators: CCNet perplexity terciles (keep head+middle)
+    -> repeated-span exposure gate (drop docs where >=30% of 8-grams are
+    verbatim cross-doc duplicates, the ExactSubstr exposure measure) ->
+    containment dedup (drop the larger doc of any >=50%-contained pair).
+    One hash-checked row of cumulative survivor counts; the oracle
+    re-derives every stage independently, so drift in ANY composed
+    operator (LM scoring, tercile ntile, gram semantics, containment
+    blocking) breaks the match — the integration test for the wave-2
+    surface, mirroring corpus_prep_funnel for wave 1.
+
+    Flags are computed corpus-wide and conjoined (not re-staged): each
+    stage's statistic is defined on the full corpus, which keeps every
+    stage one independent pass over the same scan."""
+    from etl_from_s3_to_postgresql_template_spark.functions.text import (
+        shingles_col,
+        tokens_col,
+    )
+    from etl_from_s3_to_postgresql_template_spark.operators.dedup import blocked_pair_ids
+    from etl_from_s3_to_postgresql_template_spark.plans.llm_ops2 import docs_bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    tier_ok = docs_bigram_logprob(spark, sf_dir).select(
+        "doc_id",
+        (F.ntile(3).over(W.orderBy(F.desc("avg_logprob"), "doc_id")) <= 2).alias("ok_ppl"),
+    )
+
+    n = 8
+    toks = F.transform(tokens_col(F.col("text")), lambda t: F.lower(t))
+    grams = (
+        docs.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                    lambda j: F.md5(F.concat_ws(" ", F.slice(F.col("t"), j, n))),
+                )
+            ).alias("gm"),
+        )
+    )
+    wg = W.partitionBy("gm")
+    exposure = (
+        grams.withColumn("is_dup", F.min("doc_id").over(wg) != F.max("doc_id").over(wg))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup"),
+        )
+        .select(
+            "doc_id", ((F.col("n_dup") * 1.0 / F.col("n_grams")) < 0.3).alias("ok_span")
+        )
+    )
+
+    sh = docs.select("doc_id", "source", F.array_distinct(shingles_col("text", 3)).alias("s"))
+    cand = blocked_pair_ids(sh, "source")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    losers = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .where(inter * 1.0 / F.least(F.size("sa"), F.size("sb")) >= 0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_loser", F.lit(True))
+    )
+
+    flags = (
+        docs.select("doc_id")
+        .join(tier_ok, "doc_id", "left")
+        .join(exposure, "doc_id", "left")
+        .join(losers, "doc_id", "left")
+        .select(
+            F.coalesce("ok_ppl", F.lit(False)).alias("ok_ppl"),
+            F.coalesce("ok_span", F.lit(True)).alias("ok_span"),
+            F.col("is_loser").isNull().alias("ok_cont"),
+        )
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("input_docs"),
+        F.sum(F.col("ok_ppl").cast("long")).alias("after_perplexity"),
+        F.sum((F.col("ok_ppl") & F.col("ok_span")).cast("long")).alias("after_span_gate"),
+        F.sum(
+            (F.col("ok_ppl") & F.col("ok_span") & F.col("ok_cont")).cast("long")
+        ).alias("after_containment"),
+    )
