@@ -139,3 +139,48 @@ def test_real_codec_contract_pyav(spark):
     frames = sample_frames(df, every=2).collect()
     assert frames and all(r["frame_idx"] % 2 == 0 for r in frames)
     assert all(len(bytes(r["frame"])) == 32 * 24 * 3 for r in frames)
+
+class TestAudioPcmStats:
+    def _stats(self, spark, payload: bytes):
+        import struct as _struct
+
+        import pandas as pd
+
+        from etl_from_s3_to_postgresql_template_spark.operators.multimodal import (
+            audio_pcm_stats,
+        )
+
+        blob = b"AUD!" + _struct.pack(">II", 8000, len(payload)) + payload
+        df = spark.createDataFrame(
+            pd.DataFrame({"media_id": [0], "blob": [bytearray(blob)]})
+        )
+        return audio_pcm_stats(df).collect()[0]
+
+    def test_silence_is_zero_rms(self, spark):
+        r = self._stats(spark, bytes([128] * 64))
+        assert r["rms"] == 0.0 and r["peak"] == 0 and r["zero_crossings"] == 0
+
+    def test_square_wave_known_stats(self, spark):
+        # alternating 0 / 255 (centered -128 / +127): crossing at every
+        # adjacent pair; rms = sqrt((128^2 + 127^2)/2) rounded half-up
+        import math
+
+        payload = bytes([0, 255] * 32)
+        r = self._stats(spark, payload)
+        assert r["peak"] == 128
+        assert r["zero_crossings"] == 63
+        expect = math.floor(math.sqrt((128 * 128 + 127 * 127) / 2) * 10000 + 0.5) / 10000
+        assert r["rms"] == expect
+
+    def test_non_audio_blobs_filtered(self, spark):
+        import pandas as pd
+
+        from etl_from_s3_to_postgresql_template_spark.operators.multimodal import (
+            audio_pcm_stats,
+            synthetic_media_table,
+        )
+
+        media = synthetic_media_table(spark, n=30)
+        out = audio_pcm_stats(media).collect()
+        assert all(r["media_id"] % 3 == 1 for r in out)
+        assert len(out) == 10
