@@ -42,6 +42,7 @@ __all__ = [
     "resize_images",
     "sample_frames",
     "audio_pcm_stats",
+    "image_ahash",
     "have_real_codecs",
 ]
 
@@ -363,3 +364,47 @@ def audio_pcm_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     return df.mapInPandas(
         run, "media_id long, n_samples long, peak long, rms double, zero_crossings long"
     )
+
+
+def image_ahash(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """REAL image perceptual hashing (aHash), no codec dependency: the
+    IMG! payload IS the decoded grayscale raster (w*h bytes, row-major),
+    which is exactly what PIL.convert('L') would hand us. 8x8 nearest-
+    neighbor downsample -> 64 mean-threshold bits -> 16-hex-char hash.
+    This is the image near-dup primitive (pHash family): Hamming distance
+    between ahashes finds resized/re-encoded copies, composing with the
+    banded Hamming search tier (similarity_topk_hamming) at corpus scale.
+
+    Everything is INTEGER arithmetic — the mean comparison is written as
+    pixel*64 > sum (no division), so the DuckDB oracle reproduces the
+    hash exactly from the md5 payload construction."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, blob in zip(pdf["media_id"], pdf[blob_col]):
+                b = bytes(blob)
+                if b[:4] != b"IMG!":
+                    continue
+                w, h = struct.unpack(">II", b[4:12])
+                arr = np.frombuffer(b[12 : 12 + w * h], dtype=np.uint8).reshape(h, w)
+                si = (np.arange(8) * h) // 8
+                sj = (np.arange(8) * w) // 8
+                thumb = arr[np.ix_(si, sj)].astype(np.int64)
+                total = int(thumb.sum())
+                bits = (thumb.flatten() * 64 > total).astype(int)
+                val = 0
+                for bit in bits:
+                    val = (val << 1) | int(bit)
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "width": int(w),
+                        "height": int(h),
+                        "ahash": format(val, "016x"),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "width", "height", "ahash"])
+
+    return df.mapInPandas(run, "media_id long, width long, height long, ahash string")

@@ -231,3 +231,59 @@ def multimodal_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthetic_media_table(spark, n=300)
     return audio_pcm_stats(media).orderBy("media_id")
+
+
+@query(
+    "multimodal_image_ahash",
+    oracle="""
+    WITH m AS (
+      SELECT media_id,
+             CAST(16 + (media_id % 8) * 4 AS BIGINT) AS w,
+             CAST(16 + (media_id % 5) * 4 AS BIGINT) AS h
+      FROM range(300) t(media_id) WHERE media_id % 3 = 0
+    ), hx AS (
+      SELECT media_id, w, h,
+             array_to_string(list_transform(range(CAST(ceil(w*h / 16.0) AS BIGINT)),
+                                            i -> md5(media_id || ':' || i)), '') AS hexfull
+      FROM m
+    ), pix AS (
+      SELECT media_id, w, h, p.k AS k,
+             (((p.k // 8) * h) // 8) * w + (((p.k % 8) * w) // 8) AS idx, hexfull
+      FROM hx, UNNEST(range(64)) p(k)
+    ), val AS (
+      SELECT media_id, w, h, k,
+             (instr('0123456789abcdef', substr(hexfull, CAST(2*idx + 1 AS BIGINT), 1)) - 1) * 16
+             + instr('0123456789abcdef', substr(hexfull, CAST(2*idx + 2 AS BIGINT), 1)) - 1 AS v
+      FROM pix
+    ), bits AS (
+      SELECT media_id, w, h, k,
+             CASE WHEN v * 64 > SUM(v) OVER (PARTITION BY media_id) THEN 1 ELSE 0 END AS b
+      FROM val
+    ), nib AS (
+      SELECT media_id, w, h, k // 4 AS n,
+             SUM(b * (1 << CAST(3 - (k % 4) AS BIGINT))) AS nv
+      FROM bits GROUP BY media_id, w, h, n
+    )
+    SELECT media_id, MAX(w) AS width, MAX(h) AS height,
+           string_agg(substr('0123456789abcdef', CAST(nv + 1 AS BIGINT), 1), '' ORDER BY n)
+             AS ahash
+    FROM nib GROUP BY media_id ORDER BY media_id
+    """,
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: REAL image perceptual hashing (aHash — 8x8 nearest-neighbor
+    thumbnail, mean-threshold bits), oracle-paired bit-for-bit: the
+    DuckDB twin re-synthesizes every raster from the md5 construction
+    and rebuilds the 64-bit hash nibble by nibble, all in integer
+    arithmetic (threshold written as pixel*64 > sum — no division). With
+    audio PCM stats above, both non-video modalities now run REAL
+    feature extraction with no codec dependency and full hash checks;
+    Hamming distance over these hashes is the image near-dup detector
+    (composes with the banded Hamming search tier at scale)."""
+    from etl_from_s3_to_postgresql_template_spark.operators.multimodal import (
+        image_ahash,
+        synthetic_media_table,
+    )
+
+    media = synthetic_media_table(spark, n=300)
+    return image_ahash(media).orderBy("media_id")

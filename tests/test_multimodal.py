@@ -184,3 +184,50 @@ class TestAudioPcmStats:
         out = audio_pcm_stats(media).collect()
         assert all(r["media_id"] % 3 == 1 for r in out)
         assert len(out) == 10
+
+
+class TestImageAhash:
+    def _hashes(self, spark, blobs):
+        import pandas as pd
+
+        from etl_from_s3_to_postgresql_template_spark.operators.multimodal import (
+            image_ahash,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"media_id": list(range(len(blobs))), "blob": [bytearray(b) for b in blobs]}
+            )
+        )
+        return {r["media_id"]: r["ahash"] for r in image_ahash(df).collect()}
+
+    @staticmethod
+    def _img(pixels, w, h):
+        import struct as _struct
+
+        return b"IMG!" + _struct.pack(">II", w, h) + bytes(pixels)
+
+    @staticmethod
+    def _hamming(a: str, b: str) -> int:
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    def test_near_duplicate_images_have_close_hashes(self, spark):
+        import random
+
+        rng = random.Random(7)
+        w = h = 16
+        base = [rng.randrange(256) for _ in range(w * h)]
+        brightened = [min(255, p + 10) for p in base]  # global brightness shift
+        unrelated = [rng.randrange(256) for _ in range(w * h)]
+        hs = self._hashes(
+            spark,
+            [self._img(base, w, h), self._img(brightened, w, h), self._img(unrelated, w, h)],
+        )
+        assert self._hamming(hs[0], hs[1]) <= 8  # aHash is brightness-robust
+        assert self._hamming(hs[0], hs[2]) > 16  # random images differ
+
+    def test_identical_images_identical_hash_regardless_of_id(self, spark):
+        w, h = 20, 24
+        pix = [(i * 37) % 256 for i in range(w * h)]
+        hs = self._hashes(spark, [self._img(pix, w, h), self._img(pix, w, h)])
+        assert hs[0] == hs[1]
