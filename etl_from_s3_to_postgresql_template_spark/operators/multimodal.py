@@ -43,6 +43,7 @@ __all__ = [
     "sample_frames",
     "audio_pcm_stats",
     "image_ahash",
+    "video_frame_hashes",
     "have_real_codecs",
 ]
 
@@ -408,3 +409,53 @@ def image_ahash(df: DataFrame, blob_col: str = "blob") -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "width", "height", "ahash"])
 
     return df.mapInPandas(run, "media_id long, width long, height long, ahash string")
+
+
+def video_frame_hashes(df: DataFrame, boundary_hamming: int = 20, blob_col: str = "blob") -> DataFrame:
+    """REAL video temporal analysis on the synthetic container: each VID!
+    frame is a 64-byte 8x8 grayscale raster; compute the per-frame aHash
+    (same integer mean-threshold as image_ahash, thumbnail = identity at
+    8x8) and flag shot boundaries where consecutive frames' Hamming
+    distance exceeds ``boundary_hamming`` — the standard first pass of
+    video dedup/segmentation (frame-sample -> hash -> boundary/near-dup).
+    Integer-only, so the oracle reproduces every bit."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, blob in zip(pdf["media_id"], pdf[blob_col]):
+                b = bytes(blob)
+                if b[:4] != b"VID!":
+                    continue
+                _, n_frames = struct.unpack(">II", b[4:12])
+                prev = None
+                for fi in range(n_frames):
+                    fr = np.frombuffer(
+                        b[12 + fi * FRAME_BYTES : 12 + (fi + 1) * FRAME_BYTES],
+                        dtype=np.uint8,
+                    ).astype(np.int64)
+                    total = int(fr.sum())
+                    val = 0
+                    for px in fr:
+                        val = (val << 1) | int(px * 64 > total)
+                    ham = None if prev is None else bin(val ^ prev).count("1")
+                    out.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": fi,
+                            "ahash": format(val, "016x"),
+                            "hamming_prev": ham,
+                            "is_shot_boundary": bool(ham is not None and ham > boundary_hamming),
+                        }
+                    )
+                    prev = val
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "frame_idx", "ahash", "hamming_prev", "is_shot_boundary"],
+            )
+
+    return df.mapInPandas(
+        run,
+        "media_id long, frame_idx long, ahash string, hamming_prev long, is_shot_boundary boolean",
+    )

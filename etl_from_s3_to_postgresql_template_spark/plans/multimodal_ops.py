@@ -287,3 +287,65 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthetic_media_table(spark, n=300)
     return image_ahash(media).orderBy("media_id")
+
+
+@query(
+    "multimodal_video_shot_bounds",
+    oracle="""
+    WITH m AS (
+      SELECT media_id, CAST(2 + media_id % 6 AS BIGINT) AS nf
+      FROM range(300) t(media_id) WHERE media_id % 3 = 2
+    ), hx AS (
+      SELECT media_id, nf,
+             array_to_string(list_transform(range(CAST(ceil(nf*64 / 16.0) AS BIGINT)),
+                                            i -> md5(media_id || ':' || i)), '') AS hexfull
+      FROM m
+    ), v AS (
+      SELECT media_id, p.k // 64 AS fi, p.k % 64 AS k,
+             (instr('0123456789abcdef', substr(hexfull, CAST(2*p.k + 1 AS BIGINT), 1)) - 1) * 16
+             + instr('0123456789abcdef', substr(hexfull, CAST(2*p.k + 2 AS BIGINT), 1)) - 1 AS px
+      FROM hx, UNNEST(range(nf*64)) p(k)
+    ), bits AS (
+      SELECT media_id, fi, k,
+             CASE WHEN px * 64 > SUM(px) OVER (PARTITION BY media_id, fi)
+                  THEN 1 ELSE 0 END AS b
+      FROM v
+    ), nib AS (
+      SELECT media_id, fi, k // 4 AS n,
+             SUM(b * (1 << CAST(3 - (k % 4) AS BIGINT))) AS nv
+      FROM bits GROUP BY media_id, fi, n
+    ), hashes AS (
+      SELECT media_id, fi,
+             string_agg(substr('0123456789abcdef', CAST(nv + 1 AS BIGINT), 1), '' ORDER BY n)
+               AS ahash
+      FROM nib GROUP BY media_id, fi
+    ), ham AS (
+      SELECT a.media_id, a.fi,
+             CAST(SUM(CASE WHEN a.b <> p.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming_prev
+      FROM bits a JOIN bits p
+        ON a.media_id = p.media_id AND a.k = p.k AND p.fi = a.fi - 1
+      GROUP BY a.media_id, a.fi
+    )
+    SELECT h.media_id, h.fi AS frame_idx, h.ahash, ham.hamming_prev,
+           COALESCE(ham.hamming_prev > 20, FALSE) AS is_shot_boundary
+    FROM hashes h LEFT JOIN ham ON ham.media_id = h.media_id AND ham.fi = h.fi
+    ORDER BY h.media_id, h.fi
+    """,
+)
+def multimodal_video_shot_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: REAL video temporal analysis — per-frame aHash over the 8x8
+    frame rasters plus consecutive-frame Hamming distance and shot-
+    boundary flags (threshold 20 bits), the frame-sample -> hash ->
+    segment pass every video dedup pipeline starts with. The oracle
+    re-synthesizes every frame and recomputes hashes AND Hamming
+    distances bit-for-bit in SQL. With audio PCM and image aHash, all
+    three modalities now run real, fully hash-checked feature
+    extraction; only container-format entropy decode remains
+    dependency-gated."""
+    from etl_from_s3_to_postgresql_template_spark.operators.multimodal import (
+        synthetic_media_table,
+        video_frame_hashes,
+    )
+
+    media = synthetic_media_table(spark, n=300)
+    return video_frame_hashes(media).orderBy("media_id", "frame_idx")

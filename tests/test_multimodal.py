@@ -231,3 +231,28 @@ class TestImageAhash:
         pix = [(i * 37) % 256 for i in range(w * h)]
         hs = self._hashes(spark, [self._img(pix, w, h), self._img(pix, w, h)])
         assert hs[0] == hs[1]
+
+
+class TestVideoShotBounds:
+    def test_planted_shot_boundary(self, spark):
+        import struct as _struct
+
+        import pandas as pd
+
+        from etl_from_s3_to_postgresql_template_spark.operators.multimodal import (
+            video_frame_hashes,
+        )
+
+        # 3 frames: two identical gradients, then an inverted one (every
+        # threshold bit flips -> hamming 64 -> boundary)
+        grad = bytes(range(64))
+        inv = bytes(255 - i for i in range(64))
+        blob = b"VID!" + _struct.pack(">II", (8 << 16) | 8, 3) + grad + grad + inv
+        df = spark.createDataFrame(
+            pd.DataFrame({"media_id": [0], "blob": [bytearray(blob)]})
+        )
+        rows = sorted(video_frame_hashes(df).collect(), key=lambda r: r["frame_idx"])
+        assert [r["is_shot_boundary"] for r in rows] == [False, False, True]
+        assert rows[1]["hamming_prev"] == 0
+        assert rows[2]["hamming_prev"] > 20
+        assert rows[0]["ahash"] == rows[1]["ahash"] != rows[2]["ahash"]
