@@ -1206,3 +1206,64 @@ def corpus_prep_funnel2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ok_ppl") & F.col("ok_span") & F.col("ok_cont")).cast("long")
         ).alias("after_containment"),
     )
+
+
+__all__ += ["corpus_shard_balance"]
+
+
+@query(
+    "corpus_shard_balance",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(instr('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) % 8
+               AS shard_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), s AS (
+      SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens
+      FROM d GROUP BY shard_id
+    ), tot AS (SELECT SUM(tokens) AS t, MAX(tokens) AS mx, MIN(tokens) AS mn FROM s)
+    SELECT s.shard_id, s.n_docs, s.tokens,
+           ROUND(CAST(s.tokens AS DOUBLE) / t, 4) AS token_share,
+           ROUND(CAST(mx AS DOUBLE) / mn, 4) AS balance_ratio
+    FROM s, tot ORDER BY s.shard_id
+    """,
+)
+def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-training shard assignment + balance audit: docs map to
+    8 shards by content-hash (first md5 nibble mod 8 — deterministic,
+    engine-neutral, stable under corpus growth like the split/sample
+    rules), and the report gives per-shard doc/token totals plus the
+    max/min token ratio — the number that predicts straggler epochs in a
+    data-parallel training job. One projection + one 8-group aggregate;
+    the balance scalar rides along as a 1-row broadcast."""
+    from etl_from_s3_to_postgresql_template_spark.functions.text import token_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    nibble = (
+        F.expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1))")
+        - 1
+    ).cast("long")
+    d = docs.select(
+        (nibble % 8).alias("shard_id"), token_count_col(F.col("text")).alias("n_tokens")
+    )
+    s = d.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("tokens")
+    )
+    tot = s.agg(
+        F.sum("tokens").alias("t"), F.max("tokens").alias("mx"), F.min("tokens").alias("mn")
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "shard_id",
+            "n_docs",
+            "tokens",
+            F.round(F.col("tokens").cast("double") / F.col("t"), 4).alias("token_share"),
+            F.round(F.col("mx").cast("double") / F.col("mn"), 4).alias("balance_ratio"),
+        )
+        .orderBy("shard_id")
+    )
