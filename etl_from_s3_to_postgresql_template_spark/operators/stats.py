@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Row, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["footer_stats"]
+__all__ = ["footer_stats", "parquet_rowgroup_stats"]
 
 _V1_KEY = "spark.sql.sources.useV1SourceList"
 _PUSH_KEY = "spark.sql.parquet.aggregatePushdown"
@@ -67,3 +67,69 @@ def footer_stats(
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
+
+
+def parquet_rowgroup_stats(spark: SparkSession, paths: list[str]):
+    """Row-group zone maps straight from parquet footers, computed
+    EXECUTOR-side: distribute the file list, each task opens only the
+    footer with pyarrow (no data pages) and emits per-(row_group, column)
+    min/max/count. This is the real version of events_zone_map_skip's
+    simulated zones — the statistics a lake maintenance job aggregates
+    into its catalog, at O(files) cost. The file list parallelizes like
+    any DataFrame; at 100 TB with millions of files this runs as a normal
+    distributed map, never on the driver.
+
+    Values render as strings (ints/strings verbatim, timestamps
+    ISO-formatted) to stay engine-neutral against DuckDB's
+    parquet_metadata() oracle."""
+    import datetime
+
+    import pandas as pd  # noqa: F811 (executor-side import mirrors module style)
+
+    def render(v) -> str | None:
+        if v is None:
+            return None
+        if isinstance(v, datetime.datetime):
+            return v.strftime("%Y-%m-%d %H:%M:%S")
+        if isinstance(v, bytes):
+            return v.decode("utf-8", "replace")
+        return str(v)
+
+    def run(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for path in pdf["path"]:
+                md = pq.ParquetFile(path).metadata
+                for rg_i in range(md.num_row_groups):
+                    rg = md.row_group(rg_i)
+                    for c_i in range(rg.num_columns):
+                        col = rg.column(c_i)
+                        st = col.statistics
+                        out.append(
+                            {
+                                "row_group_id": rg_i,
+                                "column_name": col.path_in_schema,
+                                "num_values": col.num_values,
+                                "min_value": render(st.min if st else None),
+                                "max_value": render(st.max if st else None),
+                            }
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "row_group_id",
+                    "column_name",
+                    "num_values",
+                    "min_value",
+                    "max_value",
+                ],
+            )
+
+    files = spark.createDataFrame([(p,) for p in paths], "path string")
+    return files.mapInPandas(
+        run,
+        "row_group_id long, column_name string, num_values long, "
+        "min_value string, max_value string",
+    )

@@ -1267,3 +1267,27 @@ def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+__all__ += ["scan_rowgroup_stats"]
+
+
+# rows-only in the driver gate BY NECESSITY, not by weakness: the oracle
+# contract passes table VIEWS, and parquet_metadata() needs the file PATH,
+# which the oracle SQL cannot receive. The full DuckDB cross-check runs in
+# tests/test_stats_pushdown.py instead (same comparison, path known).
+@query("scan_rowgroup_stats")
+def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real parquet footer introspection, distributed: per-(row_group,
+    column) min/max/count read executor-side with pyarrow (footer only,
+    zero data pages) — the actual zone maps the scan planner prunes
+    with, exposed as a queryable table and cross-checked against
+    DuckDB's parquet_metadata(). See operators/stats.py for the scale
+    shape (O(files) distributed map)."""
+    from etl_from_s3_to_postgresql_template_spark.operators.stats import (
+        parquet_rowgroup_stats,
+    )
+
+    return parquet_rowgroup_stats(spark, [f"{sf_dir}/orders.parquet"]).orderBy(
+        "row_group_id", "column_name"
+    )

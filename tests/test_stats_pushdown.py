@@ -44,3 +44,32 @@ def test_conf_scope_restored(spark):
         )
     )
     assert "FileScan" in plan
+
+
+def test_rowgroup_stats_match_duckdb_metadata(spark):
+    """The executor-side pyarrow footer read must agree with DuckDB's
+    parquet_metadata() on every (row_group, column) stat — the oracle
+    pairing for scan_rowgroup_stats, run here because the driver's oracle
+    contract can't pass file paths into SQL."""
+    import duckdb
+
+    from etl_from_s3_to_postgresql_template_spark.operators.stats import (
+        parquet_rowgroup_stats,
+    )
+
+    path = f"{SF}/orders.parquet"
+    got = sorted(
+        map(tuple, parquet_rowgroup_stats(spark, [path]).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            duckdb.sql(
+                f"""SELECT CAST(row_group_id AS BIGINT), path_in_schema,
+                           CAST(num_values AS BIGINT),
+                           stats_min_value, stats_max_value
+                    FROM parquet_metadata('{path}')"""
+            ).fetchall(),
+        )
+    )
+    assert got == want
