@@ -1291,3 +1291,40 @@ def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parquet_rowgroup_stats(spark, [f"{sf_dir}/orders.parquet"]).orderBy(
         "row_group_id", "column_name"
     )
+
+
+__all__ += ["scan_python_datasource"]
+
+
+@query(
+    "scan_python_datasource",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS event_id,
+           CAST(i % 150 AS BIGINT) AS user_id,
+           ['click','view','purchase','scroll','login'][(i % 5) + 1] AS event_type,
+           (i % 9973) / 100.0 AS value
+    FROM range(10000) t(i) ORDER BY event_id
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-connector scan via the Spark 4 Python DataSource API
+    (sources/pyds.py): register a pure-Python source, read it like any
+    format, and hash-verify every generated row against the closed-form
+    oracle — proving partition planning + per-partition reads end to end.
+    This is the extension seam that replaces the reference's boto3
+    download loop with a real partitioned source."""
+    from etl_from_s3_to_postgresql_template_spark.sources.pyds import (
+        SyntheticEventsDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 10000)
+        .option("partitions", 8)
+        .load()
+        .orderBy("event_id")
+    )

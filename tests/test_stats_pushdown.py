@@ -73,3 +73,25 @@ def test_rowgroup_stats_match_duckdb_metadata(spark):
         )
     )
     assert got == want
+
+
+def test_python_datasource_partition_planning(spark):
+    """The custom Python source must split into the requested number of
+    independent partitions (no single-task read) and respect options."""
+    from etl_from_s3_to_postgresql_template_spark.sources.pyds import (
+        SyntheticEventsDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 1000)
+        .option("partitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 1000
+    assert df.select("event_id").distinct().count() == 1000  # disjoint slices
