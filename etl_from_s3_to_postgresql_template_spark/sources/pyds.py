@@ -63,3 +63,52 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _SliceReader(self.options)
+
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+__all__ += ["SyntheticEventsStreamDataSource"]
+
+
+class _SliceStreamReader(SimpleDataSourceStreamReader):
+    """Offset-managed streaming read of the same deterministic rows: the
+    offset is just the next row index, each micro-batch advances it by
+    ``rows_per_batch``. ``readBetweenOffsets`` regenerates any committed
+    range on replay — the determinism that makes restart recovery
+    exactly-once (the same contract a Kafka offset range gives)."""
+
+    def __init__(self, options: dict) -> None:
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.n_users = int(options.get("n_users", 150))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def _rows(self, start: int, end: int):
+        return [
+            (i, i % self.n_users, EVENT_TYPES[i % 5], (i % 9973) / 100.0)
+            for i in range(start, end)
+        ]
+
+    def read(self, start: dict):
+        end = {"i": start["i"] + self.rows_per_batch}
+        return iter(self._rows(start["i"], end["i"])), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["i"], end["i"]))
+
+
+class SyntheticEventsStreamDataSource(DataSource):
+    """``spark.readStream.format("synthetic_events_stream")`` after
+    registration: an UNBOUNDED custom source with Python-side offset
+    tracking (checkpointed by the engine like any streaming source)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self) -> str:
+        return "event_id long, user_id long, event_type string, value double"
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _SliceStreamReader(self.options)
