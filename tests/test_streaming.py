@@ -363,3 +363,77 @@ def test_python_streaming_datasource_offsets_and_restart(spark, tmp_path):
     from pyspark.sql import functions as SF
 
     assert both.agg(SF.min("event_id"), SF.max("event_id")).collect()[0] == (0, n2 - 1)
+
+
+def test_stream_stream_left_outer_null_emission(spark, tmp_path):
+    """Left-outer stream-stream join semantics: an unmatched left row must
+    emit with NULLs — but only after BOTH sides' watermarks pass its join
+    window (until then it could still match). Planted: user 1's purchase
+    has an error within the 10-minute lookback (matches), user 2's has
+    none (must null-emit); late 'pusher' rows on both sides advance the
+    two-sided watermark past the window. A row whose window the final
+    watermark has NOT passed (the pusher purchase itself) must NOT emit —
+    emitting it early would be wrong, not incomplete."""
+    import pyspark.sql.functions as SF
+
+    src = str(tmp_path / "src")
+    import os
+
+    os.makedirs(src)
+    sch = "event_id long, ts string, user_id long, event_type string, value double, props string"
+    rows1 = [
+        (1, "2024-01-01 10:00:00", 1, "purchase", 1.0, "{}"),
+        (2, "2024-01-01 09:58:00", 1, "error", 1.0, "{}"),
+        (3, "2024-01-01 10:00:00", 2, "purchase", 1.0, "{}"),
+    ]
+    rows2 = [
+        (8, "2024-01-01 13:00:00", 98, "purchase", 1.0, "{}"),
+        (9, "2024-01-01 13:00:00", 99, "error", 1.0, "{}"),
+    ]
+    for name, rows in (("f1.parquet", rows1), ("f2.parquet", rows2)):
+        spark.createDataFrame(rows, sch).withColumn(
+            "ts", SF.col("ts").cast("timestamp")
+        ).write.mode("overwrite").parquet(os.path.join(src, name))
+    schema = spark.read.parquet(os.path.join(src, "f1.parquet")).schema
+
+    def build():
+        raw = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(
+            src + "/*/"
+        )
+        p = (
+            raw.filter(SF.col("event_type") == "purchase")
+            .select(SF.col("event_id").alias("pid"), "user_id", SF.col("ts").alias("p_ts"))
+            .withWatermark("p_ts", "1 minute")
+        )
+        e = (
+            raw.filter(SF.col("event_type") == "error")
+            .select(
+                SF.col("event_id").alias("eid"),
+                SF.col("user_id").alias("eu"),
+                SF.col("ts").alias("e_ts"),
+            )
+            .withWatermark("e_ts", "1 minute")
+        )
+        return p.join(
+            e,
+            (p.user_id == e.eu)
+            & (e.e_ts >= SF.expr("p_ts - INTERVAL 10 MINUTES"))
+            & (e.e_ts <= p.p_ts),
+            "leftOuter",
+        )
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    for _ in range(2):  # second run = no-data batch that flushes outer state
+        q = (
+            build()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = {r["pid"]: r for r in spark.read.parquet(out).collect()}
+    assert got[1]["eid"] == 2  # matched within lookback
+    assert got[3]["eid"] is None and got[3]["eu"] is None  # null-emitted
+    assert 8 not in got  # window not yet past watermark: correctly withheld
