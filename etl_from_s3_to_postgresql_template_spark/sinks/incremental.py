@@ -15,14 +15,21 @@ sketch / t-digest column instead, or recompute — refusing them here is a
 contract, not a limitation (see plans/llm_ops.py agg_approx_sketches for
 the sketch tier).
 
-Idempotent replay: every delta application is tagged with a caller token
-(e.g. the day being applied) recorded in a ``_applied`` ledger next to
-the rollup. Re-applying an already-applied token is a no-op — the same
-guarantee foreachBatch gives the streaming landing sink (streaming/
-sink.py), here for batch backfills, so a retried orchestrator step can't
-double-count. Scale shape: the combine touches |rollup| + |delta| rows
-(rollup tables are aggregate-sized, orders smaller than facts); the
-rewrite-and-swap follows sinks/merge.py's safe-swap discipline.
+Idempotent replay, with the commit made ATOMIC: the rollup directory
+holds BOTH the aggregate parquet (``data/``) and the applied-token
+ledger (``_applied/``), and every application builds a complete new
+directory then swaps it in with one rename — so the data and the token
+recording it can never be committed separately, and a crash at any point
+either leaves the old state (retry applies cleanly) or the new state
+(retry no-ops on the ledger). A crash BETWEEN the two swap renames is
+repaired on the next call: the backup directory is detected and restored
+before anything else happens. This gives exactly-once folds to
+at-least-once callers (retried orchestrator steps, foreachBatch
+replays — streaming/sink.py foreach_batch_rollup builds on it).
+
+Scale shape: the combine touches |rollup| + |delta| rows (rollup tables
+are aggregate-sized, orders smaller than facts); the rewrite-and-swap
+follows sinks/merge.py's safe-swap discipline.
 """
 
 from __future__ import annotations
@@ -32,7 +39,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["RollupSpec", "apply_delta"]
+__all__ = ["RollupSpec", "apply_delta", "read_rollup"]
 
 
 @dataclass
@@ -62,6 +69,24 @@ def _fs(spark: SparkSession, path: str):
     )
 
 
+def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """The current rollup contents (the ``data/`` side of the directory)."""
+    return spark.read.parquet(rollup_path.rstrip("/") + "/data")
+
+
+def _recover(fs, Path, root: str, bak: str) -> None:
+    """Repair a crash between the swap renames: if the backup exists and
+    the live directory doesn't, the old state is intact in the backup —
+    restore it. If both exist, the swap completed and only backup cleanup
+    was lost — delete the backup."""
+    if fs.exists(Path(bak)):
+        if not fs.exists(Path(root)):
+            if not fs.rename(Path(bak), Path(root)):
+                raise IOError(f"rollup recovery failed: cannot restore {bak}")
+        else:
+            fs.delete(Path(bak), True)
+
+
 def apply_delta(
     spark: SparkSession,
     rollup_path: str,
@@ -72,31 +97,36 @@ def apply_delta(
     """Fold ``delta`` rows (raw or pre-aggregated) into the rollup at
     ``rollup_path`` under ``spec``. Returns True if applied, False if
     ``token`` was already applied (idempotent no-op). First application
-    creates the rollup."""
-    ledger_path = rollup_path.rstrip("/") + "._applied"
-    fs, Path = _fs(spark, rollup_path)
+    creates the rollup. Crash-safe: see module docstring."""
+    root = rollup_path.rstrip("/")
+    tmp, bak = root + ".inc.tmp", root + ".inc.bak"
+    fs, Path = _fs(spark, root)
+    _recover(fs, Path, root, bak)
+    fs.delete(Path(tmp), True)  # stale tmp from a crashed build is garbage
 
-    if fs.exists(Path(ledger_path)):
-        applied = {r[0] for r in spark.read.parquet(ledger_path).collect()}
+    exists = fs.exists(Path(root))
+    if exists:
+        applied = {r[0] for r in spark.read.parquet(f"{root}/_applied").collect()}
         if token in applied:
             return False
 
     partial = spec.combine(delta)
-    if fs.exists(Path(rollup_path)):
-        current = spark.read.parquet(rollup_path)
-        merged = spec.combine(current.unionByName(partial))
-        tmp = rollup_path.rstrip("/") + ".inc.tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        bak = rollup_path.rstrip("/") + ".inc.bak"
-        fs.rename(Path(rollup_path), Path(bak))
-        if not fs.rename(Path(tmp), Path(rollup_path)):
-            fs.rename(Path(bak), Path(rollup_path))
-            raise IOError(f"incremental swap failed for {rollup_path}")
-        fs.delete(Path(bak), True)
-    else:
-        partial.write.mode("overwrite").parquet(rollup_path)
-
-    spark.createDataFrame([(token,)], "token string").write.mode("append").parquet(
-        ledger_path
+    merged = (
+        spec.combine(read_rollup(spark, root).unionByName(partial)) if exists else partial
     )
+    # build the COMPLETE next state under tmp: data + ledger incl. token
+    merged.write.mode("overwrite").parquet(f"{tmp}/data")
+    ledger = spark.createDataFrame([(token,)], "token string")
+    if exists:
+        ledger = spark.read.parquet(f"{root}/_applied").unionByName(ledger)
+    ledger.write.mode("overwrite").parquet(f"{tmp}/_applied")
+
+    if exists:
+        if not fs.rename(Path(root), Path(bak)):
+            raise IOError(f"incremental swap failed: cannot back up {root}")
+    if not fs.rename(Path(tmp), Path(root)):
+        if exists:
+            fs.rename(Path(bak), Path(root))  # roll back; old state intact
+        raise IOError(f"incremental swap failed for {root}")
+    fs.delete(Path(bak), True)
     return True
