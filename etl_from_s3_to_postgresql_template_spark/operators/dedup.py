@@ -259,11 +259,20 @@ def simhash_candidates(
     id_col: str = "doc_id",
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+    return_oversized: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on ``bands`` 16-bit chunks (a pair
     within Hamming distance ``bands-1`` shares >=1 identical chunk — the
     standard pigeonhole blocking), verify exact Hamming distance in-bucket.
-    Output: (id_a, id_b, hamming)."""
+    Output: (id_a, id_b, hamming).
+
+    Chunk buckets above ``max_bucket_size`` (one dominant boilerplate
+    template collapses thousands of docs onto the same 16-bit chunk and
+    reintroduces the b^2 blow-up) are EXCLUDED from pair generation —
+    same windowed cap-and-report contract as minhash_candidates; pass
+    ``return_oversized=True`` for the (chunk_id, chunk_val, bucket_size)
+    report of what was dropped. No silent caps."""
     # simhash recomputes once per join side; at corpus scale write
     # signatures to parquet instead of caching in executor memory
     sh = spread_partitions(df).select(F.col(id_col), simhash_col(text_col).alias("simhash"))
@@ -281,22 +290,37 @@ def simhash_candidates(
     exploded = sh.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
         id_col, "simhash", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk_val").alias("chunk_val")
     )
-    a = exploded.select(
+    # Bucket cap via window (distributed; see minhash_candidates for why
+    # not collect_list). Size-1 buckets can't pair — dropped here too.
+    w = Window.partitionBy("chunk_id", "chunk_val")
+    sized = exploded.withColumn("bucket_size", F.count(F.lit(1)).over(w))
+    ok = sized.filter(
+        (F.col("bucket_size") > 1) & (F.col("bucket_size") <= max_bucket_size)
+    ).drop("bucket_size")
+    a = ok.select(
         F.col("chunk_id"), F.col("chunk_val"),
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"),
     )
-    b = exploded.select(
+    b = ok.select(
         F.col("chunk_id"), F.col("chunk_val"),
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"),
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
+    out = (
         a.join(b, ["chunk_id", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    if not return_oversized:
+        return out
+    oversized = (
+        exploded.groupBy("chunk_id", "chunk_val")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+    return out, oversized
 
 
 def blocked_pair_ids(
@@ -511,6 +535,8 @@ def fuzzy_pairs_blocked(
     band_width: int = 64,
     topk: int = 30,
     id_col: str = "doc_id",
+    max_block_size: int = 500,
+    return_oversized: bool = False,
 ) -> DataFrame:
     """Edit-distance near-dup search with blocking: the ``topk`` closest
     same-block pairs by Levenshtein distance over the first ``prefix_len``
@@ -519,6 +545,15 @@ def fuzzy_pairs_blocked(
     into sum-per-block O(b^2), at the documented cost of missing pairs
     whose lengths straddle a band edge (run twice with offset bands to
     close that gap).
+
+    Blocks above ``max_block_size`` (one dominant (lang, source) stratum —
+    e.g. a crawl that is 90% en/common_crawl — would reintroduce the b^2
+    blow-up AQE skew-split can only partially absorb) are EXCLUDED from
+    pair generation, same windowed cap-and-report contract as
+    minhash_candidates; ``return_oversized=True`` adds the
+    (lang, source, band, block_size) report of what was dropped. No
+    silent caps — a production run shrinks band_width or sub-blocks on a
+    content prefix before re-admitting an oversized stratum.
 
     Scale shape: one hash self-join on the 3-part block key (no
     broadcast — both sides are the corpus; AQE splits skewed blocks),
@@ -531,15 +566,20 @@ def fuzzy_pairs_blocked(
         F.floor(F.col("n_chars") / band_width).alias("band"),
         F.substring("text", 1, prefix_len).alias("prefix"),
     )
-    a = d.select([F.col(c).alias(f"{c}_a") for c in d.columns])
-    b = d.select([F.col(c).alias(f"{c}_b") for c in d.columns])
+    w = Window.partitionBy("lang", "source", "band")
+    sized = d.withColumn("block_size", F.count(F.lit(1)).over(w))
+    ok = sized.filter(
+        (F.col("block_size") > 1) & (F.col("block_size") <= max_block_size)
+    ).drop("block_size")
+    a = ok.select([F.col(c).alias(f"{c}_a") for c in ok.columns])
+    b = ok.select([F.col(c).alias(f"{c}_b") for c in ok.columns])
     on = (
         (F.col("lang_a") == F.col("lang_b"))
         & (F.col("source_a") == F.col("source_b"))
         & (F.col("band_a") == F.col("band_b"))
         & (F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
     )
-    return (
+    out = (
         a.join(b, on)
         .select(
             f"{id_col}_a",
@@ -549,3 +589,11 @@ def fuzzy_pairs_blocked(
         .orderBy("dist", f"{id_col}_a", f"{id_col}_b")
         .limit(topk)
     )
+    if not return_oversized:
+        return out
+    oversized = (
+        d.groupBy("lang", "source", "band")
+        .agg(F.count(F.lit(1)).alias("block_size"))
+        .filter(F.col("block_size") > max_block_size)
+    )
+    return out, oversized

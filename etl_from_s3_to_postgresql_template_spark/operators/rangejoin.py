@@ -36,13 +36,36 @@ def _band(ts: Column, band_seconds: int) -> Column:
     return F.floor(F.unix_timestamp(ts) / F.lit(band_seconds))
 
 
+def auto_band_seconds(
+    intervals: DataFrame, start_col: str, end_col: str, floor_seconds: int = 60
+) -> int:
+    """Measure the median interval length and use it as the band width.
+
+    The band-width sweet spot tracks the data, not a constant: bands much
+    narrower than the typical interval multiply the interval side by
+    (length/band) exploded rows; much wider degrades toward a nested loop
+    within each band. The median (percentile_approx over the interval
+    frame — one cheap scalar aggregate, the only driver-side value this
+    operator ever pulls) lands within 2x of optimal for unimodal length
+    distributions, and band choice NEVER affects results (the exact
+    predicate is always applied as residual) — only cost. The r3 10x
+    stress measured join_interval_banded super-linear (8.7x) with a
+    hardcoded 3600 s band; auto-pick removes that class of drift as data
+    distributions shift."""
+    length = F.unix_timestamp(F.col(end_col)) - F.unix_timestamp(F.col(start_col))
+    med = intervals.select(F.percentile_approx(length, 0.5, 1000).alias("m")).first()["m"]
+    if med is None or med <= 0:
+        return 3600
+    return max(floor_seconds, int(med))
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
     ts_col: str,
     start_col: str,
     end_col: str,
-    band_seconds: int,
+    band_seconds: int | None = None,
     how: str = "inner",
 ) -> DataFrame:
     """Join each point row to every interval row with
@@ -52,9 +75,13 @@ def interval_join(
     none (the caller aliases); the returned frame has all columns of both
     minus the internal band column. `how` supports 'inner' and
     'left_semi' (points that fall in at least one interval).
+    ``band_seconds=None`` auto-picks from the measured median interval
+    length (auto_band_seconds).
     """
     if how not in ("inner", "left_semi"):
         raise ValueError(f"unsupported join type: {how}")
+    if band_seconds is None:
+        band_seconds = auto_band_seconds(intervals, start_col, end_col)
     p = points.withColumn(BAND_COL, _band(F.col(ts_col), band_seconds))
     iv = intervals.withColumn(
         BAND_COL,

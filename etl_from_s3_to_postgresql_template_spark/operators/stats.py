@@ -109,6 +109,10 @@ def parquet_rowgroup_stats(spark: SparkSession, paths: list[str]):
                         st = col.statistics
                         out.append(
                             {
+                                # path disambiguates multi-file calls:
+                                # without it, row groups from different
+                                # files collide on (row_group_id, column)
+                                "path": path,
                                 "row_group_id": rg_i,
                                 "column_name": col.path_in_schema,
                                 "num_values": col.num_values,
@@ -119,6 +123,7 @@ def parquet_rowgroup_stats(spark: SparkSession, paths: list[str]):
             yield pd.DataFrame(
                 out,
                 columns=[
+                    "path",
                     "row_group_id",
                     "column_name",
                     "num_values",
@@ -130,6 +135,6 @@ def parquet_rowgroup_stats(spark: SparkSession, paths: list[str]):
     files = spark.createDataFrame([(p,) for p in paths], "path string")
     return files.mapInPandas(
         run,
-        "row_group_id long, column_name string, num_values long, "
+        "path string, row_group_id long, column_name string, num_values long, "
         "min_value string, max_value string",
     )

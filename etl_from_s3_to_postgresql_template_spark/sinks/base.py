@@ -29,6 +29,24 @@ class Sink(Protocol):
     def write_audit(self, audit_df: DataFrame) -> None: ...
 
 
+def jdbc_target_from_env(default_url: str | None = None) -> tuple[str | None, dict[str, str]]:
+    """The real-database seam: ``JDBC_URL`` (plus optional ``JDBC_USER`` /
+    ``JDBC_PASSWORD``) point the JDBC benchmark and the end-to-end sink
+    test at an actual PostgreSQL/MySQL endpoint with zero code change —
+    today's container has none, so both default to embedded Derby
+    (``default_url``). Credentials ride as connection PROPERTIES, never in
+    the URL (URLs end up in logs and the Spark UI)."""
+    import os
+
+    url = os.environ.get("JDBC_URL", default_url)
+    props = {
+        k: os.environ[e]
+        for k, e in (("user", "JDBC_USER"), ("password", "JDBC_PASSWORD"))
+        if e in os.environ
+    }
+    return url, props
+
+
 def make_jdbc_url(
     dialect: str, host: str, port: str | int | None, database: str
 ) -> str:

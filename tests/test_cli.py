@@ -174,3 +174,21 @@ def test_missing_env_file_is_fine(cli_source, tmp_path):
     from etl_from_s3_to_postgresql_template_spark.cli import load_env_file
 
     assert load_env_file(str(tmp_path / "nope.env")) == {}
+
+
+def test_jdbc_target_from_env(monkeypatch):
+    from etl_from_s3_to_postgresql_template_spark.sinks.base import jdbc_target_from_env
+
+    monkeypatch.delenv("JDBC_URL", raising=False)
+    url, props = jdbc_target_from_env("jdbc:derby:/tmp/x;create=true")
+    assert url == "jdbc:derby:/tmp/x;create=true" and props == {}
+
+    monkeypatch.setenv("JDBC_URL", make_jdbc_url("postgresql", "pg.example", None, "lake"))
+    monkeypatch.setenv("JDBC_USER", "etl")
+    monkeypatch.setenv("JDBC_PASSWORD", "s3cret")
+    url, props = jdbc_target_from_env("jdbc:derby:/tmp/x;create=true")
+    # the PG-specific batching option must be present in the built URL ...
+    assert url == "jdbc:postgresql://pg.example:5432/lake?reWriteBatchedInserts=true"
+    # ... and credentials ride as properties, never inside the URL
+    assert props == {"user": "etl", "password": "s3cret"}
+    assert "s3cret" not in url

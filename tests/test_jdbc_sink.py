@@ -32,8 +32,14 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture()
 def derby_url(tmp_path):
-    # derby.system.home defaults to CWD; absolute db path keeps it in tmp
-    return f"jdbc:derby:{tmp_path}/db;create=true"
+    # derby.system.home defaults to CWD; absolute db path keeps it in tmp.
+    # Setting JDBC_URL in the environment retargets every test in this file
+    # at a real PostgreSQL endpoint unmodified (sinks/base.py seam) — the
+    # container has none, so the default is embedded Derby.
+    from etl_from_s3_to_postgresql_template_spark.sinks.base import jdbc_target_from_env
+
+    url, _props = jdbc_target_from_env(f"jdbc:derby:{tmp_path}/db;create=true")
+    return url
 
 
 def _read_table(spark, url: str, table: str):

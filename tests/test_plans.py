@@ -282,3 +282,13 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_split_leakage_scan_is_blocked(spark):
+    """The registered leakage audit must be the IVF-blocked plan: every join
+    an equi-join (list_id candidates, then rescore) — no unblocked cross
+    join anywhere. The all-pairs form lives only in split_leakage_scan_exact
+    (the fixture-scale ground truth)."""
+    plan = _plan(spark, "split_leakage_scan")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -87,3 +87,30 @@ def test_plan_is_equi_join_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_auto_band_seconds_tracks_median_interval(spark):
+    from etl_from_s3_to_postgresql_template_spark.operators.rangejoin import (
+        auto_band_seconds,
+    )
+
+    points, intervals = _frames(spark)
+    # fixture intervals are hours-scale; the auto width must land on the
+    # median length, floored at 60 s
+    w = auto_band_seconds(intervals, "start_ts", "end_ts")
+    lengths = sorted(
+        (r.end_ts - r.start_ts).total_seconds() for r in intervals.collect()
+    )
+    assert w == max(60, int(lengths[len(lengths) // 2]))
+    # band_seconds=None (auto) returns the same rows as any explicit width
+    auto = sorted(
+        (r.pid, r.iv)
+        for r in interval_join(points, intervals, "ts", "start_ts", "end_ts").collect()
+    )
+    explicit = sorted(
+        (r.pid, r.iv)
+        for r in interval_join(
+            points, intervals, "ts", "start_ts", "end_ts", 3600
+        ).collect()
+    )
+    assert auto == explicit

@@ -179,3 +179,46 @@ def test_probe_headers_runs_on_executors(spark, tmp_path):
         "id,b": ["z_2025-02-03.csv.gz"],
     }
     assert [f.name for f in skipped] == ["bad_2025-02-03.csv.gz"]
+
+
+def test_simhash_oversized_bucket_cap_and_report(spark):
+    """Planted boilerplate cluster: identical docs collapse onto the same
+    chunk values; with the cap below the cluster size no pairs emit and the
+    report names every oversized (chunk_id, chunk_val) bucket."""
+    from etl_from_s3_to_postgresql_template_spark.operators.dedup import simhash_candidates
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="identical boilerplate text for every doc") for i in range(10)]
+    )
+    pairs, oversized = simhash_candidates(docs, max_bucket_size=5, return_oversized=True)
+    assert pairs.count() == 0
+    assert oversized.count() > 0
+    assert oversized.agg(F.max("bucket_size")).collect()[0][0] == 10
+    # cap above the cluster: full pair fan-out returns (cap changes nothing
+    # for in-bounds buckets)
+    assert simhash_candidates(docs, max_bucket_size=100).count() == 45
+
+
+def test_fuzzy_oversized_block_cap_and_report(spark):
+    """Planted dominant (lang, source, band) stratum: 12 same-length docs in
+    one block vs a cap of 5 — no pairs from that block, report lists it."""
+    from etl_from_s3_to_postgresql_template_spark.operators.dedup import fuzzy_pairs_blocked
+
+    rows = [
+        Row(doc_id=i, lang="en", source="crawl", n_chars=100, text=f"doc number {i} text")
+        for i in range(12)
+    ] + [
+        Row(doc_id=100 + i, lang="de", source="wiki", n_chars=100, text=f"andere {i}")
+        for i in range(3)
+    ]
+    docs = spark.createDataFrame(rows)
+    pairs, oversized = fuzzy_pairs_blocked(
+        docs, max_block_size=5, topk=1000, return_oversized=True
+    )
+    got = {(r.doc_id_a, r.doc_id_b) for r in pairs.collect()}
+    # only the small de/wiki block survives: 3 docs -> 3 pairs
+    assert got == {(100, 101), (100, 102), (101, 102)}
+    rep = oversized.collect()
+    assert len(rep) == 1 and rep[0].lang == "en" and rep[0].block_size == 12
+    # cap above: the en block's 66 pairs come back too
+    assert fuzzy_pairs_blocked(docs, max_block_size=500, topk=1000).count() == 69

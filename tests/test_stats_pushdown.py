@@ -57,18 +57,16 @@ def test_rowgroup_stats_match_duckdb_metadata(spark):
         parquet_rowgroup_stats,
     )
 
-    path = f"{SF}/orders.parquet"
-    got = sorted(
-        map(tuple, parquet_rowgroup_stats(spark, [path]).collect())
-    )
+    paths = [f"{SF}/orders.parquet", f"{SF}/customer.parquet"]
+    got = sorted(map(tuple, parquet_rowgroup_stats(spark, paths).collect()))
     want = sorted(
         map(
             tuple,
             duckdb.sql(
-                f"""SELECT CAST(row_group_id AS BIGINT), path_in_schema,
+                f"""SELECT file_name, CAST(row_group_id AS BIGINT), path_in_schema,
                            CAST(num_values AS BIGINT),
                            stats_min_value, stats_max_value
-                    FROM parquet_metadata('{path}')"""
+                    FROM parquet_metadata(['{paths[0]}', '{paths[1]}'])"""
             ).fetchall(),
         )
     )

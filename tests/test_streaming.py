@@ -327,7 +327,11 @@ def test_python_streaming_datasource_offsets_and_restart(spark, tmp_path):
     out = str(tmp_path / "landing")
     ckpt = str(tmp_path / "ckpt")
 
-    def run_batches(n_triggers):
+    def run_until_rows(target_rows):
+        # Wait on COMMITTED OUTPUT, not on trigger counts: recentProgress
+        # length vs a wall-clock deadline is timing-flaky on a loaded host
+        # (ADVICE r3). spark.read on a streaming FileSink dir honors
+        # _spark_metadata, so counts only ever show whole committed batches.
         q = (
             spark.readStream.format("synthetic_events_stream")
             .option("rows_per_batch", 50)
@@ -340,21 +344,24 @@ def test_python_streaming_datasource_offsets_and_restart(spark, tmp_path):
         )
         import time
 
-        deadline = time.time() + 60
+        deadline = time.time() + 120
         while time.time() < deadline:
-            if any(p.numInputRows > 0 for p in q.recentProgress) and len(q.recentProgress) >= n_triggers:
-                break
-            time.sleep(0.3)
+            try:
+                if spark.read.parquet(out).count() >= target_rows:
+                    break
+            except Exception:  # sink dir not created yet
+                pass
+            time.sleep(0.4)
         q.stop()
         q.awaitTermination()
 
-    run_batches(3)
+    run_until_rows(50)  # at least one committed batch
     first = spark.read.parquet(out)
     n1 = first.count()
     assert n1 > 0 and n1 % 50 == 0
     assert first.select("event_id").distinct().count() == n1  # no dups
 
-    run_batches(2)  # restart from the same checkpoint
+    run_until_rows(n1 + 50)  # restart from the same checkpoint
     both = spark.read.parquet(out)
     n2 = both.count()
     assert n2 > n1

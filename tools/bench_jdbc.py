@@ -28,7 +28,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 
 from etl_from_s3_to_postgresql_template_spark.session import get_spark
-from etl_from_s3_to_postgresql_template_spark.sinks.base import JdbcSink
+from etl_from_s3_to_postgresql_template_spark.sinks.base import JdbcSink, jdbc_target_from_env
 
 
 def day_shaped_df(spark, n_rows: int):
@@ -56,8 +56,10 @@ def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     spark = get_spark("bench-jdbc")
     tmp = tempfile.mkdtemp(prefix="bench_derby_")
-    url = f"jdbc:derby:{tmp}/db;create=true"
-    sink = JdbcSink(url=url, table_name="bench_day")
+    # JDBC_URL env (+JDBC_USER/JDBC_PASSWORD) retargets this benchmark at a
+    # real PostgreSQL unmodified; default stays embedded Derby.
+    url, props = jdbc_target_from_env(f"jdbc:derby:{tmp}/db;create=true")
+    sink = JdbcSink(url=url, table_name="bench_day", properties=props)
     df = day_shaped_df(spark, n_rows)
     df.count()  # materialize plan & warm codegen outside the timed region
 
@@ -65,9 +67,10 @@ def main() -> None:
     sink.write_day(df, "2025-02-03")
     wall = time.perf_counter() - t0
 
-    back = (
-        spark.read.format("jdbc").option("url", url).option("dbtable", "bench_day").load().count()
-    )
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", "bench_day")
+    for k, v in props.items():
+        reader = reader.option(k, v)
+    back = reader.load().count()
     assert back == n_rows, (back, n_rows)
     shutil.rmtree(tmp, ignore_errors=True)
     print(
