@@ -1,0 +1,190 @@
+"""Round-4 additions: semantic (embedding-cluster) dedup and incremental
+partial-aggregate maintenance.
+
+Theme: the two jobs a 100 TB training-data pipeline reruns forever are
+(a) pruning semantically-redundant documents (SemDeDup-style: cluster the
+embedding space, compare only within a cluster — the cluster IS the
+blocking key, so the pairwise term is O(sum c_i^2) with c_i bounded by
+k growing with n, never O(n^2)), and (b) keeping rollups current without
+rescanning the base (COUNT/SUM are algebraic: partials computed per
+partition epoch merge exactly, so a daily delta folds into a materialized
+aggregate in O(delta) — re-aggregation of 100 TB becomes re-aggregation
+of one day).
+
+Cluster assignment reuses the leakage scan's integer coarse-quantizer
+(llm_ops4._leak_sorted_lists): seeded int8-range centroids, BIGINT
+distance arithmetic, so the DuckDB oracle replicates the blocking
+bit-for-bit and both entries stay hash-exact.
+
+Reference parity: the reference template has no embedding or rollup
+surface (SURVEY §2 north-star extensions); closest analogue is its
+drop_duplicates call (etl_pipeline.py:479-483), generalized here from
+byte-equality to semantic equivalence classes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_from_s3_to_postgresql_template_spark.plans.llm_ops4 import (
+    _LEAK_Q_SQL,
+    _leak_lists_sql,
+    _leak_sorted_lists,
+    _leakage_quantized,
+)
+from etl_from_s3_to_postgresql_template_spark.plans.registry import query
+from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+__all__ = [
+    "dedup_semantic_clusters",
+    "incremental_agg_merge",
+]
+
+#: SemDeDup cosine threshold: pairs at or above it are semantic duplicates.
+_SEM_TAU = 0.40
+
+_SEM_ORACLE = (
+    _LEAK_Q_SQL
+    + _leak_lists_sql()
+    + f"""
+    , a AS (
+      SELECT vec_id, q, nrm, CAST(dl[1].lid AS BIGINT) AS cluster_id FROM d
+    ), p AS (
+      SELECT hi.vec_id AS vec_id,
+             MAX(CAST(list_dot_product(lo.q, hi.q) AS DOUBLE)
+                 / sqrt(CAST(lo.nrm * hi.nrm AS DOUBLE))) AS max_cos
+      FROM a lo JOIN a hi
+        ON lo.cluster_id = hi.cluster_id AND lo.vec_id < hi.vec_id
+      GROUP BY hi.vec_id
+    )
+    SELECT a.vec_id, a.cluster_id,
+           COALESCE(p.max_cos >= {_SEM_TAU}, FALSE) AS is_semantic_dup,
+           ROUND(p.max_cos, 6) AS max_cos_smaller
+    FROM a LEFT JOIN p USING (vec_id)
+    ORDER BY vec_id
+    """
+)
+
+
+@query("dedup_semantic_clusters", oracle=_SEM_ORACLE)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: embedding-cosine near-dup pruning blocked by coarse
+    k-means cells. Each vector is assigned to its nearest integer centroid
+    (BIGINT argmin — the leakage scan's quantizer); cosine runs ONLY inside
+    a cell, as an equi-join on cluster_id. A vector is a semantic duplicate
+    when some LOWER-id cell-mate sits at cos >= tau — the keep-lowest-id
+    convention makes the survivor set deterministic without a second pass.
+
+    Scale shape: the cluster id is the blocking key, so the pairwise term
+    is sum(c_i^2) over cell sizes, not n^2; production grows n_lists with
+    the corpus (k ~ n/target_cell) and swaps the seeded centroids for
+    fit_ivf_centroids output — assignment and join shape are unchanged.
+    The cell-size cap story is minhash's (operators/dedup.py
+    max_bucket_size): cap-and-report oversized cells before the join.
+    """
+    a = _leak_sorted_lists(_leakage_quantized(spark, sf_dir)).select(
+        "vec_id", "q", "nrm", F.element_at("dl", 1)["lid"].cast("long").alias("cluster_id")
+    )
+    lo = a.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("lo_id"),
+        F.col("q").alias("lo_q"),
+        F.col("nrm").alias("lo_nrm"),
+    )
+    hi = a.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("q").alias("hi_q"),
+        F.col("nrm").alias("hi_nrm"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with("lo_q", "hi_q", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    pair_max = (
+        lo.join(hi, "cluster_id")
+        .where(F.col("lo_id") < F.col("vec_id"))
+        .withColumn(
+            "cos",
+            int_dot.cast("double")
+            / F.sqrt((F.col("lo_nrm") * F.col("hi_nrm")).cast("double")),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_cos"))
+    )
+    return (
+        a.join(pair_max, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce(F.col("max_cos") >= _SEM_TAU, F.lit(False)).alias("is_semantic_dup"),
+            F.round("max_cos", 6).alias("max_cos_smaller"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) :: DOUBLE
+             AS total_spend,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_order,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: the per-customer lifetime rollup is
+    computed as BASE PARTIAL (orders before 1997) merged with DELTA PARTIAL
+    (1997 onward) — never as one scan. COUNT/SUM/MIN/MAX are algebraic, so
+    merging partials is exact and the result is hash-identical to the
+    oracle's flat GROUP BY over all rows: the proof that a materialized
+    100 TB rollup can absorb a daily delta in O(delta) instead of a
+    full rescan. (AVG-class measures derive from merged SUM/COUNT; the
+    non-mergeable exact measures — MEDIAN, DISTINCT — are the ones that
+    force sketches, plans/llm_ops3.py.)
+
+    Scale shape: each partial is a map-side-combined groupBy on its own
+    (date-pruned) partition set; the merge shuffles pre-aggregated rows
+    (one per customer per epoch), not raw orders.
+    """
+    from etl_from_s3_to_postgresql_template_spark.plans.money import _dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit("1997-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        # partials stay EXACT decimals — rounding happens once, after the
+        # merge, or repeated folds would accumulate rounding drift
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec(F.col("o_totalprice"))).alias("total_spend"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    base = partial(orders.where(F.col("o_orderdate") < split))
+    delta = partial(orders.where(F.col("o_orderdate") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.round(F.sum("total_spend"), 2).cast("double").alias("total_spend"),
+            F.min("first_order").alias("first_order"),
+            F.max("last_order").alias("last_order"),
+        )
+        .select(
+            "o_custkey",
+            "n_orders",
+            "total_spend",
+            F.date_format("first_order", "yyyy-MM-dd").alias("first_order"),
+            F.date_format("last_order", "yyyy-MM-dd").alias("last_order"),
+        )
+        .orderBy("o_custkey")
+    )

@@ -101,6 +101,75 @@ def stream_events_rate(
     )
 
 
+#: JSON payload schema for events on the wire (Kafka value / JSONL line).
+EVENTS_WIRE_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def kafka_events_projection(raw: DataFrame) -> DataFrame:
+    """Kafka wire columns -> the :data:`EVENTS_STREAM_COLUMNS` contract.
+
+    ``raw`` has the Kafka source's fixed schema (key/value binary, topic,
+    partition, offset, timestamp, timestampType). The value is a JSON
+    events payload; rows whose value fails to parse are kept with null
+    fields rather than dropped (PERMISSIVE semantics — route to a DLQ by
+    filtering ``event_id IS NULL`` downstream). Split out from
+    :func:`stream_events_kafka` so the deserializer is unit-testable on a
+    kafka-shaped STATIC DataFrame in environments without the
+    spark-sql-kafka package (this container).
+    """
+    parsed = F.from_json(F.col("value").cast("string"), EVENTS_WIRE_JSON_SCHEMA)
+    return raw.select(
+        parsed["event_id"].alias("event_id"),
+        # event time comes from the payload; fall back to the broker
+        # append time so late/malformed producers still watermark sanely
+        F.coalesce(parsed["ts"], F.col("timestamp")).alias("ts"),
+        parsed["user_id"].alias("user_id"),
+        parsed["event_type"].alias("event_type"),
+        parsed["value"].alias("value"),
+        parsed["props"].alias("props"),
+    )
+
+
+def stream_events_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka source behind the same contract as :func:`stream_events`.
+
+    Requires the ``spark-sql-kafka-0-10`` package on the session's
+    classpath (``spark.jars.packages``); absent (as in this container),
+    ``.load()`` raises Spark's data-source-not-found error — callers and
+    tests gate on that, exactly like the PIL/pyav media decoders.
+    ``maxOffsetsPerTrigger`` is the per-micro-batch backpressure knob: at
+    production scale it bounds batch size so state-store checkpoints and
+    sink commits stay fixed-cost regardless of broker backlog depth.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        # a purged-but-committed offset should surface as a gap, not kill
+        # the query: the landing is idempotent per batch_id (sink.py)
+        .option("failOnDataLoss", "false")
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return kafka_events_projection(reader.load())
+
+
 def run_dedup_events_to_landing(
     spark: SparkSession,
     src_dir: str,

@@ -1,0 +1,61 @@
+"""Round-4 plans: semantic-cluster dedup and incremental partial-agg merge."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_from_s3_to_postgresql_template_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_semantic_dedup_covers_every_vector_once(spark):
+    out = QUERIES["dedup_semantic_clusters"](spark, SF01)
+    rows = out.collect()
+    n_emb = spark.read.parquet(f"{SF01}/embeddings.parquet").count()
+    assert len(rows) == n_emb  # verdict per vector, none dropped/duplicated
+    assert len({r["vec_id"] for r in rows}) == n_emb
+
+
+def test_semantic_dedup_keep_lowest_id_survivor_per_pair(spark):
+    """A flagged duplicate must have a LOWER-id cell-mate above tau; the
+    lowest id in every cluster is never flagged (it has no smaller mate)."""
+    out = QUERIES["dedup_semantic_clusters"](spark, SF01).collect()
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert sum(r["is_semantic_dup"] for r in out) > 0  # fixture exercises the path
+    for members in by_cluster.values():
+        lowest = min(members, key=lambda r: r["vec_id"])
+        assert not lowest["is_semantic_dup"]
+    for r in out:
+        if r["is_semantic_dup"]:
+            assert r["max_cos_smaller"] is not None and r["max_cos_smaller"] >= 0.40
+
+
+def test_semantic_dedup_plan_has_no_cartesian_join(spark):
+    plan = QUERIES["dedup_semantic_clusters"](spark, SF01)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_merge_is_split_invariant(spark):
+    """The merged rollup must not depend on WHERE the base/delta split
+    falls — recompute with a plain single-scan groupBy and compare."""
+    out = {r["o_custkey"]: r for r in QUERIES["incremental_agg_merge"](spark, SF).collect()}
+    flat = {
+        r["o_custkey"]: r
+        for r in spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_spend"),
+        )
+        .collect()
+    }
+    assert set(out) == set(flat)
+    for k, r in out.items():
+        assert r["n_orders"] == flat[k]["n_orders"]
+        assert r["total_spend"] == flat[k]["total_spend"]

@@ -444,3 +444,69 @@ def test_stream_stream_left_outer_null_emission(spark, tmp_path):
     assert got[1]["eid"] == 2  # matched within lookback
     assert got[3]["eid"] is None and got[3]["eu"] is None  # null-emitted
     assert 8 not in got  # window not yet past watermark: correctly withheld
+
+
+def test_kafka_projection_deserializes_wire_frame(spark):
+    """The Kafka value-deserializer is unit-testable without the kafka
+    package: apply it to a STATIC DataFrame with the kafka source's wire
+    schema and check the events contract holds, including the malformed-
+    payload (null fields, broker-time fallback) path."""
+    import datetime as dt
+    import json as _json
+
+    from etl_from_s3_to_postgresql_template_spark.streaming.ingest import (
+        EVENTS_STREAM_COLUMNS,
+        kafka_events_projection,
+    )
+
+    broker_ts = dt.datetime(2025, 1, 1, 0, 5, 0)
+    good = _json.dumps(
+        {
+            "event_id": 7,
+            "ts": "2025-01-01T00:00:42Z",
+            "user_id": 3,
+            "event_type": "click",
+            "value": 1.5,
+            "props": '{"k":1}',
+        }
+    ).encode()
+    rows = [
+        (b"k1", good, "events", 0, 100, broker_ts, 0),
+        (b"k2", b"not json {", "events", 0, 101, broker_ts, 0),
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, partition int, offset long,"
+        " timestamp timestamp, timestampType int",
+    )
+    out = kafka_events_projection(raw)
+    assert tuple(out.columns) == EVENTS_STREAM_COLUMNS
+    got = {r["event_id"]: r for r in out.collect()}
+    assert got[7]["user_id"] == 3 and got[7]["event_type"] == "click"
+    assert got[7]["value"] == 1.5 and got[7]["props"] == '{"k":1}'
+    assert got[7]["ts"] == dt.datetime(2025, 1, 1, 0, 0, 42)
+    # malformed payload: kept (DLQ-routable), event time falls back to broker time
+    assert None in got and got[None]["ts"] == broker_ts
+
+
+def test_stream_events_kafka_plan_when_package_present(spark):
+    """Builds the real kafka readStream plan; skips (like PIL/pyav) when
+    the spark-sql-kafka package is absent from the classpath."""
+    import pytest
+
+    from etl_from_s3_to_postgresql_template_spark.streaming.ingest import (
+        EVENTS_STREAM_COLUMNS,
+        stream_events_kafka,
+    )
+
+    try:
+        df = stream_events_kafka(
+            spark, "localhost:9092", "events", max_offsets_per_trigger=10_000
+        )
+    except Exception as e:  # noqa: BLE001 - dep gate, mirror multimodal decoders
+        msg = str(e)
+        if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg or "kafka" in msg.lower():
+            pytest.skip("spark-sql-kafka package not on classpath in this container")
+        raise
+    assert df.isStreaming
+    assert tuple(df.columns) == EVENTS_STREAM_COLUMNS

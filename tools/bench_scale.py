@@ -10,7 +10,9 @@ excluded by design — the replica fixture has no documents/embeddings
 quadratic) — their scale arguments are structural (banded LSH buckets,
 broadcast query sides; SCALING.md).
 
-Usage: python tools/bench_scale.py [small_dir] [big_dir]
+Usage: python tools/bench_scale.py [small_dir] [big_dir] [factor] [subset]
+  subset: "core" (default, the r3 10x set) or "heavy" (r4 100x set: the
+  most expensive multi-join / window / range-join plans).
 """
 
 from __future__ import annotations
@@ -37,19 +39,41 @@ SUBSET = [
     "join_skew_diagnosis",
 ]
 
+# r4: the heaviest registered plans on the replicated tables — multi-join
+# TPC-H (q9 six-table, q21 four-way self-join, q18 group-having-join,
+# q7/q8 nation-pair), the non-equi/banded joins the r3 verdict watch-listed,
+# and the widest window/stateful shapes.
+HEAVY = [
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    "q18_large_orders",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "join_interval_banded",
+    "events_wau_rolling",
+    "window_rolling_hour_sum",
+    "events_resample_ffill",
+    "scd2_user_daily_value",
+]
+
 
 def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfbig"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    subset = HEAVY if (len(sys.argv) > 4 and sys.argv[4] == "heavy") else SUBSET
+    # at factor>=100 a single timed pass after warmup is enough: the signal
+    # is linear-vs-quadratic (factor vs factor^2), not +-10% precision
+    n_timed = 1 if factor >= 100 else 2
     spark = get_spark("bench-scale")
     out = {}
-    for name in SUBSET:
+    for name in subset:
         times = {}
         for label, sf_dir in (("small", small), ("big", big)):
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()  # warm
             best = float("inf")
-            for _ in range(2):
+            for _ in range(n_timed):
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
@@ -58,7 +82,7 @@ def main() -> None:
         out[name] = times
         print(json.dumps({name: times}))
     ratios = [v["ratio"] for v in out.values()]
-    print(json.dumps({"median_ratio": sorted(ratios)[len(ratios) // 2], "data_factor": 10}))
+    print(json.dumps({"median_ratio": sorted(ratios)[len(ratios) // 2], "data_factor": factor}))
 
 
 if __name__ == "__main__":
