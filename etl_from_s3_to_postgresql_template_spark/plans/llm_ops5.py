@@ -39,6 +39,7 @@ from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
 __all__ = [
     "dedup_semantic_clusters",
     "incremental_agg_merge",
+    "similarity_topk_ivfpq",
 ]
 
 #: SemDeDup cosine threshold: pairs at or above it are semantic duplicates.
@@ -188,3 +189,200 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ADC scoring, the memory-bound tier of the ANN
+# stack (bruteforce -> LSH/IVF candidate gen -> int8/Hamming rerank ->
+# PQ codes). 64-dim int8 vector -> 8 subspaces x 4-bit code = 8 bytes per
+# vector: the index that keeps a billion vectors in executor memory.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_DSUB = 8  # dims per subspace (8 x 8 = 64)
+_PQ_K = 16  # codewords per subspace (4-bit codes)
+_PQ_NCAND = 32  # ADC candidates per query fed to the exact rerank
+_PQ_TOPK = 10
+
+
+def _pq_codebooks(seed: int = 11) -> list[list[list[int]]]:
+    """Seeded INTEGER codebooks, [M][K][DSUB] in the int8 range — same
+    static-artifact rationale as the leakage scan's coarse quantizer
+    (llm_ops4._leakage_centroids): BIGINT encode/ADC arithmetic is
+    bit-identical in Spark and DuckDB, so the oracle replicates code
+    assignment AND scoring exactly. Production fits these per-subspace
+    with k-means (fit_ivf_centroids run M times on subvector slices) and
+    ships them as a few-KB artifact; the query plan is unchanged."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cb = rng.integers(-64, 65, size=(_PQ_M, _PQ_K, _PQ_DSUB))
+    return [[[int(x) for x in cw] for cw in sub] for sub in cb]
+
+
+_PQ_CB = _pq_codebooks()
+
+
+def _pq_oracle() -> str:
+    subs = ", ".join(
+        f"q[{m * _PQ_DSUB + 1}:{(m + 1) * _PQ_DSUB}] AS s{m}" for m in range(_PQ_M)
+    )
+    enc_cols = []
+    for m in range(_PQ_M):
+        structs = []
+        for k in range(_PQ_K):
+            lits = "[" + ", ".join(str(v) for v in _PQ_CB[m][k]) + "]::BIGINT[]"
+            cc = sum(v * v for v in _PQ_CB[m][k])
+            # argmin over ||sub - c||^2; the dot(sub,sub) term is constant
+            # per row so cc - 2<sub,c> preserves the argmin; ties -> lowest k
+            structs.append(
+                f"struct_pack(d2 := CAST({cc} - 2 * list_dot_product(s{m}, {lits}) AS BIGINT),"
+                f" k := {k})"
+            )
+        enc_cols.append(f"list_sort([{', '.join(structs)}])[1].k AS c{m}")
+    cb_lits = [
+        "["
+        + ", ".join("[" + ", ".join(str(v) for v in _PQ_CB[m][k]) + "]" for k in range(_PQ_K))
+        + "]::BIGINT[][]"
+        for m in range(_PQ_M)
+    ]
+    adc = " + ".join(
+        f"list_dot_product(t{m}, ({cb_lits[m]})[c{m} + 1])" for m in range(_PQ_M)
+    )
+    qry_subs = ", ".join(f"s{m} AS t{m}" for m in range(_PQ_M))
+    enc_list = ", ".join(f"c{m}" for m in range(_PQ_M))
+    return (
+        _LEAK_Q_SQL
+        + f"""
+    , s AS (SELECT vec_id, q, {subs} FROM n)
+    , enc AS (SELECT vec_id, q, {', '.join(enc_cols)} FROM s)
+    , qry AS (SELECT vec_id AS q_id, q AS qq, {qry_subs} FROM s WHERE vec_id < 5)
+    , scored AS (
+        SELECT qry.q_id, enc.vec_id AS n_id, enc.q AS nq, qry.qq,
+               CAST({adc} AS BIGINT) AS adc
+        FROM qry, enc
+    ), cand AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS arn
+        FROM scored
+    ), rr AS (
+        SELECT q_id, n_id, adc,
+               CAST(list_dot_product(qq, nq) AS BIGINT) AS int_dot
+        FROM cand WHERE arn <= {_PQ_NCAND}
+    ), ranked AS (
+        SELECT q_id, n_id, adc, int_dot,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY int_dot DESC, n_id) AS BIGINT)
+                 AS rank
+        FROM rr
+    )
+    SELECT q_id, n_id, adc, int_dot, rank FROM ranked
+    WHERE rank <= {_PQ_TOPK} ORDER BY q_id, rank
+    """
+    )
+
+
+@query("similarity_topk_ivfpq", oracle=_pq_oracle())
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-k with exact int8 rerank.
+
+    Corpus vectors are product-quantized: each 8-dim subvector maps to its
+    nearest of 16 integer codewords (BIGINT argmin, lowest-k ties), so a
+    vector is 8 codes. ADC scores a (query, vector) pair from codes alone —
+    sum over subspaces of <query subvector, codeword> — a table lookup, no
+    full-vector access; the top-32 ADC candidates per query are then
+    reranked by the exact int8 dot product and the top-10 returned.
+
+    Scale shape: the scoring pass touches only the 8-byte codes (a
+    billion-vector index fits in executor memory; the full vectors stay in
+    parquet); queries broadcast, the corpus never shuffles, and full
+    vectors are fetched — an equi-join on n_id — for 32 rows per query,
+    not N. Everything is integer arithmetic, so candidate sets, rerank
+    order, and every output column are cross-engine hash-exact.
+    """
+    from pyspark.sql import Window as W
+
+    quant = _leakage_quantized(spark, sf_dir).select("vec_id", "q")
+
+    def sub(col: str, m: int):
+        return F.slice(col, m * _PQ_DSUB + 1, _PQ_DSUB)
+
+    def dot_lit(sub_col, lits: list[int]):
+        arr = F.array(*[F.lit(v).cast("long") for v in lits])
+        return F.aggregate(
+            F.zip_with(sub_col, arr, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    enc_cols = []
+    for m in range(_PQ_M):
+        structs = []
+        for k in range(_PQ_K):
+            cc = sum(v * v for v in _PQ_CB[m][k])
+            structs.append(
+                F.struct(
+                    (F.lit(cc) - F.lit(2) * dot_lit(sub("q", m), _PQ_CB[m][k]))
+                    .cast("long")
+                    .alias("d2"),
+                    F.lit(k).alias("k"),
+                )
+            )
+        enc_cols.append(
+            F.element_at(F.array_sort(F.array(*structs)), 1)["k"].alias(f"c{m}")
+        )
+    enc = quant.select(F.col("vec_id").alias("n_id"), *enc_cols)
+
+    qry = quant.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("q").alias("qq"),
+        *[sub("q", m).alias(f"t{m}") for m in range(_PQ_M)],
+    )
+
+    # ADC: codebook row selected by the corpus code, dotted with the
+    # query subvector — codes only, no corpus vector access
+    def cb_lookup(m: int):
+        nested = F.array(
+            *[
+                F.array(*[F.lit(v).cast("long") for v in _PQ_CB[m][k]])
+                for k in range(_PQ_K)
+            ]
+        )
+        return F.element_at(nested, (F.col(f"c{m}") + 1).cast("int"))
+
+    adc = None
+    for m in range(_PQ_M):
+        term = F.aggregate(
+            F.zip_with(F.col(f"t{m}"), cb_lookup(m), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        adc = term if adc is None else adc + term
+
+    scored = enc.join(F.broadcast(qry.drop("qq")), how="cross").withColumn(
+        "adc", adc.cast("long")
+    )
+    cand = (
+        scored.withColumn(
+            "arn", F.row_number().over(W.partitionBy("q_id").orderBy(F.desc("adc"), "n_id"))
+        )
+        .where(F.col("arn") <= _PQ_NCAND)
+        .select("q_id", "n_id", "adc")
+    )
+    # exact rerank touches full vectors for <= _PQ_NCAND rows per query
+    int_dot = F.aggregate(
+        F.zip_with("qq", "nq", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    reranked = (
+        cand.join(quant.select(F.col("vec_id").alias("n_id"), F.col("q").alias("nq")), "n_id")
+        .join(F.broadcast(qry.select("q_id", "qq")), "q_id")
+        .withColumn("int_dot", int_dot)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(W.partitionBy("q_id").orderBy(F.desc("int_dot"), "n_id"))
+            .cast("long"),
+        )
+        .where(F.col("rank") <= _PQ_TOPK)
+        .select("q_id", "n_id", "adc", "int_dot", "rank")
+        .orderBy("q_id", "rank")
+    )
+    return reranked

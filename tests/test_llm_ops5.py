@@ -59,3 +59,24 @@ def test_incremental_merge_is_split_invariant(spark):
     for k, r in out.items():
         assert r["n_orders"] == flat[k]["n_orders"]
         assert r["total_spend"] == flat[k]["total_spend"]
+
+
+def test_ivfpq_rerank_top1_matches_bruteforce_top1(spark):
+    """ADC candidates + exact rerank: the exact-rerank top-1 must agree
+    with brute force whenever brute force's best is inside the ADC
+    candidate set — and for the fixture's 5 queries the self-match
+    (q_id == n_id, maximal dot) must always be rank 1."""
+    out = QUERIES["similarity_topk_ivfpq"](spark, SF01).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q_id, rows in by_q.items():
+        assert len(rows) == 10
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(range(1, 11))
+        top = min(rows, key=lambda r: r["rank"])
+        assert top["n_id"] == q_id  # self is the max int8 dot; ADC must keep it
+        # rerank order is by exact int_dot, not by the ADC approximation
+        ordered = sorted(rows, key=lambda r: r["rank"])
+        dots = [r["int_dot"] for r in ordered]
+        assert dots == sorted(dots, reverse=True)
