@@ -1,0 +1,96 @@
+"""Training-shard writer: deterministic, balanced, resumable corpus layout.
+
+The last step of a corpus pipeline is not a query — it is a LAYOUT: N
+shard directories a data-parallel trainer maps one-to-one onto workers,
+each holding files small enough to stream and stable enough to resume
+from. Requirements, in order:
+
+- **Deterministic assignment**: a document's shard depends only on its id
+  (content-hash nibble mod N — the same engine-neutral rule
+  corpus_shard_balance audits), never on partitioning accidents, so two
+  runs over the same corpus produce byte-identical shard membership and a
+  crashed epoch can be resumed against a re-written corpus.
+- **Deterministic file content**: rows are range-sorted within a shard
+  before writing, so file k of shard s has the same rows every run.
+- **Bounded files**: ``maxRecordsPerFile`` caps file size (the trainer's
+  streaming-read unit); one shard = one output task prevents the
+  thousand-tiny-files failure mode (sinks/compact.py).
+
+Scale shape: one narrow projection + one shuffle on (shard_id) — the same
+cost as any groupBy over the corpus. At 100 TB, bump n_shards to the
+trainer's world size and maxRecordsPerFile to the file-size target; the
+plan is unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["ShardReport", "shard_assignment_col", "write_corpus_shards", "read_shard"]
+
+
+def shard_assignment_col(id_col: str, n_shards: int):
+    """Deterministic engine-neutral shard id: first md5 nibble of the id,
+    mod ``n_shards`` — identical to corpus_shard_balance's audit rule
+    (plans/llm_ops4.py), so the audit query predicts this writer's layout
+    exactly."""
+    nibble = (
+        F.expr(f"instr('0123456789abcdef', substring(md5(cast({id_col} as string)), 1, 1))")
+        - 1
+    ).cast("long")
+    return nibble % n_shards
+
+
+@dataclass
+class ShardReport:
+    n_shards: int
+    rows_total: int
+    rows_per_shard: dict[int, int]
+
+
+def write_corpus_shards(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    max_records_per_file: int = 100_000,
+) -> ShardReport:
+    """Write ``df`` as ``out_dir/shard_id=K/`` parquet, one directory per
+    training shard. Overwrite-idempotent (static overwrite of the whole
+    layout — a shard layout is versioned as a unit, never patched in
+    place). Returns per-shard row counts read back from the written files,
+    so the report reflects what is actually on disk."""
+    spark = df.sparkSession
+    sharded = df.withColumn("shard_id", shard_assignment_col(id_col, n_shards))
+    (
+        sharded
+        # one shuffle: co-locate each shard, then sort so file contents are
+        # a pure function of the data (resume-stable layout)
+        .repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", id_col)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )
+    counts = {
+        r["shard_id"]: r["n"]
+        for r in spark.read.parquet(out_dir)
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return ShardReport(
+        n_shards=n_shards,
+        rows_total=sum(counts.values()),
+        rows_per_shard={int(k): int(v) for k, v in counts.items()},
+    )
+
+
+def read_shard(spark: SparkSession, out_dir: str, shard_id: int) -> DataFrame:
+    """One worker's view: partition pruning makes this an O(shard) read —
+    the scan touches only ``shard_id=K/`` (asserted in tests)."""
+    return spark.read.parquet(out_dir).where(F.col("shard_id") == shard_id)
