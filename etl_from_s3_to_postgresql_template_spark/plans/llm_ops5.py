@@ -40,6 +40,7 @@ __all__ = [
     "dedup_semantic_clusters",
     "incremental_agg_merge",
     "similarity_topk_ivfpq",
+    "corpus_curriculum_order",
 ]
 
 #: SemDeDup cosine threshold: pairs at or above it are semantic duplicates.
@@ -386,3 +387,55 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("q_id", "rank")
     )
     return reranked
+
+
+@query(
+    "corpus_curriculum_order",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens,
+             CAST(ntile(4) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS bucket,
+             md5(CAST(doc_id AS VARCHAR) || ':42') AS h
+      FROM t
+    )
+    SELECT doc_id, n_tokens, bucket,
+           CAST(row_number() OVER (ORDER BY bucket, h, doc_id) AS BIGINT) AS train_order
+    FROM b ORDER BY train_order
+    """,
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: docs bucketed easy-to-hard (token-count
+    quartiles — the classic length curriculum), deterministically shuffled
+    WITHIN each bucket by a seeded content hash, then assigned one global
+    train_order. Reproducibility is the contract: the order is a pure
+    function of (corpus, seed) — no Spark rand(), no partition-order
+    dependence — so a preempted training job resumes mid-epoch on the
+    exact same sequence, and an A/B run holds data order fixed.
+
+    Scale shape: one token-count projection, one quartile assignment, one
+    global sort (range-partitioned, linear); downstream the order column
+    rides into the shard writer (sinks/shards.py) as the file sort key.
+    """
+    from pyspark.sql import Window as W
+
+    from etl_from_s3_to_postgresql_template_spark.functions.text import token_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", token_count_col(F.col("text")).alias("n_tokens"))
+    b = t.select(
+        "doc_id",
+        "n_tokens",
+        F.ntile(4).over(W.orderBy("n_tokens", "doc_id")).cast("long").alias("bucket"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))).alias("h"),
+    )
+    return (
+        b.withColumn(
+            "train_order", F.row_number().over(W.orderBy("bucket", "h", "doc_id")).cast("long")
+        )
+        .select("doc_id", "n_tokens", "bucket", "train_order")
+        .orderBy("train_order")
+    )
