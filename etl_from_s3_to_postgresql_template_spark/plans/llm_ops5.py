@@ -41,6 +41,7 @@ __all__ = [
     "incremental_agg_merge",
     "similarity_topk_ivfpq",
     "corpus_curriculum_order",
+    "graph_token_bfs_reach",
 ]
 
 #: SemDeDup cosine threshold: pairs at or above it are semantic duplicates.
@@ -438,4 +439,75 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens", "bucket", "train_order")
         .orderBy("train_order")
+    )
+
+
+@query(
+    "graph_token_bfs_reach",
+    oracle=r"""
+    WITH RECURSIVE t AS (
+      SELECT string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+    ), bg AS (
+      SELECT UNNEST(list_transform(range(len(toks) - 1),
+             i -> {'w1': toks[i+1], 'w2': toks[i+2]})) AS s
+      FROM t WHERE len(toks) >= 2
+    ), e AS (
+      SELECT DISTINCT s.w1 AS src, s.w2 AS dst FROM bg
+    ), walk(tok, depth) AS (
+      SELECT 'spark', 0
+      UNION
+      SELECT e.dst, walk.depth + 1
+      FROM walk JOIN e ON e.src = walk.tok
+      WHERE walk.depth < 3
+    )
+    SELECT tok, CAST(MIN(depth) AS BIGINT) AS depth
+    FROM walk GROUP BY tok ORDER BY depth, tok
+    """,
+)
+def graph_token_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE-class query: min-hop BFS reachability (<= 3 hops) from
+    a seed token over the bigram co-occurrence graph. Spark has no WITH
+    RECURSIVE; the equivalent is the standard bounded frontier loop — each
+    hop is one equi-join frontier x edges plus an anti-join against the
+    visited set, and BFS's first-visit-is-min-depth invariant makes the
+    result identical to the oracle's MIN(depth) GROUP BY. The driver loop
+    holds only DataFrame handles (depth is a literal per hop); data never
+    leaves the cluster.
+
+    Scale shape: per-hop cost is one shuffle of the frontier against an
+    edge list partitioned by src — the iterative-join pattern every
+    distributed graph engine reduces to; unbounded traversals add
+    per-round localCheckpoint exactly like operators/dedup.py's
+    connected-components loop.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower(F.trim("text")), r"\s+").alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    grams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.struct(
+                    F.element_at("toks", i + 1).alias("src"),
+                    F.element_at("toks", i + 2).alias("dst"),
+                ),
+            )
+        ).alias("s")
+    )
+    edges = grams.select("s.src", "s.dst").distinct()
+
+    frontier = spark.createDataFrame([("spark", 0)], "tok string, depth int")
+    visited = frontier
+    for d in (1, 2, 3):
+        nxt = (
+            frontier.join(edges, frontier["tok"] == edges["src"])
+            .select(F.col("dst").alias("tok"), F.lit(d).alias("depth"))
+            .distinct()
+            .join(visited.select("tok"), "tok", "left_anti")
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited.select("tok", F.col("depth").cast("long").alias("depth")).orderBy(
+        "depth", "tok"
     )

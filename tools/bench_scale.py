@@ -57,11 +57,32 @@ HEAVY = [
 ]
 
 
+# r4: dedup/ANN/text plans over the controlled-duplication corpus
+# (tools/make_big_docs.py) — the text-side scale stress the key-offset
+# replica cannot provide. Exact all-pairs tiers (dedup_embedding_pairs,
+# split_leakage_scan_exact) are EXCLUDED by design: they are documented
+# fixture-scale oracle twins, not production plans.
+DOCS = [
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "dedup_exact_docs",
+    "dedup_semantic_clusters",
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
+    "similarity_topk_ivfpq",
+    "split_leakage_scan",
+    "docs_repeated_spans",
+    "text_quality",
+]
+
+_SUBSETS = {"core": SUBSET, "heavy": HEAVY, "docs": DOCS}
+
+
 def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfbig"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    subset = HEAVY if (len(sys.argv) > 4 and sys.argv[4] == "heavy") else SUBSET
+    subset = _SUBSETS[sys.argv[4]] if len(sys.argv) > 4 else SUBSET
     # at factor>=100 a single timed pass after warmup is enough: the signal
     # is linear-vs-quadratic (factor vs factor^2), not +-10% precision
     n_timed = 1 if factor >= 100 else 2
