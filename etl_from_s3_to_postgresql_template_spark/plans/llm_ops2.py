@@ -479,28 +479,20 @@ def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per-row IEEE expression written in the same operation order in
     both engines, so the RANKING is deterministic too. Same broadcast-
     queries / corpus-never-shuffles contract as the float brute force."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    max_abs = F.array_max(F.transform("embedding", lambda v: F.abs(v.cast("double"))))
-    q8 = (
-        emb.withColumn("max_abs", max_abs)
-        .where(F.col("max_abs") > 0)
-        .select(
-            "vec_id",
-            "max_abs",
-            F.transform(
-                "embedding",
-                lambda v: F.floor(v.cast("double") * (F.lit(127.0) / F.col("max_abs")) + F.lit(0.5)),
-            ).alias("q"),
-        )
+    from etl_from_s3_to_postgresql_template_spark.operators.intquant import (
+        dot_long,
+        quantize_int8,
     )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # vectorized quantize (operators/intquant.py): the HOF expression form
+    # is interpreted per element — measured bottleneck past ~1e5 vectors
+    q8 = quantize_int8(emb).select("vec_id", "max_abs", "q")
     a = q8.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("max_abs").alias("ma_a"), F.col("q").alias("qa")
     )
     b = q8.select(
         F.col("vec_id").alias("n_id"), F.col("max_abs").alias("ma_b"), F.col("q").alias("qb")
-    )
-    int_dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
     )
     pairs = (
         a.crossJoin(b)
@@ -508,7 +500,7 @@ def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "n_id",
-            int_dot.alias("int_dot"),
+            dot_long("qa", "qb").alias("int_dot"),
             (
                 (F.col("int_dot").cast("double") * F.col("ma_a") * F.col("ma_b")) / F.lit(16129.0)
             ).alias("approx_dot"),

@@ -447,52 +447,44 @@ _LEAK_EXACT_ORACLE = (
 
 def _leakage_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of the ``n`` CTE: (vec_id, is_holdout, q: array<long>,
-    nrm: long). Narrow projection — one pass over embeddings, no shuffle."""
+    nrm: long). One Arrow-batched mapInPandas pass (operators/intquant.py
+    — the HOF expression form is interpreted, not codegen'd, and became
+    the measured bottleneck at 200k vectors); arithmetic is bit-identical
+    and the oracle is unchanged. No shuffle."""
+    from etl_from_s3_to_postgresql_template_spark.operators.intquant import quantize_int8
+
     emb = load_table(spark, sf_dir, "embeddings")
-    max_abs = F.array_max(F.transform("embedding", lambda v: F.abs(v.cast("double"))))
-    q8 = (
-        emb.withColumn("max_abs", max_abs)
-        .where(F.col("max_abs") > 0)
-        .select(
-            "vec_id",
-            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
-            .isin("0", "1")
-            .alias("is_holdout"),
-            F.transform(
-                "embedding",
-                lambda v: F.floor(
-                    v.cast("double") * (F.lit(127.0) / F.col("max_abs")) + F.lit(0.5)
-                ),
-            ).alias("q"),
-        )
+    return quantize_int8(emb).select(
+        "vec_id",
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+        .isin("0", "1")
+        .alias("is_holdout"),
+        "q",
+        "nrm",
     )
-    dot_qq = F.aggregate(
-        F.zip_with("q", "q", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v
-    )
-    return q8.withColumn("nrm", dot_qq)
 
 
-def _leak_sorted_lists(df: DataFrame) -> DataFrame:
-    """Spark twin of the ``d`` CTE: append the (d2, lid)-sorted centroid
-    distance array. Same |q|^2 - 2<q,c> + |c|^2 BIGINT identity as the
-    oracle; array_sort on structs is lexicographic (d2 then lid), matching
-    DuckDB list_sort."""
-    structs = []
-    for i, c in enumerate(_LEAK_CENTROIDS):
-        lits = F.array(*[F.lit(v) for v in c])
-        cc = sum(v * v for v in c)
-        dot_qc = F.aggregate(
-            F.zip_with("q", lits, lambda x, y: x * y.cast("long")),
-            F.lit(0).cast("long"),
-            lambda a, v: a + v,
-        )
-        structs.append(
-            F.struct(
-                (F.col("nrm") - F.lit(2) * dot_qc + F.lit(cc)).cast("long").alias("d2"),
-                F.lit(i).alias("lid"),
-            )
-        )
-    return df.withColumn("dl", F.array_sort(F.array(*structs)))
+def _leak_assigned(
+    spark: SparkSession, sf_dir: str, centroids: list[list[int]] | None = None
+) -> DataFrame:
+    """Quantize + centroid-list assignment in ONE vectorized pass: the
+    Spark twin of the ``d`` CTE with ``lids[i]`` standing in for
+    ``dl[i+1].lid`` (same (d2, lid) lexicographic order — stable argsort
+    over the BIGINT |q|^2 - 2<q,c> + |c|^2 distances). ``centroids``
+    defaults to the static oracle artifact; the scale path passes fitted
+    centroids with k ~ n/target_cell."""
+    from etl_from_s3_to_postgresql_template_spark.operators.intquant import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(emb, centroids=centroids or _LEAK_CENTROIDS).select(
+        "vec_id",
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+        .isin("0", "1")
+        .alias("is_holdout"),
+        "q",
+        "nrm",
+        "lids",
+    )
 
 
 def _leak_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,27 +493,24 @@ def _leak_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     list; holdout probes the nearest _LEAK_N_PROBE lists, so each pair is
     produced at most once — no dropDuplicates needed. The pair join is an
     equi-join on list_id: shuffle-partitioned, no cross join anywhere."""
-    d = _leak_sorted_lists(_leakage_quantized(spark, sf_dir))
+    from etl_from_s3_to_postgresql_template_spark.operators.intquant import dot_long
+
+    d = _leak_assigned(spark, sf_dir)
     train = d.where(~F.col("is_holdout")).select(
         F.col("vec_id").alias("train_id"),
         F.col("q").alias("qt"),
         F.col("nrm").alias("nt"),
-        F.element_at("dl", 1)["lid"].alias("list_id"),
+        F.element_at("lids", 1).cast("int").alias("list_id"),
     )
     hold = d.where(F.col("is_holdout")).select(
         F.col("vec_id").alias("holdout_id"),
         F.col("q").alias("qh"),
         F.col("nrm").alias("nh"),
-        F.explode(
-            F.transform(F.slice("dl", 1, _LEAK_N_PROBE), lambda s: s["lid"])
-        ).alias("list_id"),
-    )
-    int_dot = F.aggregate(
-        F.zip_with("qh", "qt", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v
+        F.explode(F.slice("lids", 1, _LEAK_N_PROBE)).alias("list_id"),
     )
     return (
         hold.join(train, "list_id")
-        .withColumn("int_dot", int_dot)
+        .withColumn("int_dot", dot_long("qh", "qt"))
         .withColumn(
             "cos_q",
             F.col("int_dot").cast("double") / F.sqrt((F.col("nh") * F.col("nt")).cast("double")),
@@ -535,6 +524,8 @@ def _leak_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs exact form — the fixture-scale oracle twin and the recall
     gate's ground truth. Deliberately NOT the registered production plan:
     O(|holdout| * |train|)."""
+    from etl_from_s3_to_postgresql_template_spark.operators.intquant import dot_long
+
     normed = _leakage_quantized(spark, sf_dir)
     hold = normed.where(F.col("is_holdout")).select(
         F.col("vec_id").alias("holdout_id"), F.col("q").alias("qh"), F.col("nrm").alias("nh")
@@ -542,12 +533,9 @@ def _leak_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = normed.where(~F.col("is_holdout")).select(
         F.col("vec_id").alias("train_id"), F.col("q").alias("qt"), F.col("nrm").alias("nt")
     )
-    int_dot = F.aggregate(
-        F.zip_with("qh", "qt", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v
-    )
     return (
         hold.crossJoin(train)
-        .withColumn("int_dot", int_dot)
+        .withColumn("int_dot", dot_long("qh", "qt"))
         .withColumn(
             "cos_q",
             F.col("int_dot").cast("double") / F.sqrt((F.col("nh") * F.col("nt")).cast("double")),

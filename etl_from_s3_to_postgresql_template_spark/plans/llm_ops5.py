@@ -12,7 +12,7 @@ aggregate in O(delta) — re-aggregation of 100 TB becomes re-aggregation
 of one day).
 
 Cluster assignment reuses the leakage scan's integer coarse-quantizer
-(llm_ops4._leak_sorted_lists): seeded int8-range centroids, BIGINT
+(llm_ops4._leak_assigned): seeded int8-range centroids, BIGINT
 distance arithmetic, so the DuckDB oracle replicates the blocking
 bit-for-bit and both entries stay hash-exact.
 
@@ -29,8 +29,8 @@ from pyspark.sql import functions as F
 
 from etl_from_s3_to_postgresql_template_spark.plans.llm_ops4 import (
     _LEAK_Q_SQL,
+    _leak_assigned,
     _leak_lists_sql,
-    _leak_sorted_lists,
     _leakage_quantized,
 )
 from etl_from_s3_to_postgresql_template_spark.plans.registry import query
@@ -86,8 +86,25 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cell-size cap story is minhash's (operators/dedup.py
     max_bucket_size): cap-and-report oversized cells before the join.
     """
-    a = _leak_sorted_lists(_leakage_quantized(spark, sf_dir)).select(
-        "vec_id", "q", "nrm", F.element_at("dl", 1)["lid"].cast("long").alias("cluster_id")
+    return semantic_dedup_frame(spark, sf_dir)
+
+
+def semantic_dedup_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: list[list[int]] | None = None,
+    tau: float = _SEM_TAU,
+) -> DataFrame:
+    """The parameterizable SemDeDup plan behind dedup_semantic_clusters:
+    static oracle centroids by default; the scale path passes k ~
+    n/target_cell centroids (tools/bench_docs_dedup.py measures exactly
+    this). Quantize+assign and the pair dots run through the vectorized
+    kernels (operators/intquant.py) — integer-exact, so the oracle is
+    unaffected."""
+    from etl_from_s3_to_postgresql_template_spark.operators.intquant import dot_long
+
+    a = _leak_assigned(spark, sf_dir, centroids=centroids).select(
+        "vec_id", "q", "nrm", F.element_at("lids", 1).cast("long").alias("cluster_id")
     )
     lo = a.select(
         F.col("cluster_id"),
@@ -101,15 +118,13 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q").alias("hi_q"),
         F.col("nrm").alias("hi_nrm"),
     )
-    int_dot = F.aggregate(
-        F.zip_with("lo_q", "hi_q", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
-    )
     pair_max = (
         lo.join(hi, "cluster_id")
         .where(F.col("lo_id") < F.col("vec_id"))
+        .withColumn("int_dot", dot_long("lo_q", "hi_q"))
         .withColumn(
             "cos",
-            int_dot.cast("double")
+            F.col("int_dot").cast("double")
             / F.sqrt((F.col("lo_nrm") * F.col("hi_nrm")).cast("double")),
         )
         .groupBy("vec_id")
@@ -120,7 +135,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "cluster_id",
-            F.coalesce(F.col("max_cos") >= _SEM_TAU, F.lit(False)).alias("is_semantic_dup"),
+            F.coalesce(F.col("max_cos") >= tau, F.lit(False)).alias("is_semantic_dup"),
             F.round("max_cos", 6).alias("max_cos_smaller"),
         )
         .orderBy("vec_id")
@@ -302,65 +317,23 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    quant = _leakage_quantized(spark, sf_dir).select("vec_id", "q")
-
-    def sub(col: str, m: int):
-        return F.slice(col, m * _PQ_DSUB + 1, _PQ_DSUB)
-
-    def dot_lit(sub_col, lits: list[int]):
-        arr = F.array(*[F.lit(v).cast("long") for v in lits])
-        return F.aggregate(
-            F.zip_with(sub_col, arr, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    enc_cols = []
-    for m in range(_PQ_M):
-        structs = []
-        for k in range(_PQ_K):
-            cc = sum(v * v for v in _PQ_CB[m][k])
-            structs.append(
-                F.struct(
-                    (F.lit(cc) - F.lit(2) * dot_lit(sub("q", m), _PQ_CB[m][k]))
-                    .cast("long")
-                    .alias("d2"),
-                    F.lit(k).alias("k"),
-                )
-            )
-        enc_cols.append(
-            F.element_at(F.array_sort(F.array(*structs)), 1)["k"].alias(f"c{m}")
-        )
-    enc = quant.select(F.col("vec_id").alias("n_id"), *enc_cols)
-
-    qry = quant.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("q").alias("qq"),
-        *[sub("q", m).alias(f"t{m}") for m in range(_PQ_M)],
+    from etl_from_s3_to_postgresql_template_spark.operators.intquant import (
+        dot_long,
+        make_adc_udf,
+        pq_encode,
     )
 
-    # ADC: codebook row selected by the corpus code, dotted with the
-    # query subvector — codes only, no corpus vector access
-    def cb_lookup(m: int):
-        nested = F.array(
-            *[
-                F.array(*[F.lit(v).cast("long") for v in _PQ_CB[m][k]])
-                for k in range(_PQ_K)
-            ]
-        )
-        return F.element_at(nested, (F.col(f"c{m}") + 1).cast("int"))
+    quant = _leakage_quantized(spark, sf_dir).select("vec_id", "q")
+    # encode: vectorized per-subspace argmin (operators/intquant.py — the
+    # expression-tree form is interpreted HOF eval, measured bottleneck)
+    enc = pq_encode(quant, _PQ_CB).select(F.col("vec_id").alias("n_id"), "codes")
 
-    adc = None
-    for m in range(_PQ_M):
-        term = F.aggregate(
-            F.zip_with(F.col(f"t{m}"), cb_lookup(m), lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        adc = term if adc is None else adc + term
+    qry = quant.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qq")
+    )
 
-    scored = enc.join(F.broadcast(qry.drop("qq")), how="cross").withColumn(
-        "adc", adc.cast("long")
+    scored = enc.join(F.broadcast(qry), how="cross").withColumn(
+        "adc", make_adc_udf(_PQ_CB)("qq", "codes")
     )
     cand = (
         scored.withColumn(
@@ -370,13 +343,10 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "n_id", "adc")
     )
     # exact rerank touches full vectors for <= _PQ_NCAND rows per query
-    int_dot = F.aggregate(
-        F.zip_with("qq", "nq", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
-    )
     reranked = (
         cand.join(quant.select(F.col("vec_id").alias("n_id"), F.col("q").alias("nq")), "n_id")
         .join(F.broadcast(qry.select("q_id", "qq")), "q_id")
-        .withColumn("int_dot", int_dot)
+        .withColumn("int_dot", dot_long("qq", "nq"))
         .withColumn(
             "rank",
             F.row_number()

@@ -1,0 +1,93 @@
+"""Vectorized int kernels == the Catalyst expression forms, bit for bit.
+
+The refactor claim (operators/intquant.py): the Arrow/numpy hot path
+computes exactly what the interpreted HOF expression tree computed. These
+tests pin that equivalence directly on the fixture, independent of the
+oracle gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_from_s3_to_postgresql_template_spark.operators.intquant import (
+    dot_long,
+    int8_centroids,
+    quantize_int8,
+)
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def _expression_quantized(emb):
+    """The original Column-expression form (interpreted HOFs), kept here
+    as the reference implementation."""
+    max_abs = F.array_max(F.transform("embedding", lambda v: F.abs(v.cast("double"))))
+    q8 = (
+        emb.withColumn("max_abs", max_abs)
+        .where(F.col("max_abs") > 0)
+        .select(
+            "vec_id",
+            "max_abs",
+            F.transform(
+                "embedding",
+                lambda v: F.floor(v.cast("double") * (F.lit(127.0) / F.col("max_abs")) + F.lit(0.5)),
+            ).alias("q"),
+        )
+    )
+    dot_qq = F.aggregate(
+        F.zip_with("q", "q", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    return q8.withColumn("nrm", dot_qq)
+
+
+def test_quantize_matches_expression_form(spark):
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    fast = {r["vec_id"]: r for r in quantize_int8(emb).collect()}
+    ref = {r["vec_id"]: r for r in _expression_quantized(emb).collect()}
+    assert set(fast) == set(ref)
+    for vid, r in ref.items():
+        f = fast[vid]
+        assert list(f["q"]) == list(r["q"])  # every int8 code identical
+        assert f["nrm"] == r["nrm"]
+        assert f["max_abs"] == r["max_abs"]  # same IEEE double, bit-equal
+
+
+def test_assignment_matches_struct_sort_form(spark):
+    """lids prefix == the array_sort-of-(d2, lid)-structs prefix."""
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    cen = int8_centroids(16)
+    fast = {r["vec_id"]: list(r["lids"]) for r in quantize_int8(emb, centroids=cen).collect()}
+    ref_q = _expression_quantized(emb)
+    structs = []
+    for i, c in enumerate(cen):
+        lits = F.array(*[F.lit(v) for v in c])
+        cc = sum(v * v for v in c)
+        dot_qc = F.aggregate(
+            F.zip_with("q", lits, lambda x, y: x * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        )
+        structs.append(
+            F.struct(
+                (F.col("nrm") - F.lit(2) * dot_qc + F.lit(cc)).cast("long").alias("d2"),
+                F.lit(i).alias("lid"),
+            )
+        )
+    ref = {
+        r["vec_id"]: [s["lid"] for s in r["dl"][:8]]
+        for r in ref_q.withColumn("dl", F.array_sort(F.array(*structs))).collect()
+    }
+    assert fast == ref
+
+
+def test_dot_long_matches_zip_with_fold(spark):
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    q = quantize_int8(emb).select("vec_id", "q")
+    a = q.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("ia"), F.col("q").alias("qa"))
+    b = q.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("ib"), F.col("q").alias("qb"))
+    pairs = a.crossJoin(b)
+    ref_dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    out = pairs.select("ia", "ib", dot_long("qa", "qb").alias("fast"), ref_dot.alias("ref"))
+    assert out.where(F.col("fast") != F.col("ref")).count() == 0
