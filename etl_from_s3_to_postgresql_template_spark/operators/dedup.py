@@ -146,11 +146,14 @@ def minhash_candidates(
     # on the same key the two exchanges are identical -> ReusedExchange:
     # signatures are computed ONCE.
     pairs = a.join(b.hint("merge"), ["band_id", "band_hash"]).filter(F.col("id_a") < F.col("id_b"))
-    est = F.aggregate(
-        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ) / F.lit(float(num_hashes))
+    # signature-agreement estimate, vectorized: the zip_with fold form is
+    # an interpreted HOF eval PER CANDIDATE PAIR (no codegen for
+    # higher-order functions) — with dup-heavy corpora a hot-but-capped
+    # bucket emits ~cap^2/2 pairs into one task (AQE's skew split stands
+    # down to preserve the ReusedExchange), and the interpreted fold was
+    # the measured straggler at 500k docs. Same integer-compare count,
+    # same /num_hashes float64 division -> identical est values.
+    est = _sig_eq_frac_udf(num_hashes)(F.col("sig_a"), F.col("sig_b"))
     out = (
         pairs.select(
             "id_a",
@@ -171,6 +174,27 @@ def minhash_candidates(
 
 
 _minhash_udfs: dict[int, object] = {}
+
+
+_sig_eq_udfs: dict[int, object] = {}
+
+
+def _sig_eq_frac_udf(num_hashes: int):
+    """Fraction of agreeing signature positions, one (A == B) numpy
+    compare per Arrow batch."""
+    if num_hashes not in _sig_eq_udfs:
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import DoubleType
+
+        @pandas_udf(DoubleType())
+        def eq_frac(a: pd.Series, b: pd.Series) -> pd.Series:
+            A = np.vstack(a.to_numpy())
+            B = np.vstack(b.to_numpy())
+            return pd.Series((A == B).sum(axis=1) / float(num_hashes))
+
+        _sig_eq_udfs[num_hashes] = eq_frac
+    return _sig_eq_udfs[num_hashes]
 
 
 def _get_minhash_udf(num_hashes: int):

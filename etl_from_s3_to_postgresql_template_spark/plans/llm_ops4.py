@@ -487,15 +487,19 @@ def _leak_assigned(
     )
 
 
-def _leak_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _leak_blocked_pairs(
+    spark: SparkSession, sf_dir: str, centroids: list[list[int]] | None = None
+) -> DataFrame:
     """IVF-blocked candidate generation + exact int8 rescore (shared by the
     registered scan and the recall gate). Train vectors land in exactly one
     list; holdout probes the nearest _LEAK_N_PROBE lists, so each pair is
     produced at most once — no dropDuplicates needed. The pair join is an
-    equi-join on list_id: shuffle-partitioned, no cross join anywhere."""
+    equi-join on list_id: shuffle-partitioned, no cross join anywhere.
+    ``centroids`` defaults to the static oracle artifact; the scale path
+    passes k ~ n/target_cell centroids (tools/bench_docs_dedup.py)."""
     from etl_from_s3_to_postgresql_template_spark.operators.intquant import dot_long
 
-    d = _leak_assigned(spark, sf_dir)
+    d = _leak_assigned(spark, sf_dir, centroids=centroids)
     train = d.where(~F.col("is_holdout")).select(
         F.col("vec_id").alias("train_id"),
         F.col("q").alias("qt"),

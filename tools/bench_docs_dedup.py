@@ -1,0 +1,89 @@
+"""Dedup/ANN/text scale-stress over the controlled-duplication corpora
+(tools/make_big_docs.py): the text-side companion to bench_scale.py.
+
+Two groups, by scale contract:
+
+- **k-independent plans** run straight from the registry at both scales —
+  their blocking (minhash bands, LSH buckets, hash groups, PQ codes,
+  windowed n-grams) adapts to n by construction.
+- **centroid-blocked plans** (SemDeDup, the leakage scan) are measured
+  with k SCALED as their contract requires (k ~ n/target_cell: the
+  registered k=16 artifact at the small scale, k = 16*factor at the big
+  scale, same seed family). Running them with k fixed at 100x the data
+  would measure a configuration their own docstrings forbid — cell size,
+  and therefore the within-cell pair term per row, must stay bounded.
+
+Usage: python tools/bench_docs_dedup.py [small_dir] [big_dir] [factor]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from etl_from_s3_to_postgresql_template_spark.plans import QUERIES
+from etl_from_s3_to_postgresql_template_spark.session import get_spark
+
+K_INDEPENDENT = [
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "dedup_exact_docs",
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
+    "similarity_topk_ivfpq",
+    "docs_repeated_spans",
+    "text_quality",
+]
+
+
+def _time(df) -> float:
+    df.write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/tmp/docs_scale/small"
+    big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/docs_scale/big"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    spark = get_spark("bench-docs")
+    out = {}
+    for name in K_INDEPENDENT:
+        t = {
+            "small": _time(QUERIES[name](spark, small)),
+            "big": _time(QUERIES[name](spark, big)),
+        }
+        t["ratio"] = round(t["big"] / t["small"], 2)
+        out[name] = t
+        print(json.dumps({name: t}), flush=True)
+
+    from etl_from_s3_to_postgresql_template_spark.operators.intquant import int8_centroids
+    from etl_from_s3_to_postgresql_template_spark.plans.llm_ops4 import _leak_blocked_pairs
+    from etl_from_s3_to_postgresql_template_spark.plans.llm_ops5 import semantic_dedup_frame
+
+    k_small, k_big = 16, 16 * factor
+    for name, fn in (
+        ("dedup_semantic_clusters", semantic_dedup_frame),
+        ("split_leakage_scan", _leak_blocked_pairs),
+    ):
+        t = {
+            "small": _time(fn(spark, small, centroids=int8_centroids(k_small))),
+            "big": _time(fn(spark, big, centroids=int8_centroids(k_big))),
+        }
+        t["ratio"] = round(t["big"] / t["small"], 2)
+        out[f"{name} (k {k_small}->{k_big})"] = t
+        print(json.dumps({f"{name} (k {k_small}->{k_big})": t}), flush=True)
+
+    ratios = sorted(v["ratio"] for v in out.values())
+    print(
+        json.dumps({"median_ratio": ratios[len(ratios) // 2], "data_factor": factor}),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
