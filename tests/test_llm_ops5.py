@@ -80,3 +80,32 @@ def test_ivfpq_rerank_top1_matches_bruteforce_top1(spark):
         ordered = sorted(rows, key=lambda r: r["rank"])
         dots = [r["int_dot"] for r in ordered]
         assert dots == sorted(dots, reverse=True)
+
+
+def test_semantic_dedup_cell_cap_excludes_oversized_and_reports(spark):
+    """Planted-degenerate-cell test: with 2 centroids most vectors land in
+    few cells; a small max_cell_size must exclude the oversized cells from
+    pair generation (members come back undecided, like singletons) and
+    the report must name exactly the cells above the cap."""
+    from etl_from_s3_to_postgresql_template_spark.operators.intquant import int8_centroids
+    from etl_from_s3_to_postgresql_template_spark.plans.llm_ops5 import semantic_dedup_frame
+
+    cen = int8_centroids(2)
+    uncapped = semantic_dedup_frame(spark, SF01, centroids=cen)
+    sizes = {
+        r["cluster_id"]: r["n"]
+        for r in uncapped.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    cap = min(sizes.values())  # only the smallest cell survives the cap
+    big_cells = {c for c, n in sizes.items() if n > cap}
+    assert big_cells  # the plant worked: at least one oversized cell
+    out, oversized = semantic_dedup_frame(
+        spark, SF01, centroids=cen, max_cell_size=cap, return_oversized=True
+    )
+    rep = {r["cluster_id"]: r["cell_size"] for r in oversized.collect()}
+    assert set(rep) == big_cells and all(rep[c] == sizes[c] for c in big_cells)
+    rows = out.collect()
+    assert len(rows) == sum(sizes.values())  # every vector still gets a row
+    for r in rows:
+        if r["cluster_id"] in big_cells:
+            assert not r["is_semantic_dup"] and r["max_cos_smaller"] is None
