@@ -510,3 +510,49 @@ def graph_token_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visited.select("tok", F.col("depth").cast("long").alias("depth")).orderBy(
         "depth", "tok"
     )
+
+
+@query(
+    "similarity_ivfpq_recall_gate",
+    oracle="SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok",
+)
+def similarity_ivfpq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for the PQ tier: mean recall@10 of ADC-candidates +
+    exact rerank vs the TRUE exact-int8-dot top-10 must clear the floor.
+    Both sides are deterministic (seeded codebooks, integer arithmetic,
+    fixed tie-breaks), so the one-row verdict hash-matches a constant
+    oracle — same contract as the LSH/IVF recall gates (plans/llm_ops3).
+    What it quantifies: how much ranking quality the 8-byte-per-vector
+    compression gives up at NCAND=32 candidates."""
+    from pyspark.sql import Window as W
+
+    from etl_from_s3_to_postgresql_template_spark.operators.intquant import dot_long
+
+    approx = similarity_topk_ivfpq(spark, sf_dir).select("q_id", "n_id")
+
+    quant = _leakage_quantized(spark, sf_dir).select("vec_id", "q")
+    qry = quant.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qq")
+    )
+    corp = quant.select(F.col("vec_id").alias("n_id"), F.col("q").alias("nq"))
+    exact = (
+        corp.join(F.broadcast(qry), how="cross")
+        .withColumn("int_dot", dot_long("qq", "nq"))
+        .withColumn(
+            "rank", F.row_number().over(W.partitionBy("q_id").orderBy(F.desc("int_dot"), "n_id"))
+        )
+        .where(F.col("rank") <= 10)
+        .select("q_id", "n_id")
+    )
+    hits = (
+        exact.join(approx.withColumn("__hit", F.lit(1)), ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg((F.sum("__hit") / F.count(F.lit(1))).alias("recall"))
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        # floor matches the LSH gate's 0.3 (llm_ops3): random codebooks at
+        # NCAND=32/500 measure ~0.42 mean recall on the fixture; fitted
+        # codebooks + larger NCAND raise it at scale
+        (F.avg(F.coalesce(F.col("recall"), F.lit(0.0))) >= F.lit(0.3)).alias("recall_ok"),
+    )

@@ -109,3 +109,31 @@ def test_semantic_dedup_cell_cap_excludes_oversized_and_reports(spark):
     for r in rows:
         if r["cluster_id"] in big_cells:
             assert not r["is_semantic_dup"] and r["max_cos_smaller"] is None
+
+
+def test_semantic_dedup_with_fitted_centroids(spark):
+    """The production path: k-means centroids fitted on the corpus
+    (operators/similarity.py::fit_ivf_centroids), rounded to the int8
+    grid, drive the SAME semantic-dedup plan. Coverage and determinism
+    must hold exactly as with the static artifact, and fitted cells must
+    still surface the fixture's near-dup pairs."""
+    from etl_from_s3_to_postgresql_template_spark.operators.similarity import (
+        fit_ivf_centroids,
+    )
+    from etl_from_s3_to_postgresql_template_spark.plans.llm_ops5 import (
+        semantic_dedup_frame,
+    )
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    fitted = fit_ivf_centroids(
+        emb.select(F.col("embedding").alias("n_vec")), n_lists=8, seed=7
+    )
+    # int8 grid: same artifact shape as the seeded centroids; scale to the
+    # int8 range so BIGINT distance arithmetic stays exact
+    cen = [[int(round(x * 127)) for x in c] for c in fitted]
+    out1 = semantic_dedup_frame(spark, SF01, centroids=cen).collect()
+    out2 = semantic_dedup_frame(spark, SF01, centroids=cen).collect()
+    n_emb = emb.count()
+    assert len(out1) == n_emb and len({r["vec_id"] for r in out1}) == n_emb
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]  # deterministic
+    assert sum(r["is_semantic_dup"] for r in out1) > 0
