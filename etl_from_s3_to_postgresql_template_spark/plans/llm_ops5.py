@@ -1,5 +1,7 @@
-"""Round-4 additions: semantic (embedding-cluster) dedup and incremental
-partial-aggregate maintenance.
+"""Round-4 additions: semantic (embedding-cluster) dedup, incremental
+partial-aggregate maintenance, the PQ-ADC similarity tier (+ recall
+gate), deterministic curriculum ordering, and bounded BFS reachability
+(the recursive-CTE query class).
 
 Theme: the two jobs a 100 TB training-data pipeline reruns forever are
 (a) pruning semantically-redundant documents (SemDeDup-style: cluster the
@@ -42,6 +44,7 @@ __all__ = [
     "similarity_topk_ivfpq",
     "corpus_curriculum_order",
     "graph_token_bfs_reach",
+    "similarity_ivfpq_recall_gate",
 ]
 
 #: SemDeDup cosine threshold: pairs at or above it are semantic duplicates.
