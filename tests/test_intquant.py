@@ -91,3 +91,38 @@ def test_dot_long_matches_zip_with_fold(spark):
     )
     out = pairs.select("ia", "ib", dot_long("qa", "qb").alias("fast"), ref_dot.alias("ref"))
     assert out.where(F.col("fast") != F.col("ref")).count() == 0
+
+
+def test_shingles_regex_form_equals_zip_with_form(spark):
+    """The codegen-friendly regexp_extract_all shingle builder must emit
+    BYTE-IDENTICAL arrays to the reference zip_with-of-slices form, for
+    several k, including the short-text fallback."""
+    import functools
+
+    from etl_from_s3_to_postgresql_template_spark.functions.text import (
+        shingles_col,
+        tokens_col,
+    )
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(9001, "one"), (9002, "two  tokens"), (9003, "  padded   text with   runs  "), (9004, "")],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(extra)
+
+    def reference(text, k):
+        toks = tokens_col(text)
+        n = F.size(toks)
+        m = F.greatest(n - (k - 1), F.lit(1))
+        parts = [F.slice(toks, j + 1, m) for j in range(k)]
+        joined = functools.reduce(
+            lambda a, b: F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y)), parts
+        )
+        return F.when(n >= k, joined).otherwise(F.array(F.concat_ws(" ", toks)))
+
+    for k in (1, 2, 3, 5):
+        bad = docs.select(
+            shingles_col("text", k).alias("a"), reference("text", k).alias("b")
+        ).where(F.col("a") != F.col("b"))
+        assert bad.count() == 0, f"k={k}"
