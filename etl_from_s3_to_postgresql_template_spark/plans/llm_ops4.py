@@ -308,21 +308,35 @@ def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference scope note: the reference pipeline has no dedup at all
     (etl_pipeline.py drops exact-duplicate rows only via pandas
     drop_duplicates, line ~430); this is north-star E1 surface."""
-    from etl_from_s3_to_postgresql_template_spark.functions.text import tokens_col
-
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.transform(tokens_col(F.col("text")), lambda t: F.lower(t))
     n = 8
-    with_toks = docs.select("doc_id", toks.alias("t")).where(F.size("t") >= n)
-    grams = with_toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - (n - 1)),
-                lambda j: F.md5(F.concat_ws(" ", F.slice(F.col("t"), j, n))),
-            )
-        ).alias("pos0", "gm"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gm")
+    # Positioned 8-grams via ONE anchored-lookahead regexp_extract_all
+    # over lowercased whitespace-normalized text (the shingles_col trick,
+    # functions/text.py): the pattern consumes a token boundary and
+    # captures the next 8 tokens, so array index == token position and
+    # the md5 runs as a plain codegen projection AFTER the explode. The
+    # previous transform(sequence)+slice+concat form was an interpreted
+    # HOF eval per position — the measured bulk of this query's 418 s at
+    # 500k docs. Gram strings are byte-identical (space-joined lowercase
+    # tokens; lowercasing whole text == lowercasing per token because the
+    # preserved spaces give Java's context-sensitive case rules the same
+    # word boundaries), so the oracle is unchanged.
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    pat = r"(?:^| )(?=(\S+" + r" \S+" * (n - 1) + r"))"
+    gram_strs = F.when(
+        F.length(norm) > 0, F.regexp_extract_all(norm, F.lit(pat), F.lit(1))
+    ).otherwise(F.array().cast("array<string>"))
+    with_g = docs.select("doc_id", gram_strs.alias("g")).where(F.size("g") >= 1)
+    # 8-byte xxhash64 gram keys, not md5 strings: the key is INTERNAL
+    # (output never exposes it), the gram shuffle is this query's dominant
+    # cost (~100M rows at 500k docs), and the narrow key cuts both the
+    # hash compute and the shuffle width ~2.5x. Same mod-2^-64 collision
+    # stance as dedup_exact_hashed; the oracle keys grams by their string
+    # value, so results agree except under a 64-bit collision (expected
+    # <<1 even at the 500k-doc stress scale).
+    grams = with_g.select(
+        "doc_id", F.posexplode("g").alias("pos0", "gs")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), F.xxhash64("gs").alias("gm"))
     # Cross-doc test as a whole-partition window over the gram key
     # (min(doc_id) != max(doc_id)  <=>  >=2 distinct docs): the gram
     # explode materializes ONCE and shuffles once, instead of the
