@@ -298,12 +298,14 @@ def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     or drops the doc — this is the operator behind "remove any substring
     repeated verbatim across the corpus".
 
-    Spark shape: position-indexed 8-grams via transform(sequence) + slice
-    (no UDF), md5 gram keys (engine-neutral; the scale path swaps in
-    operators/corpus.py::hashed_shingles_col's 8-byte polynomial hashes),
-    one groupBy to find cross-doc grams, one window to merge adjacent hits
-    into maximal spans (islands: pos - row_number). Grams shuffle once;
-    documents never shuffle whole.
+    Spark shape: position-indexed 8-grams via one anchored-lookahead
+    regexp_extract_all (codegen; no UDF, no HOF), 8-byte xxhash64 gram
+    keys, one window over the gram key for the cross-doc test, one window
+    to merge adjacent hits into maximal spans (islands: pos -
+    row_number). Grams shuffle once; documents never shuffle whole. At
+    500k docs the ~100M-row gram shuffle+window IS the cost (~440 s,
+    ratio ~110 at 100x data = linear); sub-linear ExactSubstr needs
+    suffix-array machinery outside a shuffle engine's vocabulary.
 
     Reference scope note: the reference pipeline has no dedup at all
     (etl_pipeline.py drops exact-duplicate rows only via pandas
