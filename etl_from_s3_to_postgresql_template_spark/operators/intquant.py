@@ -111,7 +111,20 @@ def quantize_int8(
     ``q[i] = floor(v[i] * (127/max_abs) + 0.5)`` — the identical IEEE
     double sequence as the Column-expression form (and the oracles'
     ``list_transform``). Rows with ``max_abs <= 0`` are dropped (both
-    engines). With ``centroids``, ``lids`` is the nearest-``n_keep``
+    engines).
+
+    Malformed-input caveat (where the expression-form equivalence ends):
+    the numpy ``max_abs > 0`` mask also drops rows whose vector contains
+    NaN (numpy: ``NaN > 0`` is False), while the Column form would KEEP
+    them (Spark's NaN ordering treats NaN as greater than any number) and
+    emit NaN-poisoned codes downstream — dropping is the safer behavior,
+    but it is a divergence; and ``np.vstack`` raises on ragged batches
+    (vectors of unequal length) that the per-row expression form would
+    have tolerated. The equivalence claim therefore holds for well-formed
+    input: finite values, uniform dimensionality — which both the fixture
+    embeddings and any sane production embedding table satisfy; validate
+    upstream if the source can produce either defect. With ``centroids``,
+    ``lids`` is the nearest-``n_keep``
     centroid index list sorted by (squared distance, index) — ``lids[0]``
     is the assignment, a prefix is the n-probe set; integer-valued d2 via
     ``|q|^2 - 2 q.C^T + |C|^2`` as one matmul. ``n_keep`` bounds the

@@ -1432,8 +1432,16 @@ __all__ += ["corpus_shard_balance"]
     oracle=r"""
     WITH d AS (
       SELECT doc_id,
-             CAST(instr('0123456789abcdef',
-                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) % 8
+             CAST(
+               (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 268435456
+             + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216
+             + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576
+             + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536
+             + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096
+             + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256
+             + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1)
+             AS BIGINT) % 8
                AS shard_id,
              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
       FROM documents
@@ -1450,21 +1458,20 @@ __all__ += ["corpus_shard_balance"]
 )
 def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed-training shard assignment + balance audit: docs map to
-    8 shards by content-hash (first md5 nibble mod 8 — deterministic,
-    engine-neutral, stable under corpus growth like the split/sample
-    rules), and the report gives per-shard doc/token totals plus the
-    max/min token ratio — the number that predicts straggler epochs in a
-    data-parallel training job. One projection + one 8-group aggregate;
-    the balance scalar rides along as a 1-row broadcast."""
+    8 shards by content-hash (32-bit md5-prefix hash mod 8 —
+    deterministic, engine-neutral, stable under corpus growth like the
+    split/sample rules, and uniform for ANY shard count, sinks/shards.py
+    ``shard_hash_col``), and the report gives per-shard doc/token totals
+    plus the max/min token ratio — the number that predicts straggler
+    epochs in a data-parallel training job. One projection + one 8-group
+    aggregate; the balance scalar rides along as a 1-row broadcast."""
     from etl_from_s3_to_postgresql_template_spark.functions.text import token_count_col
+    from etl_from_s3_to_postgresql_template_spark.sinks.shards import shard_assignment_col
 
     docs = load_table(spark, sf_dir, "documents")
-    nibble = (
-        F.expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1))")
-        - 1
-    ).cast("long")
     d = docs.select(
-        (nibble % 8).alias("shard_id"), token_count_col(F.col("text")).alias("n_tokens")
+        shard_assignment_col("doc_id", 8).alias("shard_id"),
+        token_count_col(F.col("text")).alias("n_tokens"),
     )
     s = d.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("tokens")

@@ -6,7 +6,7 @@ each holding files small enough to stream and stable enough to resume
 from. Requirements, in order:
 
 - **Deterministic assignment**: a document's shard depends only on its id
-  (content-hash nibble mod N — the same engine-neutral rule
+  (32-bit md5-prefix hash mod N — the same engine-neutral rule
   corpus_shard_balance audits), never on partitioning accidents, so two
   runs over the same corpus produce byte-identical shard membership and a
   crashed epoch can be resumed against a re-written corpus.
@@ -29,19 +29,40 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["ShardReport", "shard_assignment_col", "write_corpus_shards", "read_shard"]
+__all__ = [
+    "ShardReport",
+    "shard_hash_col",
+    "shard_assignment_col",
+    "write_corpus_shards",
+    "read_shard",
+]
+
+
+def shard_hash_col(id_col: str):
+    """Deterministic engine-neutral 32-bit content hash: the first 8 md5
+    nibbles of the id folded as ``h = h*16 + nibble`` (= the hex prefix
+    read as an integer). Pure md5+substring+instr arithmetic, so any SQL
+    engine reproduces it bit-for-bit; 32 bits of entropy keeps
+    ``h % n_shards`` uniform for ANY shard count (a single nibble would
+    leave shards >16 permanently empty and non-divisors of 16 skewed)."""
+    h = F.lit(0).cast("long")
+    for i in range(1, 9):
+        nib = (
+            F.expr(
+                f"instr('0123456789abcdef', substring(md5(cast({id_col} as string)), {i}, 1))"
+            )
+            - 1
+        ).cast("long")
+        h = h * 16 + nib
+    return h
 
 
 def shard_assignment_col(id_col: str, n_shards: int):
-    """Deterministic engine-neutral shard id: first md5 nibble of the id,
-    mod ``n_shards`` — identical to corpus_shard_balance's audit rule
-    (plans/llm_ops4.py), so the audit query predicts this writer's layout
-    exactly."""
-    nibble = (
-        F.expr(f"instr('0123456789abcdef', substring(md5(cast({id_col} as string)), 1, 1))")
-        - 1
-    ).cast("long")
-    return nibble % n_shards
+    """Deterministic shard id: ``shard_hash_col(id) % n_shards`` —
+    identical to corpus_shard_balance's audit rule (plans/llm_ops4.py),
+    so the audit query predicts this writer's layout exactly, for any
+    ``n_shards`` (not just divisors of 16)."""
+    return shard_hash_col(id_col) % n_shards
 
 
 @dataclass

@@ -65,3 +65,69 @@ def test_delete_with_no_matches_is_a_noop(spark, tmp_path):
     rep = delete_rows(spark, out, keys, "event_id")
     assert rep.files_touched == 0 and rep.rows_deleted == 0
     assert _stat_files(out) == before
+
+
+def _build_crash_state(spark, out, keys, move_first_n):
+    """Reproduce delete_rows' state at a crash AFTER the manifest commit:
+    rewrites in the temp dir, manifest persisted, and the first
+    ``move_first_n`` rewritten parts already renamed into the dataset
+    (their originals deleted) — the exact window the recovery contract
+    covers."""
+    from etl_from_s3_to_postgresql_template_spark.sinks import delete as mod
+
+    scan = spark.read.parquet(out).select(
+        "event_id", F.col("_metadata.file_path").alias("__fp")
+    )
+    touched = [
+        r["__fp"]
+        for r in scan.join(keys, "event_id", "left_semi").select("__fp").distinct().collect()
+    ]
+    assert touched
+    sub = spark.read.parquet(*touched)
+    remaining = sub.join(keys, "event_id", "left_anti")
+    tmp = mod._tmp_dir(out)
+    remaining.coalesce(len(touched)).write.mode("overwrite").parquet(tmp)
+    jvm, fs = mod._hadoop(spark, out)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    parts = [
+        st.getPath().getName()
+        for st in fs.listStatus(HPath(tmp))
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    mod._write_manifest(jvm, fs, out, {"touched": touched, "parts": parts})
+    for name in parts[:move_first_n]:
+        assert fs.rename(HPath(tmp + "/" + name), HPath(out.rstrip("/") + "/" + name))
+    return touched
+
+
+def test_recovery_after_crash_before_any_rename(spark, tmp_path):
+    """Crash with manifest committed but nothing moved: dataset is the old
+    layout; recovery completes the recorded delete exactly once."""
+    from etl_from_s3_to_postgresql_template_spark.sinks.delete import recover_pending_delete
+
+    out, ev = _lay_out(spark, tmp_path)
+    keys = spark.createDataFrame([(i,) for i in range(1, 20)], "event_id long")
+    _build_crash_state(spark, out, keys, move_first_n=0)
+    assert recover_pending_delete(spark, out) is True
+    back = spark.read.parquet(out)
+    want = ev.join(keys, "event_id", "left_anti")
+    assert back.exceptAll(want).count() == 0 and want.exceptAll(back).count() == 0
+    # idempotent: nothing left to recover
+    assert recover_pending_delete(spark, out) is False
+
+
+def test_delete_rows_self_heals_mid_swap_crash(spark, tmp_path):
+    """Crash mid-swap (one rewrite moved in, its original still present →
+    transient duplicates): the NEXT delete_rows call recovers first, so
+    its probe runs on a consistent layout and the final dataset has no
+    duplicates and no resurrected rows."""
+    out, ev = _lay_out(spark, tmp_path)
+    keys = spark.createDataFrame([(i,) for i in range(1, 20)], "event_id long")
+    _build_crash_state(spark, out, keys, move_first_n=1)
+    # the crash window is visible as duplicated survivors
+    assert spark.read.parquet(out).count() > ev.count() - 19
+    keys2 = spark.createDataFrame([(25,), (26,)], "event_id long")
+    delete_rows(spark, out, keys2, "event_id")
+    back = spark.read.parquet(out)
+    want = ev.join(keys.union(keys2), "event_id", "left_anti")
+    assert back.exceptAll(want).count() == 0 and want.exceptAll(back).count() == 0

@@ -34,22 +34,41 @@ def test_shard_writer_layout_and_counts(spark, tmp_path):
 
 def test_shard_assignment_matches_balance_audit(spark):
     """The writer's assignment rule and corpus_shard_balance's audit rule
-    must agree doc-for-doc — the audit predicts the layout."""
+    must agree doc-for-doc — the audit predicts the layout. The audit
+    formula is written out independently here (hex-prefix-as-integer via
+    positional nibble arithmetic, the same text as the DuckDB oracle)."""
     docs = load_table(spark, SF, "documents")
     ours = docs.select(
         "doc_id", shard_assignment_col("doc_id", 8).alias("shard_id")
     )
+    terms = " + ".join(
+        f"cast(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), {i}, 1))"
+        f" - 1 as bigint) * {16 ** (8 - i)}L"
+        for i in range(1, 9)
+    )
     audit = docs.select(
-        "doc_id",
-        (
-            (
-                F.expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1))")
-                - 1
-            ).cast("long")
-            % 8
-        ).alias("shard_id"),
+        "doc_id", (F.expr(terms).cast("long") % 8).alias("shard_id")
     )
     assert ours.exceptAll(audit).count() == 0 and audit.exceptAll(ours).count() == 0
+
+
+def test_shard_assignment_uniform_beyond_16(spark, tmp_path):
+    """32-bit hash keeps every shard populated for n_shards > 16 and for
+    non-divisors of 16 — the single-nibble rule this replaced left shards
+    17..31 permanently empty and n_shards=5 systematically imbalanced."""
+    docs = load_table(spark, SF, "documents")
+    for n in (5, 32):
+        counts = (
+            docs.select(shard_assignment_col("doc_id", n).alias("s"))
+            .groupBy("s")
+            .count()
+            .collect()
+        )
+        got = {r["s"]: r["count"] for r in counts}
+        assert set(got) == set(range(n)), f"empty shards at n_shards={n}"
+        # no shard grossly over-represented (single-nibble n=5 gave 4/16 = 0.25)
+        total = sum(got.values())
+        assert max(got.values()) / total < 2.5 / n
 
 
 def test_shard_writer_is_run_deterministic(spark, tmp_path):
