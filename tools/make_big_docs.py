@@ -119,8 +119,18 @@ def main() -> None:
         out = os.path.join(dst, label)
         os.makedirs(out, exist_ok=True)
         rng = np.random.default_rng(1234)  # same seed: same process, bigger n
-        pq.write_table(gen_docs(rng, n), f"{out}/documents.parquet")
-        pq.write_table(gen_embeddings(rng, int(n * 2 / 5)), f"{out}/embeddings.parquet")
+        # Bounded row groups: a row group is Spark's intra-file parallelism
+        # unit — pyarrow's default wrote the WHOLE 500k-doc corpus as ONE
+        # group, so every scan of it ran in one task with 31 threads idle
+        # (found round 5: the sweep was benchmarking the fixture's layout,
+        # not the plans). ~10k rows/group ≈ 6 MB keeps 32-way splits busy,
+        # the same shape as a real multi-file 100 TB lake.
+        pq.write_table(gen_docs(rng, n), f"{out}/documents.parquet", row_group_size=10_000)
+        pq.write_table(
+            gen_embeddings(rng, int(n * 2 / 5)),
+            f"{out}/embeddings.parquet",
+            row_group_size=10_000,
+        )
         print(f"{label}: {n} docs, {int(n * 2 / 5)} embeddings -> {out}")
 
 
