@@ -524,11 +524,16 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     All-pairs cosine with id_a < id_b and threshold. Exact O(n^2) is the
     verification baseline; the scale path is the SAME query over LSH-blocked
     candidates (similarity_topk_lsh's banding) — at 100 TB you never run the
-    unblocked form. The filter uses the UNROUNDED cosine (both engines), so
-    boundary values can't flip membership."""
+    unblocked form, and a fail-fast guard (operators/guards.py) makes that
+    mechanical: corpus-scale input raises before any pair is enumerated.
+    The filter uses the UNROUNDED cosine (both engines), so boundary values
+    can't flip membership."""
     from etl_from_s3_to_postgresql_template_spark.functions.vectors import as_double_vec, cosine_col
+    from etl_from_s3_to_postgresql_template_spark.operators.guards import assert_fixture_scale
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = assert_fixture_scale(
+        load_table(spark, sf_dir, "embeddings"), "dedup_embedding_pairs"
+    )
     a = emb.select(F.col("vec_id").alias("id_a"), as_double_vec(F.col("embedding")).alias("ea"))
     b = emb.select(F.col("vec_id").alias("id_b"), as_double_vec(F.col("embedding")).alias("eb"))
     cos = cosine_col(F.col("ea"), F.col("eb"))

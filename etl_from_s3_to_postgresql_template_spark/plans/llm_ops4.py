@@ -596,9 +596,16 @@ def split_leakage_scan_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture-scale oracle twin of split_leakage_scan: the same audit as an
     exact all-pairs scan. Quadratic by construction — kept registered as the
     ground-truth baseline the blocked plan's recall gate measures against,
-    NOT as the production path. The holdout side (~1/8) is the smaller side;
-    no broadcast HINT — it grows with corpus size, so the choice belongs to
-    AQE (the no-hinted-broadcast guard in tests/test_plans.py)."""
+    NOT as the production path — a fail-fast guard (operators/guards.py)
+    raises on corpus-scale input before any pair is enumerated. The holdout
+    side (~1/8) is the smaller side; no broadcast HINT — it grows with
+    corpus size, so the choice belongs to AQE (the no-hinted-broadcast
+    guard in tests/test_plans.py)."""
+    from etl_from_s3_to_postgresql_template_spark.operators.guards import assert_fixture_scale
+
+    assert_fixture_scale(
+        load_table(spark, sf_dir, "embeddings"), "split_leakage_scan_exact"
+    )
     return _leak_exact_pairs(spark, sf_dir).orderBy("holdout_id", "train_id")
 
 
