@@ -20,10 +20,40 @@ cluster-submit concerns, not code concerns.
 from __future__ import annotations
 
 import os
+from collections.abc import Mapping
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "s3a_conf"]
+
+
+def s3a_conf(env: Mapping[str, str] | None = None) -> dict[str, str]:
+    """Env-driven S3A endpoint seam, mirroring the ``JDBC_URL`` seam in
+    sinks/base.py: point ``S3_ENDPOINT_URL`` at a MinIO-style object store
+    and every ``s3a://`` read/write in the engine (ingest listing, parquet
+    scans, sinks) runs against it UNMODIFIED — the container has no S3, so
+    this is how the real S3A code path gets exercised. Uses the standard
+    public names: ``S3_ENDPOINT_URL``, ``AWS_ACCESS_KEY_ID``,
+    ``AWS_SECRET_ACCESS_KEY``; ``S3_PATH_STYLE_ACCESS`` defaults to true
+    (MinIO's addressing) once an endpoint is set. Without
+    ``S3_ENDPOINT_URL`` the dict is empty and AWS-default resolution
+    (instance profile, region endpoints) applies untouched."""
+    e = os.environ if env is None else env
+    endpoint = e.get("S3_ENDPOINT_URL")
+    if not endpoint:
+        return {}
+    conf = {
+        "spark.hadoop.fs.s3a.endpoint": endpoint,
+        "spark.hadoop.fs.s3a.path.style.access": e.get("S3_PATH_STYLE_ACCESS", "true"),
+        "spark.hadoop.fs.s3a.connection.ssl.enabled": str(
+            endpoint.startswith("https")
+        ).lower(),
+    }
+    if e.get("AWS_ACCESS_KEY_ID"):
+        conf["spark.hadoop.fs.s3a.access.key"] = e["AWS_ACCESS_KEY_ID"]
+    if e.get("AWS_SECRET_ACCESS_KEY"):
+        conf["spark.hadoop.fs.s3a.secret.key"] = e["AWS_SECRET_ACCESS_KEY"]
+    return conf
 
 
 def get_spark(
@@ -64,6 +94,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
     )
+    for k, v in s3a_conf().items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
