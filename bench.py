@@ -41,6 +41,17 @@ HEAVY = [
     "q21_waiting_suppliers",
 ]
 
+# Docs-scale heavy hitters (r4 verdict #6): the three most expensive
+# text/embedding plans from the 100x-docs sweep, tracked round-over-round
+# at fixture scale so a constant-factor regression in any of them is
+# driver-visible. Timed identically; `value` covers all 15,
+# `value_headline10` still preserves the r1-r3 comparable subtotal.
+DOCS_HEAVY = [
+    "dedup_semantic_clusters",
+    "similarity_topk_ivfpq",
+    "docs_repeated_spans",
+]
+
 
 def _calibrate() -> float:
     """Fixed single-core busy loop (~1 s on an unloaded box). Reported as
@@ -72,7 +83,7 @@ def main() -> None:
     # still recorded per query (first TIMED pass below) as first_pass_total.
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
-    for name in HEADLINE + HEAVY:
+    for name in HEADLINE + HEAVY + DOCS_HEAVY:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     for _ in range(2):
         QUERIES["dedup_minhash_pairs"](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -80,7 +91,7 @@ def main() -> None:
     # Three timed passes per query; headline value = best (TPC power-run
     # convention, min instead of second-run to resist this shared box's
     # ±40% co-tenant noise).
-    for name in HEADLINE + HEAVY:
+    for name in HEADLINE + HEAVY + DOCS_HEAVY:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
