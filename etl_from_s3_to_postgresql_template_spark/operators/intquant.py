@@ -45,7 +45,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
-__all__ = ["int8_centroids", "quantize_int8", "pq_encode", "dot_long", "make_adc_udf"]
+__all__ = [
+    "int8_centroids",
+    "quantize_int8",
+    "pq_encode",
+    "dot_long",
+    "make_adc_udf",
+    "cell_pair_max_cos",
+    "cogroup_pair_scores",
+]
 
 
 def make_adc_udf(codebooks: list[list[list[int]]]):
@@ -239,4 +247,127 @@ def pq_encode(
 
     return quantized.select(id_col, "q").mapInPandas(
         batches, f"{id_col} long, codes array<int>, recon array<long>"
+    )
+
+
+def cell_pair_max_cos(
+    cells: DataFrame,
+    cell_col: str = "cluster_id",
+    id_col: str = "vec_id",
+    q_col: str = "q",
+    nrm_col: str = "nrm",
+    block_rows: int = 2048,
+) -> DataFrame:
+    """Per-cell "max cosine against any LOWER-id cell-mate", one grouped
+    Arrow pass — the SemDeDup pair term without materializing pairs.
+
+    The join form (lo x hi on the cell key, dot per pair, groupBy max)
+    is correct but ships BOTH int8 vectors through the shuffle once per
+    CANDIDATE PAIR: at the scale contract (cell ~ target size c, n/c
+    cells) that is ~n*c/2 pair rows x ~1 kB — measured 798 s executor
+    time at 200k vectors, k=1600 (SCALING.md round 5). Here each vector
+    crosses the wire ONCE (shuffle on the cell key), and the pair term
+    runs as a blocked float64 gemm inside the group: O(c^2) arithmetic —
+    same as the join's pair count — at memory O(c * block_rows).
+
+    Bit-identical to the join form: the gemm sums 64 products of ints
+    <= 127^2, partial sums < 2^21 — exact in float64 in any order; the
+    denominator multiplies the two BIGINT norms in float64 first
+    (products < 2^41, exact) and takes ONE sqrt, the identical IEEE op
+    sequence as ``sqrt((lo_nrm * hi_nrm) cast double)``; max over the
+    same value set is the same value. (Oracles unchanged and re-green is
+    the regression proof, as with every kernel in this module.)
+
+    applyInPandas loads one whole cell per task invocation — cell size
+    is bounded by the caller's cap-and-report contract (max_cell_size),
+    exactly the bound the pair join needed anyway to avoid the c^2
+    blow-up. Rows only for vectors that HAVE a lower-id mate; callers
+    left-join and coalesce, as with the join form."""
+
+    def one_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"), "max_cos": pd.Series([], dtype="float64")}
+            )
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        Q = np.vstack(pdf[q_col].to_numpy()).astype(np.float64)
+        nrm = pdf[nrm_col].to_numpy().astype(np.float64)
+        ids = pdf[id_col].to_numpy()
+        best = np.full(n, -np.inf)
+        for s in range(1, n, block_rows):
+            e = min(s + block_rows, n)
+            dots = Q[s:e] @ Q[:e].T  # (e-s, e): exact integer values
+            denom = np.sqrt(nrm[s:e, None] * nrm[None, :e])
+            cos = dots / denom
+            # keep only strictly-lower ids: column j vs global row s+r
+            cos[np.arange(e)[None, :] >= np.arange(s, e)[:, None]] = -np.inf
+            best[s:e] = cos.max(axis=1)
+        has_mate = best > -np.inf
+        return pd.DataFrame({id_col: ids[has_mate], "max_cos": best[has_mate]})
+
+    return cells.select(cell_col, id_col, q_col, nrm_col).groupBy(cell_col).applyInPandas(
+        one_cell, f"{id_col} long, max_cos double"
+    )
+
+
+def cogroup_pair_scores(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_id: str,
+    right_id: str,
+    min_cos: float,
+    q_cols: tuple[str, str] = ("qh", "qt"),
+    nrm_cols: tuple[str, str] = ("nh", "nt"),
+    block_rows: int = 2048,
+) -> DataFrame:
+    """Blocked cross-scoring of two frames cogrouped on a blocking key
+    (IVF list, LSH bucket): emits ``(left_id, right_id, int_dot, cos)``
+    for every within-key pair with ``cos >= min_cos`` — the candidate
+    join + rescore without shipping vectors once per pair. Same
+    exactness argument as cell_pair_max_cos: int dots exact in the
+    float64 gemm, one sqrt over the float64 norm product, unrounded
+    threshold compare on both engines."""
+
+    ql, qr = q_cols
+    nl, nr = nrm_cols
+
+    def one_key(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                left_id: pd.Series([], dtype="int64"),
+                right_id: pd.Series([], dtype="int64"),
+                "int_dot": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            }
+        )
+        if not len(lpdf) or not len(rpdf):
+            return empty
+        QL = np.vstack(lpdf[ql].to_numpy()).astype(np.float64)
+        QR = np.vstack(rpdf[qr].to_numpy()).astype(np.float64)
+        NL = lpdf[nl].to_numpy().astype(np.float64)
+        NR = rpdf[nr].to_numpy().astype(np.float64)
+        lids_, rids_ = lpdf[left_id].to_numpy(), rpdf[right_id].to_numpy()
+        frames = []
+        for s in range(0, len(QL), block_rows):
+            e = min(s + block_rows, len(QL))
+            dots = QL[s:e] @ QR.T
+            cos = dots / np.sqrt(NL[s:e, None] * NR[None, :])
+            li, ri = np.nonzero(cos >= min_cos)
+            if len(li):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            left_id: lids_[s + li],
+                            right_id: rids_[ri],
+                            "int_dot": dots[li, ri].astype(np.int64),
+                            "cos": cos[li, ri],
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return left.groupBy(key_col).cogroup(right.groupBy(key_col)).applyInPandas(
+        one_key, f"{left_id} long, {right_id} long, int_dot long, cos double"
     )

@@ -513,9 +513,12 @@ def _leak_blocked_pairs(
     equi-join on list_id: shuffle-partitioned, no cross join anywhere.
     ``centroids`` defaults to the static oracle artifact; the scale path
     passes k ~ n/target_cell centroids (tools/bench_docs_dedup.py)."""
-    from etl_from_s3_to_postgresql_template_spark.operators.intquant import dot_long
+    from etl_from_s3_to_postgresql_template_spark.operators.intquant import cogroup_pair_scores
 
-    d = _leak_assigned(spark, sf_dir, centroids=centroids)
+    # localCheckpoint (lazy): hold and train both derive from the same
+    # quantize+assign mapInPandas — one materialization instead of one
+    # per branch (the kernel is the expensive pass at scaled k).
+    d = _leak_assigned(spark, sf_dir, centroids=centroids).localCheckpoint(eager=False)
     train = d.where(~F.col("is_holdout")).select(
         F.col("vec_id").alias("train_id"),
         F.col("q").alias("qt"),
@@ -528,16 +531,14 @@ def _leak_blocked_pairs(
         F.col("nrm").alias("nh"),
         F.explode(F.slice("lids", 1, _LEAK_N_PROBE)).alias("list_id"),
     )
-    return (
-        hold.join(train, "list_id")
-        .withColumn("int_dot", dot_long("qh", "qt"))
-        .withColumn(
-            "cos_q",
-            F.col("int_dot").cast("double") / F.sqrt((F.col("nh") * F.col("nt")).cast("double")),
-        )
-        .where(F.col("cos_q") >= 0.40)
-        .select("holdout_id", "train_id", "int_dot", F.round("cos_q", 6).alias("cos_q"))
-    )
+    # Cogrouped blocked gemm on the list key: each vector crosses the wire
+    # once per probed list, not once per candidate PAIR (the equi-join
+    # form shipped both q arrays through the shuffle per candidate —
+    # ~11M pair rows at 200k vectors, k=1600; bit-identical rescore, see
+    # cogroup_pair_scores).
+    return cogroup_pair_scores(
+        hold, train, "list_id", "holdout_id", "train_id", min_cos=0.40
+    ).select("holdout_id", "train_id", "int_dot", F.round("cos", 6).alias("cos_q"))
 
 
 def _leak_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -116,11 +116,18 @@ def semantic_dedup_frame(
     adds the (cluster_id, cell_size) report of what was skipped. The
     registered oracle entry runs uncapped — its k=16 fixture cells are
     tiny by construction."""
-    from etl_from_s3_to_postgresql_template_spark.operators.intquant import dot_long
+    from etl_from_s3_to_postgresql_template_spark.operators.intquant import cell_pair_max_cos
     from pyspark.sql import Window as W
 
-    a = _leak_assigned(spark, sf_dir, centroids=centroids).select(
-        "vec_id", "q", "nrm", F.element_at("lids", 1).cast("long").alias("cluster_id")
+    # localCheckpoint (lazy): the assignment pass (quantize + k-way argmin,
+    # the expensive mapInPandas) feeds BOTH the pair term and the final
+    # verdict join — without it Catalyst evaluates the kernel once per
+    # subtree occurrence (measured 3x = ~520 s redundant executor time at
+    # 200k vectors, k=1600; SCALING.md round 5).
+    a = (
+        _leak_assigned(spark, sf_dir, centroids=centroids)
+        .select("vec_id", "q", "nrm", F.element_at("lids", 1).cast("long").alias("cluster_id"))
+        .localCheckpoint(eager=False)
     )
     paired = a
     if max_cell_size is not None:
@@ -130,30 +137,12 @@ def semantic_dedup_frame(
             .where(F.col("cell_size") <= max_cell_size)
             .drop("cell_size")
         )
-    lo = paired.select(
-        F.col("cluster_id"),
-        F.col("vec_id").alias("lo_id"),
-        F.col("q").alias("lo_q"),
-        F.col("nrm").alias("lo_nrm"),
-    )
-    hi = paired.select(
-        F.col("cluster_id"),
-        F.col("vec_id").alias("vec_id"),
-        F.col("q").alias("hi_q"),
-        F.col("nrm").alias("hi_nrm"),
-    )
-    pair_max = (
-        lo.join(hi, "cluster_id")
-        .where(F.col("lo_id") < F.col("vec_id"))
-        .withColumn("int_dot", dot_long("lo_q", "hi_q"))
-        .withColumn(
-            "cos",
-            F.col("int_dot").cast("double")
-            / F.sqrt((F.col("lo_nrm") * F.col("hi_nrm")).cast("double")),
-        )
-        .groupBy("vec_id")
-        .agg(F.max("cos").alias("max_cos"))
-    )
+    # Pair term as a grouped blocked gemm: one shuffle of the VECTORS on
+    # the cell key instead of one pair row per candidate (the join form
+    # shipped both q arrays per pair — measured 798 s executor time /
+    # ~12.5M pair rows at 200k vectors, k=1600; bit-identical, see
+    # cell_pair_max_cos).
+    pair_max = cell_pair_max_cos(paired)
     out = (
         a.join(pair_max, "vec_id", "left")
         .select(

@@ -126,3 +126,91 @@ def test_shingles_regex_form_equals_zip_with_form(spark):
             shingles_col("text", k).alias("a"), reference("text", k).alias("b")
         ).where(F.col("a") != F.col("b"))
         assert bad.count() == 0, f"k={k}"
+
+
+def test_cell_pair_max_cos_matches_join_form(spark):
+    """The grouped blocked-gemm pair term must be BIT-IDENTICAL to the
+    join-per-pair form it replaced (llm_ops5 round-5 rewrite) — including
+    across gemm block boundaries (block_rows=3 forces multi-block cells)
+    and on singleton cells (no row emitted)."""
+    import numpy as np
+
+    from etl_from_s3_to_postgresql_template_spark.operators.intquant import (
+        cell_pair_max_cos,
+        dot_long,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for vid in range(40):
+        q = [int(x) for x in rng.integers(-127, 128, size=8)]
+        rows.append((vid, vid % 5 if vid < 35 else 90 + vid, q, int(sum(v * v for v in q))))
+    cells = spark.createDataFrame(
+        rows, "vec_id long, cluster_id long, q array<long>, nrm long"
+    )
+
+    lo = cells.select(
+        "cluster_id",
+        F.col("vec_id").alias("lo_id"),
+        F.col("q").alias("lo_q"),
+        F.col("nrm").alias("lo_nrm"),
+    )
+    hi = cells.select("cluster_id", "vec_id", F.col("q").alias("hi_q"), F.col("nrm").alias("hi_nrm"))
+    ref = (
+        lo.join(hi, "cluster_id")
+        .where(F.col("lo_id") < F.col("vec_id"))
+        .withColumn("int_dot", dot_long("lo_q", "hi_q"))
+        .withColumn(
+            "cos",
+            F.col("int_dot").cast("double")
+            / F.sqrt((F.col("lo_nrm") * F.col("hi_nrm")).cast("double")),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_cos"))
+    )
+    got = {r["vec_id"]: r["max_cos"] for r in cell_pair_max_cos(cells, block_rows=3).collect()}
+    want = {r["vec_id"]: r["max_cos"] for r in ref.collect()}
+    assert got == want  # exact float equality: same IEEE op sequence
+    # the 5 singleton cells (vec_id 35..39) must be absent, not null/-inf
+    assert all(v not in got for v in range(35, 40))
+
+
+def test_cogroup_pair_scores_matches_join_form(spark):
+    """Cogrouped blocked cross-scoring == equi-join + per-pair dot +
+    threshold, bit-for-bit, including keys present on only one side."""
+    import numpy as np
+
+    from etl_from_s3_to_postgresql_template_spark.operators.intquant import (
+        cogroup_pair_scores,
+        dot_long,
+    )
+
+    rng = np.random.default_rng(12)
+
+    def mk(n, ids, key_mod):
+        rows = []
+        for i in range(n):
+            q = [int(x) for x in rng.integers(-127, 128, size=8)]
+            rows.append((ids + i, i % key_mod, q, int(sum(v * v for v in q))))
+        return rows
+
+    hold = spark.createDataFrame(mk(25, 1000, 4), "holdout_id long, list_id long, qh array<long>, nh long")
+    train = spark.createDataFrame(mk(60, 2000, 6), "train_id long, list_id long, qt array<long>, nt long")
+    # list_id 4,5 exist only on the train side; threshold 0.0 keeps ~half
+    ref = (
+        hold.join(train, "list_id")
+        .withColumn("int_dot", dot_long("qh", "qt"))
+        .withColumn(
+            "cos",
+            F.col("int_dot").cast("double") / F.sqrt((F.col("nh") * F.col("nt")).cast("double")),
+        )
+        .where(F.col("cos") >= 0.0)
+        .select("holdout_id", "train_id", "int_dot", "cos")
+    )
+    got = cogroup_pair_scores(
+        hold, train, "list_id", "holdout_id", "train_id", min_cos=0.0, block_rows=7
+    )
+    key = lambda r: (r["holdout_id"], r["train_id"])
+    gm = {key(r): (r["int_dot"], r["cos"]) for r in got.collect()}
+    rm = {key(r): (r["int_dot"], r["cos"]) for r in ref.collect()}
+    assert gm == rm
