@@ -173,7 +173,13 @@ def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = token_count_col("text")
     n_chars = F.length("text").cast("long")
     n_chars_trim = F.length(F.trim(F.col("text"))).cast("long")
-    n_symbols = F.length(F.regexp_replace("text", r"[A-Za-z ]", "")).cast("long")
+    # symbols = everything outside [A-Za-z ] = n_chars - alpha - spaces,
+    # from the one-pass Arrow class counter (the regexp_replace complement
+    # form pays per match — see functions/text.py::_class_counts)
+    from etl_from_s3_to_postgresql_template_spark.functions.text import char_class_counts
+
+    cc = char_class_counts("text")
+    n_symbols = n_chars - cc.getField("n_alpha") - cc.getField("n_space")
     mean_wl = (n_chars_trim - (n_tokens - 1)) / n_tokens
     pass_length = n_tokens.between(10, 10000)
     pass_word_len = (n_tokens > 0) & mean_wl.between(2, 12)

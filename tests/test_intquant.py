@@ -214,3 +214,63 @@ def test_cogroup_pair_scores_matches_join_form(spark):
     gm = {key(r): (r["int_dot"], r["cos"]) for r in got.collect()}
     rm = {key(r): (r["int_dot"], r["cos"]) for r in ref.collect()}
     assert gm == rm
+
+
+def test_char_class_counts_equal_regex_forms(spark):
+    """The one-pass Arrow class counter must equal the regexp_replace
+    complement forms count-for-count — on the fixture corpus plus planted
+    edge strings (empty, null, digits-only, unicode letters incl.
+    multi-byte, whitespace runs, punctuation runs)."""
+    from etl_from_s3_to_postgresql_template_spark.functions.text import char_class_counts
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").select("text")
+    extra = spark.createDataFrame(
+        [
+            ("",),
+            (None,),
+            ("12345",),
+            ("héllo wörld é 的是 9!",),
+            ("   ",),
+            ("...,,,!!!???;;;:::",),
+            ("a1.b2,c3!",),
+        ],
+        "text string",
+    )
+    docs = docs.unionByName(extra)
+    cc = char_class_counts("text")
+    checked = docs.select(
+        cc.getField("n_alpha").alias("fa"),
+        cc.getField("n_digit").alias("fd"),
+        cc.getField("n_punct").alias("fp"),
+        cc.getField("n_space").alias("fs"),
+        F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).cast("long").alias("ra"),
+        F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("long").alias("rd"),
+        F.length(F.regexp_replace("text", r"[^.,!?;:]", "")).cast("long").alias("rp"),
+        F.length(F.regexp_replace("text", r"[^ ]", "")).cast("long").alias("rs"),
+    )
+    bad = checked.where(
+        ~(
+            F.col("fa").eqNullSafe(F.col("ra"))
+            & F.col("fd").eqNullSafe(F.col("rd"))
+            & F.col("fp").eqNullSafe(F.col("rp"))
+            & F.col("fs").eqNullSafe(F.col("rs"))
+        )
+    )
+    assert bad.count() == 0
+
+
+def test_quality_columns_single_arrow_eval(spark):
+    """All field extractions of the class-count struct must collapse to
+    ONE ArrowEvalPython (one Arrow pass over the text), not one per
+    field."""
+    from etl_from_s3_to_postgresql_template_spark.functions.text import quality_columns
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    q = quality_columns("text")
+    plan = (
+        docs.select("doc_id", *[c.alias(n) for n, c in q.items()])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1, plan
