@@ -1,0 +1,219 @@
+"""Round-5 additions: winnowing document fingerprints (and their
+shared-fingerprint near-dup pairs) — the MOSS algorithm family.
+
+Winnowing (Schleimer, Wilkerson, Aiken 2003, "Winnowing: Local
+Algorithms for Document Fingerprinting") selects, from a document's
+k-gram hash stream, the minimum hash of every w-length window
+(rightmost minimum on ties). The guarantee: any shared substring of
+length >= w + k - 1 between two documents produces at least one SHARED
+selected fingerprint — so near-dup detection joins on a per-doc
+fingerprint set whose size is ~2/(w+1) of the gram count, not on the
+grams themselves. It complements the registered dedup family: MinHash
+estimates whole-document resemblance, ExactSubstr (docs_repeated_spans)
+finds every repeated span, winnowing is the cheap position-aware
+middle — small sets, substring-level guarantee.
+
+Cross-engine exactness: the selection depends on hash ORDER, so both
+engines must compute IDENTICAL hash values — xxhash64 (the scale key
+elsewhere) has no DuckDB twin, so gram hashes here are the md5-prefix
+BIGINT both engines share bit-for-bit (``conv(substring(md5(g),1,8),
+16,10)`` == DuckDB ``('0x' || substr(md5(g),1,8))::BIGINT`` — the
+corpus_shard_balance convention, 32 bits is plenty for per-doc window
+minima). Rightmost tie-break rides a struct min over (hash, -pos):
+lexicographic struct ordering is identical in Spark and DuckDB.
+
+Reference scope note: the reference template has no fingerprinting
+surface at all (its only dedup is pandas drop_duplicates,
+etl_pipeline.py:479-483); this is north-star E1/E4 surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from etl_from_s3_to_postgresql_template_spark.plans.registry import query
+from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+__all__ = ["doc_winnowing_fingerprints", "winnowing_fingerprint_frame"]
+
+#: gram size k and window size w: guarantees detection of shared
+#: substrings of >= w + k - 1 = 7 tokens, with ~2/(w+1) of grams kept.
+_WIN_K = 4
+_WIN_W = 4
+
+_WINNOW_ORACLE = rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+    ), g AS (
+      SELECT doc_id, j AS pos,
+             ('0x' || substr(md5(array_to_string(t[j:j+{_WIN_K - 1}], ' ')), 1, 8))::BIGINT AS gh
+      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(t) - {_WIN_K - 1})) AS j)
+      WHERE len(t) >= {_WIN_K}
+    ), m AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY doc_id) AS cnt,
+             min({{'h': gh, 'negpos': -pos}}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS sel
+      FROM g
+    ), s AS (
+      SELECT DISTINCT doc_id,
+             CAST(-sel.negpos AS BIGINT) AS fp_pos,
+             CAST(sel.h AS BIGINT) AS fp_hash
+      FROM m WHERE pos <= greatest(cnt - {_WIN_W - 1}, 1)
+    )
+    SELECT doc_id, fp_pos, fp_hash FROM s ORDER BY doc_id, fp_pos
+    """
+
+
+def winnowing_fingerprint_frame(
+    spark: SparkSession, sf_dir: str, k: int = _WIN_K, w: int = _WIN_W
+) -> DataFrame:
+    """Per-document winnowing fingerprints ``(doc_id, fp_pos, fp_hash)``.
+
+    Spark shape: positioned k-grams via the anchored-lookahead
+    regexp_extract_all (codegen, the docs_repeated_spans trick), gram
+    hash as the cross-engine md5-prefix BIGINT, then ONE window pass per
+    doc: ``min(struct(hash, -pos))`` over the w-row frame picks each
+    window's minimum with the rightmost tie-break, and DISTINCT
+    collapses adjacent windows that picked the same gram. Only full
+    windows select (``pos <= cnt - w + 1``); a doc with fewer than w
+    grams contributes its single whole-doc minimum (the first window's
+    shrunken frame covers the entire doc — the standard short-input
+    convention). Docs with < k tokens have no grams and no fingerprints.
+
+    Scale shape: grams shuffle ONCE on doc_id for the per-doc windows
+    (narrow rows: doc_id, pos, 8-byte hash), output is ~2/(w+1) of the
+    gram count. The per-doc window partition is bounded by document
+    length — no skew key exists (contrast: the gram-key window in
+    docs_repeated_spans). Near-dup pairing on top is an equi-join on
+    fp_hash with the usual cap-and-report (operators/dedup.py
+    conventions); at 100 TB both stay banded by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    pat = r"(?:^| )(?=(\S+" + r" \S+" * (k - 1) + r"))"
+    gram_strs = F.when(
+        F.length(norm) > 0, F.regexp_extract_all(norm, F.lit(pat), F.lit(1))
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        docs.select("doc_id", gram_strs.alias("g"))
+        .where(F.size("g") >= 1)
+        .select("doc_id", F.posexplode("g").alias("pos0", "gs"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.conv(F.substring(F.md5("gs"), 1, 8), 16, 10).cast("long").alias("gh"),
+        )
+    )
+    doc_w = W.partitionBy("doc_id")
+    frame = doc_w.orderBy("pos").rowsBetween(W.currentRow, w - 1)
+    sel = F.min(F.struct(F.col("gh").alias("h"), (-F.col("pos")).cast("long").alias("negpos")))
+    m = grams.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(doc_w).alias("cnt"),
+        sel.over(frame).alias("sel"),
+    )
+    return (
+        m.where(F.col("pos") <= F.greatest(F.col("cnt") - (w - 1), F.lit(1)))
+        .select(
+            "doc_id",
+            (-F.col("sel.negpos")).cast("long").alias("fp_pos"),
+            F.col("sel.h").alias("fp_hash"),
+        )
+        .distinct()
+        .orderBy("doc_id", "fp_pos")
+    )
+
+
+@query("doc_winnowing_fingerprints", oracle=_WINNOW_ORACLE)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (see module docstring): every
+    w-window's minimum k-gram hash, rightmost on ties — the positions a
+    MOSS-style matcher would index. Oracle replicates gram construction,
+    hash, frame, and tie-break exactly, so the entry is hash-exact."""
+    return winnowing_fingerprint_frame(spark, sf_dir)
+
+
+_WINNOW_CTE = rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+    ), g AS (
+      SELECT doc_id, j AS pos,
+             ('0x' || substr(md5(array_to_string(t[j:j+{_WIN_K - 1}], ' ')), 1, 8))::BIGINT AS gh
+      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(t) - {_WIN_K - 1})) AS j)
+      WHERE len(t) >= {_WIN_K}
+    ), m AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY doc_id) AS cnt,
+             min({{'h': gh, 'negpos': -pos}}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS sel
+      FROM g
+    ), fp AS (
+      SELECT DISTINCT doc_id, CAST(sel.h AS BIGINT) AS fp_hash
+      FROM m WHERE pos <= greatest(cnt - {_WIN_W - 1}, 1)
+    )
+    """
+
+#: fp_hash buckets above this are boilerplate mass, excluded from pair
+#: generation (cap-and-report convention, operators/dedup.py).
+_WIN_MAX_BUCKET = 1000
+#: minimum shared fingerprints for a candidate pair.
+_WIN_MIN_SHARED = 2
+
+_WINNOW_PAIRS_ORACLE = (
+    _WINNOW_CTE
+    + f"""
+    , sized AS (
+      SELECT doc_id, fp_hash, COUNT(*) OVER (PARTITION BY fp_hash) AS bs FROM fp
+    ), ok AS (
+      SELECT doc_id, fp_hash FROM sized WHERE bs > 1 AND bs <= {_WIN_MAX_BUCKET}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM ok a JOIN ok b USING (fp_hash)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+    ORDER BY id_a, id_b
+    """
+)
+
+
+@query("dedup_winnowing_pairs", oracle=_WINNOW_PAIRS_ORACLE)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by SHARED winnowing fingerprints — the
+    MOSS matching step: docs whose selected-fingerprint sets intersect in
+    >= 2 (_WIN_MIN_SHARED) hashes share, by the winnowing guarantee, at
+    least that many substrings of >= w+k-1 tokens. Sits between MinHash
+    (whole-doc resemblance estimate) and docs_repeated_spans (exact span
+    report) in cost and specificity.
+
+    Scale shape: the fingerprint set is ~2/(w+1) of the gram count, and
+    pairing is an equi-join on fp_hash with the standard windowed
+    cap-and-report (buckets over _WIN_MAX_BUCKET=1000 docs are
+    boilerplate mass, excluded — same contract as minhash_candidates);
+    merge-hinted self-join so both legs reuse one exchange. No cross
+    join at any scale."""
+    fp = winnowing_fingerprint_frame(spark, sf_dir).select("doc_id", "fp_hash").distinct()
+    bw = W.partitionBy("fp_hash")
+    ok = (
+        fp.withColumn("bs", F.count(F.lit(1)).over(bw))
+        .where((F.col("bs") > 1) & (F.col("bs") <= _WIN_MAX_BUCKET))
+        .drop("bs")
+    )
+    a = ok.select(F.col("fp_hash"), F.col("doc_id").alias("id_a"))
+    b = ok.select(F.col("fp_hash"), F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b.hint("merge"), "fp_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= _WIN_MIN_SHARED)
+        .orderBy("id_a", "id_b")
+    )
+
+
+__all__ += ["dedup_winnowing_pairs"]

@@ -1,0 +1,118 @@
+"""Winnowing fingerprints: reference-implementation equality, density
+guarantee, tie-break, and short-input conventions."""
+
+from __future__ import annotations
+
+import hashlib
+
+from etl_from_s3_to_postgresql_template_spark.plans import QUERIES
+from etl_from_s3_to_postgresql_template_spark.plans.llm_ops6 import (
+    _WIN_K,
+    _WIN_W,
+    winnowing_fingerprint_frame,
+)
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def ref_winnow(text: str, k: int = _WIN_K, w: int = _WIN_W) -> set[tuple[int, int]]:
+    """Straight-from-the-paper reference: min hash of every w-window,
+    rightmost minimum on ties, full windows only (single whole-doc
+    window when there are fewer than w grams). 1-based positions."""
+    toks = text.strip().lower().split()
+    if len(toks) < k:
+        return set()
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    n = len(hs)
+    out = set()
+    for p in range(max(n - w + 1, 1)):
+        window = hs[p : p + w]
+        mn = min(window)
+        q = max(i for i in range(p, p + len(window)) if hs[i] == mn)
+        out.add((q + 1, mn))
+    return out
+
+
+def _planted_docs(spark, tmp_path, texts):
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def test_winnowing_matches_reference_impl(spark, tmp_path):
+    """Planted docs exercising ties (periodic text), unique-hash runs,
+    short docs (< w grams), too-short docs (< k tokens), and empties —
+    Spark output must equal the pure-Python reference exactly."""
+    texts = [
+        "a b c d " * 6,  # period-4: every 4th gram identical -> ties in every window
+        "the quick brown fox jumps over the lazy dog again and again",
+        "x y z w",  # exactly one gram (< w grams) -> whole-doc minimum
+        "x y z",  # < k tokens -> no fingerprints
+        "",  # empty -> no fingerprints
+        "p q r s t",  # two grams
+    ]
+    sf = _planted_docs(spark, tmp_path, texts)
+    got: dict[int, set] = {}
+    for r in winnowing_fingerprint_frame(spark, sf).collect():
+        got.setdefault(r["doc_id"], set()).add((r["fp_pos"], r["fp_hash"]))
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == ref_winnow(t), f"doc {i}: {t!r}"
+
+
+def test_winnowing_density_guarantee_on_fixture(spark):
+    """The winnowing invariant on the real corpus: every full w-window of
+    gram positions contains at least one selected fingerprint position —
+    this is what makes any shared substring of >= w+k-1 tokens produce a
+    shared fingerprint."""
+    rows = QUERIES["doc_winnowing_fingerprints"](spark, SF01).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["fp_pos"])
+    docs = {r["doc_id"]: r["text"] for r in spark.read.parquet(f"{SF01}/documents.parquet").collect()}
+    checked = 0
+    for doc_id, positions in by_doc.items():
+        toks = docs[doc_id].strip().lower().split()
+        n_grams = len(toks) - _WIN_K + 1
+        pos = sorted(positions)
+        for p in range(1, n_grams - _WIN_W + 2):  # 1-based full window starts
+            assert any(p <= q <= p + _WIN_W - 1 for q in pos), (doc_id, p)
+        checked += 1
+    assert checked > 100  # the fixture actually exercised the property
+
+
+def test_winnowing_compression_ratio(spark):
+    """Selected fingerprints must be a small fraction of grams (the
+    paper's expected density is 2/(w+1)); sanity-check the upper bound
+    so a regression to select-everything is caught."""
+    fp = QUERIES["doc_winnowing_fingerprints"](spark, SF01).count()
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").collect()
+    grams = sum(max(len(d["text"].strip().split()) - _WIN_K + 1, 0) for d in docs)
+    assert 0 < fp < 0.6 * grams  # 2/(w+1) = 0.4 expected; 0.6 = generous bound
+
+
+def test_winnowing_pairs_guarantee_and_specificity(spark, tmp_path):
+    """Two docs sharing a long substring must pair (the w+k-1 guarantee
+    gives >= 2 shared fingerprints for a long-enough overlap); docs with
+    no shared substring must not pair."""
+    from etl_from_s3_to_postgresql_template_spark.plans.llm_ops6 import dedup_winnowing_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    texts = [
+        "intro words here " + shared + " tail one",
+        "other opening " + shared + " different tail",
+        "completely unrelated content nothing matches at all anywhere truly",
+    ]
+    sf = _planted_docs(spark, tmp_path, texts)
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in dedup_winnowing_pairs(spark, sf).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+    assert all(2 not in p for p in pairs)
+
+
+def test_winnowing_pairs_plan_has_no_cartesian(spark):
+    from etl_from_s3_to_postgresql_template_spark.plans.llm_ops6 import dedup_winnowing_pairs
+
+    plan = dedup_winnowing_pairs(spark, SF01)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
