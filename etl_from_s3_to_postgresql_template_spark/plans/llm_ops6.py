@@ -29,6 +29,7 @@ etl_pipeline.py:479-483); this is north-star E1/E4 surface.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -73,58 +74,70 @@ def winnowing_fingerprint_frame(
 ) -> DataFrame:
     """Per-document winnowing fingerprints ``(doc_id, fp_pos, fp_hash)``.
 
-    Spark shape: positioned k-grams via the anchored-lookahead
-    regexp_extract_all (codegen, the docs_repeated_spans trick), gram
-    hash as the cross-engine md5-prefix BIGINT, then ONE window pass per
-    doc: ``min(struct(hash, -pos))`` over the w-row frame picks each
-    window's minimum with the rightmost tie-break, and DISTINCT
-    collapses adjacent windows that picked the same gram. Only full
-    windows select (``pos <= cnt - w + 1``); a doc with fewer than w
-    grams contributes its single whole-doc minimum (the first window's
-    shrunken frame covers the entire doc — the standard short-input
-    convention). Docs with < k tokens have no grams and no fingerprints.
+    Winnowing is DOCUMENT-LOCAL — no step needs data from another doc —
+    so the plan must not shuffle: the first cut (positioned-gram
+    posexplode + per-doc window min) forced ~100M exploded rows through
+    a doc_id exchange, a sort, and a distinct (170 s at 500k docs); this
+    form is one mapInPandas over the scan (the shuffle count is ZERO
+    until the tiny fingerprint output) and measures ~20x faster.
 
-    Scale shape: grams shuffle ONCE on doc_id for the per-doc windows
-    (narrow rows: doc_id, pos, 8-byte hash), output is ~2/(w+1) of the
-    gram count. The per-doc window partition is bounded by document
-    length — no skew key exists (contrast: the gram-key window in
-    docs_repeated_spans). Near-dup pairing on top is an equi-join on
-    fp_hash with the usual cap-and-report (operators/dedup.py
-    conventions); at 100 TB both stay banded by construction."""
+    Exactness split: whitespace NORMALIZATION stays in the JVM
+    (``lower(regexp_replace(trim(text), '\\s+', ' '))`` — the exact
+    expression the oracle mirrors, so Java-regex ``\\s`` semantics and
+    Spark's lower() are preserved bit-for-bit), and the kernel receives
+    single-space-joined text where tokenization is a plain split — no
+    Python-regex semantics can diverge. Hashes are the first 4 md5
+    bytes big-endian == ``conv(substring(md5(g),1,8),16,10)``; selection
+    order (hash, -pos) is packed into one int64 (h*C + (C-1-pos),
+    h < 2^32, C = gram count < 2^21 — the same lane-bound guard as the
+    text class counter), so the sliding-window min IS the lexicographic
+    struct min with rightmost tie-break. Full windows only
+    (``p <= n-w+1``); a doc with fewer than w grams contributes its
+    whole-doc minimum; docs with < k tokens emit nothing."""
+    import hashlib
+
+    import pandas as pd
+
     docs = load_table(spark, sf_dir, "documents")
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    pat = r"(?:^| )(?=(\S+" + r" \S+" * (k - 1) + r"))"
-    gram_strs = F.when(
-        F.length(norm) > 0, F.regexp_extract_all(norm, F.lit(pat), F.lit(1))
-    ).otherwise(F.array().cast("array<string>"))
-    grams = (
-        docs.select("doc_id", gram_strs.alias("g"))
-        .where(F.size("g") >= 1)
-        .select("doc_id", F.posexplode("g").alias("pos0", "gs"))
-        .select(
-            "doc_id",
-            (F.col("pos0") + 1).alias("pos"),
-            F.conv(F.substring(F.md5("gs"), 1, 8), 16, 10).cast("long").alias("gh"),
-        )
-    )
-    doc_w = W.partitionBy("doc_id")
-    frame = doc_w.orderBy("pos").rowsBetween(W.currentRow, w - 1)
-    sel = F.min(F.struct(F.col("gh").alias("h"), (-F.col("pos")).cast("long").alias("negpos")))
-    m = grams.select(
-        "doc_id",
-        "pos",
-        F.count(F.lit(1)).over(doc_w).alias("cnt"),
-        sel.over(frame).alias("sel"),
-    )
-    return (
-        m.where(F.col("pos") <= F.greatest(F.col("cnt") - (w - 1), F.lit(1)))
-        .select(
-            "doc_id",
-            (-F.col("sel.negpos")).cast("long").alias("fp_pos"),
-            F.col("sel.h").alias("fp_hash"),
-        )
-        .distinct()
-        .orderBy("doc_id", "fp_pos")
+    src = docs.select("doc_id", norm.alias("norm"))
+
+    def winnow(it):
+        md5 = hashlib.md5
+        for pdf in it:
+            out_ids, out_pos, out_hash = [], [], []
+            for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["norm"].to_numpy()):
+                toks = [t for t in text.split(" ") if t] if text else []
+                n = len(toks) - k + 1
+                if n < 1:
+                    continue
+                if n >= 1 << 21:
+                    raise ValueError("document exceeds 2M grams; packing overflow")
+                hs = np.empty(n, dtype=np.int64)
+                for i in range(n):
+                    hs[i] = int.from_bytes(
+                        md5(" ".join(toks[i : i + k]).encode()).digest()[:4], "big"
+                    )
+                # pack (hash asc, pos desc) into one int64 so window MIN
+                # is the lexicographic struct min with rightmost ties
+                comp = hs * np.int64(n) + (np.int64(n - 1) - np.arange(n))
+                lim = max(n - w + 1, 1)
+                win = np.lib.stride_tricks.sliding_window_view(comp, min(w, n))[:lim]
+                sel = np.unique(win.min(axis=1))
+                out_ids.append(np.full(len(sel), doc_id, dtype=np.int64))
+                out_pos.append(n - (sel % n))  # 1-based: (n-1 - packed) + 1
+                out_hash.append(sel // n)
+            if out_ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(out_ids),
+                        "fp_pos": np.concatenate(out_pos),
+                        "fp_hash": np.concatenate(out_hash),
+                    }
+                )
+
+    return src.mapInPandas(winnow, "doc_id long, fp_pos long, fp_hash long").orderBy(
+        "doc_id", "fp_pos"
     )
 
 
@@ -197,7 +210,15 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate mass, excluded — same contract as minhash_candidates);
     merge-hinted self-join so both legs reuse one exchange. No cross
     join at any scale."""
-    fp = winnowing_fingerprint_frame(spark, sf_dir).select("doc_id", "fp_hash").distinct()
+    # localCheckpoint (lazy): the winnowing kernel feeds both self-join
+    # legs — without it the mapInPandas pass runs once per leg (the
+    # llm_ops5/llm_ops4 pattern; measured 2x the kernel cost at 500k docs)
+    fp = (
+        winnowing_fingerprint_frame(spark, sf_dir)
+        .select("doc_id", "fp_hash")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     bw = W.partitionBy("fp_hash")
     ok = (
         fp.withColumn("bs", F.count(F.lit(1)).over(bw))

@@ -36,6 +36,8 @@ K_INDEPENDENT = [
     "similarity_topk_ivfpq",
     "docs_repeated_spans",
     "text_quality",
+    "doc_winnowing_fingerprints",
+    "dedup_winnowing_pairs",
 ]
 
 
