@@ -109,6 +109,15 @@ for _ch in _PUNCT.encode():
     _PACKED_LUT[_ch] |= 1 << 42
 _M21 = (1 << 21) - 1
 
+# Unpacked bool LUTs for the oversized-doc fallback lane (below): a doc
+# with >= 2^21 bytes could overflow a 21-bit packed lane, so its counts
+# are recomputed per class without packing — exact at any length.
+_BOOL_LUTS = {}
+for _name, _chars in (("alpha", _ASCII_LETTERS), ("digit", _DIGITS), ("punct", _PUNCT)):
+    _lut = np.zeros(256, dtype=bool)
+    _lut[list(_chars.encode())] = True
+    _BOOL_LUTS[_name] = _lut
+
 
 # DataType instance, not a DDL string: string return types parse via the
 # active SparkContext, which would make importing this module require a
@@ -134,23 +143,37 @@ def _class_counts(s: pd.Series) -> pd.DataFrame:
     count digits at 500k docs), ``translate`` pays a boxed map lookup
     per char (~2x better, still ~50 s); this pass is memory-bound
     (measured ~100+ MB/s per lane single-core, all lanes in one gather).
-    Null text -> null counts, matching the expression forms."""
+    Null text -> null counts, matching the expression forms.
+
+    Docs >= 2^21 bytes could overflow a 21-bit lane; those ROWS (and only
+    those) are recomputed through an unpacked per-class pass in the same
+    batch — one oversized outlier never fails the job (ADVICE r5). The
+    cumsum itself stays exact int64 regardless of doc size, so the
+    packed segment sums of the NORMAL rows are untouched by an oversized
+    neighbor; only the oversized rows' own lane extractions are invalid
+    and get overwritten."""
     mask = s.isna().to_numpy()
     enc = s.fillna("").str.encode("utf-8").to_numpy()
     lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
-    if int(lens.max(initial=0)) >= (1 << 21):  # 21-bit lane bound
-        raise ValueError("document exceeds 2M bytes; packed class counter lane overflow")
     buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
     ends = np.cumsum(lens)
     starts = ends - lens
     packed_cs = np.concatenate(([0], np.cumsum(_PACKED_LUT[buf])))
     seg = packed_cs[ends] - packed_cs[starts]
     space_cs = np.concatenate(([0], np.cumsum((buf == 0x20).astype(np.int64))))
+    n_alpha = seg & _M21
+    n_digit = (seg >> 21) & _M21
+    n_punct = seg >> 42
+    for i in np.nonzero(lens >= (1 << 21))[0]:  # oversized fallback lane
+        b = buf[starts[i] : ends[i]]
+        n_alpha[i] = np.int64(np.count_nonzero(_BOOL_LUTS["alpha"][b]))
+        n_digit[i] = np.int64(np.count_nonzero(_BOOL_LUTS["digit"][b]))
+        n_punct[i] = np.int64(np.count_nonzero(_BOOL_LUTS["punct"][b]))
     out = pd.DataFrame(
         {
-            "n_alpha": seg & _M21,
-            "n_digit": (seg >> 21) & _M21,
-            "n_punct": seg >> 42,
+            "n_alpha": n_alpha,
+            "n_digit": n_digit,
+            "n_punct": n_punct,
             "n_space": space_cs[ends] - space_cs[starts],
         }
     )

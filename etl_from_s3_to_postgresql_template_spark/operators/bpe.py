@@ -34,21 +34,24 @@ __all__ = ["word_frequencies", "fit_bpe_merges", "encode_word"]
 
 
 def word_frequencies(
-    docs: DataFrame, text_col: str = "text", max_vocab: int = 100_000
+    docs: DataFrame, text_col: str = "text", max_vocab: int | None = 100_000
 ) -> DataFrame:
     """Distributed word-frequency pass: lower/trim, split on whitespace,
     explode, count — the one corpus-scale step of BPE fitting. The cap
     keeps the fit artifact bounded with a DETERMINISTIC cut (count desc,
     word asc): dropping the long tail of hapaxes is standard and changes
-    only merges whose support the tail provided."""
-    return (
+    only merges whose support the tail provided. ``max_vocab=None``
+    disables the cap — required when cross-checking against an oracle
+    that counts over ALL word occurrences (the bpe_first_merge gate)."""
+    wf = (
         docs.select(F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("word"))
         .where(F.length("word") >= 1)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .orderBy(F.desc("freq"), "word")
-        .limit(max_vocab)
     )
+    if max_vocab is None:
+        return wf
+    return wf.orderBy(F.desc("freq"), "word").limit(max_vocab)
 
 
 def _pair_counts(vocab: dict[tuple[str, ...], int]) -> dict[tuple[str, str], int]:
@@ -79,7 +82,7 @@ def fit_bpe_merges(
     text_col: str = "text",
     n_merges: int = 20,
     min_count: int = 2,
-    max_vocab: int = 100_000,
+    max_vocab: int | None = 100_000,
 ) -> list[tuple[str, str, int]]:
     """Learn up to ``n_merges`` BPE merges; returns ``[(left, right,
     support), ...]`` in merge order. Stops early when the best pair's

@@ -46,7 +46,14 @@ _WIN_W = 4
 
 _WINNOW_ORACLE = rf"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+      -- list_filter drops the empty token that split-on-\s+ leaves at an
+      -- edge when the doc has leading/trailing NON-SPACE whitespace (trim
+      -- strips only 0x20; a trailing \n or \t yields '') — the Spark
+      -- kernel filters empties, so the oracle must too (ADVICE r5).
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
     ), g AS (
       SELECT doc_id, j AS pos,
              ('0x' || substr(md5(array_to_string(t[j:j+{_WIN_K - 1}], ' ')), 1, 8))::BIGINT AS gh
@@ -89,8 +96,8 @@ def winnowing_fingerprint_frame(
     Python-regex semantics can diverge. Hashes are the first 4 md5
     bytes big-endian == ``conv(substring(md5(g),1,8),16,10)``; selection
     order (hash, -pos) is packed into one int64 (h*C + (C-1-pos),
-    h < 2^32, C = gram count < 2^21 — the same lane-bound guard as the
-    text class counter), so the sliding-window min IS the lexicographic
+    h < 2^32, C = gram count < 2^31 so the product fits int64 exactly),
+    so the sliding-window min IS the lexicographic
     struct min with rightmost tie-break. Full windows only
     (``p <= n-w+1``); a doc with fewer than w grams contributes its
     whole-doc minimum; docs with < k tokens emit nothing."""
@@ -111,8 +118,11 @@ def winnowing_fingerprint_frame(
                 n = len(toks) - k + 1
                 if n < 1:
                     continue
-                if n >= 1 << 21:
-                    raise ValueError("document exceeds 2M grams; packing overflow")
+                # packing bound: comp = h*n + (n-1-pos) < 2^32 * n, so any
+                # n < 2^31 fits int64 — a 2-billion-gram single document is
+                # the only (unreachable) failure, not the r5 2M-gram guard
+                if n >= 1 << 31:
+                    raise ValueError("document exceeds 2^31 grams; packing overflow")
                 hs = np.empty(n, dtype=np.int64)
                 for i in range(n):
                     hs[i] = int.from_bytes(
@@ -152,7 +162,11 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINNOW_CTE = rf"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+      -- empty-token filter: same edge case as _WINNOW_ORACLE above
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
     ), g AS (
       SELECT doc_id, j AS pos,
              ('0x' || substr(md5(array_to_string(t[j:j+{_WIN_K - 1}], ' ')), 1, 8))::BIGINT AS gh
@@ -292,7 +306,11 @@ def corpus_bpe_first_merge_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_from_s3_to_postgresql_template_spark.operators.bpe import fit_bpe_merges
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = fit_bpe_merges(docs, n_merges=1, min_count=1)
+    # max_vocab=None: the oracle counts bigrams over ALL word occurrences,
+    # so the gate must fit over the uncapped vocabulary — with the default
+    # 100k cap the two sides would count different word sets on a corpus
+    # with more distinct words than the cap (ADVICE r5).
+    merges = fit_bpe_merges(docs, n_merges=1, min_count=1, max_vocab=None)
     return spark.createDataFrame(
         [(l, r, c) for l, r, c in merges[:1]],
         "left_sym string, right_sym string, support long",

@@ -134,11 +134,16 @@ class DeltaBackend:
                 "updates contain duplicate keys; merge would be non-deterministic"
             )
         t = DeltaTable.forPath(spark, target_path)
-        before = t.toDF().count()
+        tdf = t.toDF()
+        # rows_before from the transaction log's per-file stats, not a data
+        # scan: COUNT(*) over a Delta table is answered by
+        # MetadataOnlyDeltaQuery from AddFile.stats.numRecords (Delta >= 2.2)
+        # — O(log), consistent with this backend's log-pruning rationale.
+        before = tdf.count()
         m = t.alias("t").merge(updates.alias("u"), f"t.{key} = u.{key}")
         if delete_col is not None:
             m = m.whenMatchedDelete(condition=f"u.{delete_col} = true")
-        data_cols = [c for c in t.toDF().columns if c != key]
+        data_cols = [c for c in tdf.columns if c != key]
         sets = {c: f"u.{c}" for c in data_cols}
         inserts = {key: f"u.{key}", **sets}
         m.whenMatchedUpdate(set=sets).whenNotMatchedInsert(values=inserts).execute()
@@ -165,7 +170,8 @@ class DeltaBackend:
         DeltaTable = self._require(spark)
         spark.conf.set("spark.databricks.delta.optimize.maxFileSize", str(target_file_bytes))
         t = DeltaTable.forPath(spark, path)
-        files_before = t.toDF().select("_metadata.file_path").distinct().count()
+        # file count from DESCRIBE DETAIL (snapshot metadata), not a scan
+        files_before = t.detail().select("numFiles").collect()[0][0]
         opt = t.optimize()
         res = (opt.executeZOrderBy(*sort_by) if sort_by else opt.executeCompaction()).collect()[0]
         metrics = res["metrics"]
@@ -182,15 +188,29 @@ class DeltaBackend:
     ) -> DeleteReport:
         DeltaTable = self._require(spark)
         t = DeltaTable.forPath(spark, path)
-        files_total = t.toDF().select("_metadata.file_path").distinct().count()
-        keys.select(key_col).distinct().createOrReplaceTempView("__delete_keys")
-        t.delete(f"{key_col} IN (SELECT {key_col} FROM __delete_keys)")
+        # file count from DESCRIBE DETAIL (snapshot metadata), not a scan
+        files_total = t.detail().select("numFiles").collect()[0][0]
+        # OSS Delta rejects subqueries in DELETE/UPDATE conditions
+        # (AnalysisException "Subqueries are not supported in the DELETE"),
+        # so a keyed bulk delete is expressed as MERGE ... whenMatchedDelete:
+        # the same log-pruned rewrite of only the files whose stats overlap
+        # the key set, one atomic commit, and no bound on |keys| (a literal
+        # IN-list would cap out on expression-tree size).
+        (
+            t.alias("t")
+            .merge(
+                keys.select(key_col).distinct().alias("u"),
+                f"t.{key_col} = u.{key_col}",
+            )
+            .whenMatchedDelete()
+            .execute()
+        )
         hist = t.history(1).select("operationMetrics").collect()[0][0]
         return DeleteReport(
             files_total=int(files_total),
-            files_touched=int(hist.get("numRemovedFiles", 0)),
-            rows_deleted=int(hist.get("numDeletedRows", 0)),
-            rows_rewritten=int(hist.get("numCopiedRows", 0)),
+            files_touched=int(hist.get("numTargetFilesRemoved", 0)),
+            rows_deleted=int(hist.get("numTargetRowsDeleted", 0)),
+            rows_rewritten=int(hist.get("numTargetRowsCopied", 0)),
         )
 
 

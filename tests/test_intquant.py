@@ -259,6 +259,38 @@ def test_char_class_counts_equal_regex_forms(spark):
     assert bad.count() == 0
 
 
+def test_char_class_counts_oversized_doc_fallback(spark):
+    """A doc over the 2^21-byte packed-lane bound must NOT fail the job
+    (ADVICE r5: one >2MB doc at corpus scale would previously raise and
+    kill the whole batch): oversized rows route through the unpacked
+    per-class fallback and still count exactly, and normal rows sharing
+    the batch are unaffected."""
+    from etl_from_s3_to_postgresql_template_spark.functions.text import char_class_counts
+
+    big = "ab1. " * ((1 << 19) + 100)  # 5 bytes/rep -> > 2^21 bytes
+    reps = (1 << 19) + 100
+    docs = spark.createDataFrame(
+        [(0, big), (1, "small a1. doc"), (2, None)], "doc_id long, text string"
+    ).repartition(1)  # same Arrow batch: oversized + normal + null together
+    cc = char_class_counts("text")
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            cc.getField("n_alpha").alias("na"),
+            cc.getField("n_digit").alias("nd"),
+            cc.getField("n_punct").alias("np"),
+            cc.getField("n_space").alias("ns"),
+        ).collect()
+    }
+    assert rows[0]["na"] == 2 * reps
+    assert rows[0]["nd"] == reps
+    assert rows[0]["np"] == reps
+    assert rows[0]["ns"] == reps
+    assert (rows[1]["na"], rows[1]["nd"], rows[1]["np"], rows[1]["ns"]) == (9, 1, 1, 2)
+    assert rows[2]["na"] is None
+
+
 def test_quality_columns_single_arrow_eval(spark):
     """All field extractions of the class-count struct must collapse to
     ONE ArrowEvalPython (one Arrow pass over the text), not one per

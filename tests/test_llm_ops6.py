@@ -111,6 +111,41 @@ def test_winnowing_pairs_guarantee_and_specificity(spark, tmp_path):
     assert all(2 not in p for p in pairs)
 
 
+def test_winnowing_oracle_parity_on_edge_whitespace(spark, tmp_path):
+    """Cross-engine parity on docs with leading/trailing NON-SPACE
+    whitespace: trim strips only 0x20, so split-on-\\s+ leaves an empty
+    edge token that the Spark kernel filters — the oracle must filter it
+    too (ADVICE r5; list_filter in the toks CTE). Planted docs put a
+    trailing \\n, trailing \\t, leading \\n, and interior \\t\\n runs in
+    front of the DuckDB oracle and assert hash-exact equality."""
+    import duckdb
+
+    from etl_from_s3_to_postgresql_template_spark.plans.llm_ops6 import _WINNOW_ORACLE
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta\n",  # trailing newline
+        "one two three four five six\t",  # trailing tab
+        "\nseven eight nine ten eleven",  # leading newline
+        "mixed\tinterior\nwhitespace runs here ok\t\n",  # interior + trailing run
+        "plain doc with only spaces inside",  # control
+    ]
+    sf = _planted_docs(spark, tmp_path, texts)
+    got = {
+        (r["doc_id"], r["fp_pos"], r["fp_hash"])
+        for r in winnowing_fingerprint_frame(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = {tuple(t) for t in con.execute(_WINNOW_ORACLE).fetchall()}
+    assert got == want
+    # and the reference impl agrees (its .strip() removes all whitespace)
+    for i, t in enumerate(texts):
+        assert {(p, h) for (d, p, h) in got if d == i} == ref_winnow(t), texts[i]
+
+
 def test_winnowing_pairs_plan_has_no_cartesian(spark):
     from etl_from_s3_to_postgresql_template_spark.plans.llm_ops6 import dedup_winnowing_pairs
 
