@@ -50,6 +50,12 @@ DOCS_HEAVY = [
     "dedup_semantic_clusters",
     "similarity_topk_ivfpq",
     "docs_repeated_spans",
+    # r5 additions tracked per the r5 verdict (#8): the winnowing kernel +
+    # its pair join, and the BPE first-merge gate (distributed word-count
+    # pass + step-1 argmax — the corpus-scale half of the fit).
+    "doc_winnowing_fingerprints",
+    "dedup_winnowing_pairs",
+    "corpus_bpe_first_merge_gate",
 ]
 
 

@@ -76,8 +76,68 @@ _WINNOW_ORACLE = rf"""
     """
 
 
+#: 64-bit mixing constants for the fast tier (splitmix64 finalizer —
+#: Steele et al. 2014, public domain; also xxhash's avalanche shape).
+_MIX_M = np.uint64(0x9E3779B97F4A7C15)
+_MIX_A = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_B = np.uint64(0x94D049BB133111EB)
+
+
+def _gram_hashes_fast(tok_lists: list[list[str]], k: int) -> list[np.ndarray]:
+    """Fast-tier gram hashes: one batch-level factorize of all tokens, one
+    8-byte blake2b per UNIQUE token (Zipf: far fewer uniques than grams),
+    then a vectorized k-term mix per document — no per-gram Python loop.
+    Returns, per doc, an int64 array of 32-bit gram hashes (same value
+    range as the md5 tier, so the packing bound is unchanged)."""
+    import hashlib
+    import itertools
+
+    import pandas as pd
+
+    flat = list(itertools.chain.from_iterable(tok_lists))
+    if not flat:
+        return [np.empty(0, dtype=np.int64) for _ in tok_lists]
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    b2b = hashlib.blake2b
+    uniq_h = np.fromiter(
+        (
+            int.from_bytes(b2b(u.encode(), digest_size=8).digest(), "big")
+            for u in uniques
+        ),
+        dtype=np.uint64,
+        count=len(uniques),
+    )
+    tok_h = uniq_h[codes]
+    out: list[np.ndarray] = []
+    off = 0
+    for tl in tok_lists:
+        m = len(tl)
+        n = m - k + 1
+        if n < 1:
+            out.append(np.empty(0, dtype=np.int64))
+            off += m
+            continue
+        th = tok_h[off : off + m]
+        off += m
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(k):  # k vector ops, not n scalar ones
+            h = (h * _MIX_M) ^ th[j : j + n]
+        # splitmix64 avalanche so adjacent grams decorrelate fully
+        h ^= h >> np.uint64(30)
+        h *= _MIX_A
+        h ^= h >> np.uint64(27)
+        h *= _MIX_B
+        h ^= h >> np.uint64(31)
+        out.append((h >> np.uint64(32)).astype(np.int64))
+    return out
+
+
 def winnowing_fingerprint_frame(
-    spark: SparkSession, sf_dir: str, k: int = _WIN_K, w: int = _WIN_W
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _WIN_K,
+    w: int = _WIN_W,
+    hash_tier: str = "md5",
 ) -> DataFrame:
     """Per-document winnowing fingerprints ``(doc_id, fp_pos, fp_hash)``.
 
@@ -100,11 +160,23 @@ def winnowing_fingerprint_frame(
     so the sliding-window min IS the lexicographic
     struct min with rightmost tie-break. Full windows only
     (``p <= n-w+1``); a doc with fewer than w grams contributes its
-    whole-doc minimum; docs with < k tokens emit nothing."""
+    whole-doc minimum; docs with < k tokens emit nothing.
+
+    ``hash_tier``: ``"md5"`` (default) exists for DuckDB-oracle parity —
+    its per-gram md5 loop is the measured cost at corpus scale (r5: ~all
+    of the 23.5 s at 500k docs). ``"fast64"`` is the production tier:
+    batch-level factorize + per-UNIQUE-token blake2b + vectorized
+    splitmix64 k-gram combine — no per-gram Python work. Every winnowing
+    property (density, the w+k-1 shared-substring guarantee, rightmost
+    tie-break) holds for ANY uniform hash, so the tiers differ only in
+    WHICH grams get selected, never in the guarantee (pytest-pinned);
+    use fast64 wherever cross-engine parity is not required."""
     import hashlib
 
     import pandas as pd
 
+    if hash_tier not in ("md5", "fast64"):
+        raise ValueError(f"unknown hash_tier {hash_tier!r} (md5 | fast64)")
     docs = load_table(spark, sf_dir, "documents")
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     src = docs.select("doc_id", norm.alias("norm"))
@@ -113,8 +185,14 @@ def winnowing_fingerprint_frame(
         md5 = hashlib.md5
         for pdf in it:
             out_ids, out_pos, out_hash = [], [], []
-            for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["norm"].to_numpy()):
-                toks = [t for t in text.split(" ") if t] if text else []
+            ids = pdf["doc_id"].to_numpy()
+            tok_lists = [
+                ([t for t in x.split(" ") if t] if x else [])
+                for x in pdf["norm"].to_numpy()
+            ]
+            fast = _gram_hashes_fast(tok_lists, k) if hash_tier == "fast64" else None
+            for idx in range(len(ids)):
+                doc_id, toks = ids[idx], tok_lists[idx]
                 n = len(toks) - k + 1
                 if n < 1:
                     continue
@@ -123,11 +201,14 @@ def winnowing_fingerprint_frame(
                 # the only (unreachable) failure, not the r5 2M-gram guard
                 if n >= 1 << 31:
                     raise ValueError("document exceeds 2^31 grams; packing overflow")
-                hs = np.empty(n, dtype=np.int64)
-                for i in range(n):
-                    hs[i] = int.from_bytes(
-                        md5(" ".join(toks[i : i + k]).encode()).digest()[:4], "big"
-                    )
+                if fast is not None:
+                    hs = fast[idx]
+                else:
+                    hs = np.empty(n, dtype=np.int64)
+                    for i in range(n):
+                        hs[i] = int.from_bytes(
+                            md5(" ".join(toks[i : i + k]).encode()).digest()[:4], "big"
+                        )
                 # pack (hash asc, pos desc) into one int64 so window MIN
                 # is the lexicographic struct min with rightmost ties
                 comp = hs * np.int64(n) + (np.int64(n - 1) - np.arange(n))
@@ -210,7 +291,9 @@ _WINNOW_PAIRS_ORACLE = (
 
 
 @query("dedup_winnowing_pairs", oracle=_WINNOW_PAIRS_ORACLE)
-def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_winnowing_pairs(
+    spark: SparkSession, sf_dir: str, hash_tier: str = "md5"
+) -> DataFrame:
     """Near-dup candidate pairs by SHARED winnowing fingerprints — the
     MOSS matching step: docs whose selected-fingerprint sets intersect in
     >= 2 (_WIN_MIN_SHARED) hashes share, by the winnowing guarantee, at
@@ -223,12 +306,16 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap-and-report (buckets over _WIN_MAX_BUCKET=1000 docs are
     boilerplate mass, excluded — same contract as minhash_candidates);
     merge-hinted self-join so both legs reuse one exchange. No cross
-    join at any scale."""
+    join at any scale.
+
+    The registered entry runs the md5 tier (DuckDB-oracle parity);
+    production callers pass ``hash_tier="fast64"`` — same guarantee, no
+    per-gram Python loop (see winnowing_fingerprint_frame)."""
     # localCheckpoint (lazy): the winnowing kernel feeds both self-join
     # legs — without it the mapInPandas pass runs once per leg (the
     # llm_ops5/llm_ops4 pattern; measured 2x the kernel cost at 500k docs)
     fp = (
-        winnowing_fingerprint_frame(spark, sf_dir)
+        winnowing_fingerprint_frame(spark, sf_dir, hash_tier=hash_tier)
         .select("doc_id", "fp_hash")
         .distinct()
         .localCheckpoint(eager=False)

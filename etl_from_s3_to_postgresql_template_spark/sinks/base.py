@@ -82,9 +82,11 @@ class ParquetSink:
         # dt=<day>, so re-processing a day never double-loads.
         from pyspark.sql import functions as F
 
+        from etl_from_s3_to_postgresql_template_spark.sinks.rowgroups import bounded
+
         (
-            df.withColumn("dt", F.lit(day))
-            .write.mode("overwrite")
+            # explicit row-group bound: sinks/rowgroups.py invariant
+            bounded(df.withColumn("dt", F.lit(day)).write.mode("overwrite"))
             .partitionBy("dt")
             .parquet(f"{self.base_path}/{self.table_name}")
         )

@@ -29,6 +29,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_from_s3_to_postgresql_template_spark.sinks.rowgroups import bounded
+
 __all__ = ["CompactionReport", "compact_parquet"]
 
 
@@ -74,7 +76,9 @@ def compact_parquet(
         compacted = df.repartition(n_out)
 
     tmp = path.rstrip("/") + ".compact.tmp"
-    compacted.write.mode("overwrite").parquet(tmp)
+    # explicit row-group bound (sinks/rowgroups.py): compaction exists to
+    # fix layout — it must never emit a file that scans as one task
+    bounded(compacted.write.mode("overwrite")).parquet(tmp)
 
     # Swap via the JVM Hadoop FileSystem (works for any supported scheme).
     jvm = spark.sparkContext._jvm

@@ -84,15 +84,19 @@ def write_corpus_shards(
     layout — a shard layout is versioned as a unit, never patched in
     place). Returns per-shard row counts read back from the written files,
     so the report reflects what is actually on disk."""
+    from etl_from_s3_to_postgresql_template_spark.sinks.rowgroups import bounded
+
     spark = df.sparkSession
     sharded = df.withColumn("shard_id", shard_assignment_col(id_col, n_shards))
     (
-        sharded
-        # one shuffle: co-locate each shard, then sort so file contents are
-        # a pure function of the data (resume-stable layout)
-        .repartition(n_shards, "shard_id")
-        .sortWithinPartitions("shard_id", id_col)
-        .write.mode("overwrite")
+        bounded(  # explicit row-group bound: sinks/rowgroups.py invariant
+            sharded
+            # one shuffle: co-locate each shard, then sort so file contents
+            # are a pure function of the data (resume-stable layout)
+            .repartition(n_shards, "shard_id")
+            .sortWithinPartitions("shard_id", id_col)
+            .write.mode("overwrite")
+        )
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy("shard_id")
         .parquet(out_dir)

@@ -146,6 +146,54 @@ def test_winnowing_oracle_parity_on_edge_whitespace(spark, tmp_path):
         assert {(p, h) for (d, p, h) in got if d == i} == ref_winnow(t), texts[i]
 
 
+def test_winnowing_fast_tier_guarantee_density_determinism(spark, tmp_path):
+    """The fast64 production tier (batch factorize + blake2b per unique
+    token + splitmix64 combine — no per-gram Python loop) must preserve
+    every winnowing property: the w-window density invariant, the planted
+    shared-substring pair guarantee + specificity, determinism across
+    runs, and the ~2/(w+1) compression bound. Fingerprint VALUES may
+    differ from the md5 tier by design (selection depends on hash order);
+    the properties may not."""
+    from etl_from_s3_to_postgresql_template_spark.plans.llm_ops6 import (
+        dedup_winnowing_pairs,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    texts = [
+        "intro words here " + shared + " tail one",
+        "other opening " + shared + " different tail",
+        "completely unrelated content nothing matches at all anywhere truly",
+        "a b c d " * 6,  # periodic: tie-heavy
+        "x y z",  # < k tokens
+    ]
+    sf = _planted_docs(spark, tmp_path, texts)
+    fp = winnowing_fingerprint_frame(spark, sf, hash_tier="fast64")
+    rows = fp.collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["fp_pos"])
+    for i, t in enumerate(texts):
+        toks = t.strip().lower().split()
+        n_grams = len(toks) - _WIN_K + 1
+        if n_grams < 1:
+            assert i not in by_doc
+            continue
+        pos = sorted(by_doc[i])
+        for p in range(1, max(n_grams - _WIN_W + 1, 0) + 1):  # density invariant
+            assert any(p <= q <= p + _WIN_W - 1 for q in pos), (i, p)
+        assert len(pos) <= max(int(0.75 * n_grams), 1) or n_grams <= _WIN_W
+    # determinism: a second run selects the identical set
+    again = {(r["doc_id"], r["fp_pos"], r["fp_hash"]) for r in fp.collect()}
+    assert {(r["doc_id"], r["fp_pos"], r["fp_hash"]) for r in rows} == again
+    # pair guarantee + specificity under the fast tier
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in dedup_winnowing_pairs(spark, sf, hash_tier="fast64").collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+    assert all(2 not in p for p in pairs)
+
+
 def test_winnowing_pairs_plan_has_no_cartesian(spark):
     from etl_from_s3_to_postgresql_template_spark.plans.llm_ops6 import dedup_winnowing_pairs
 
