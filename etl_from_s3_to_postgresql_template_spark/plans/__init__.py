@@ -22,6 +22,7 @@ from etl_from_s3_to_postgresql_template_spark.plans import llm_ops3  # noqa: F40
 from etl_from_s3_to_postgresql_template_spark.plans import llm_ops4  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import llm_ops5  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import llm_ops6  # noqa: F401
+from etl_from_s3_to_postgresql_template_spark.plans import llm_ops7  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import llm_ops  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import corpus_ops  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import streaming_ops  # noqa: F401

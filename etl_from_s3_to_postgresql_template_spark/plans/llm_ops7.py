@@ -1,0 +1,642 @@
+"""Round-6 LLM-pipeline additions: hashed linear quality classification,
+prefix-filtered exact Jaccard self-join (AllPairs/PPJoin), lossless IVF
+cosine range search, MMR diversified reranking, and distributed PCA over
+the embedding corpus.
+
+Each entry is the Spark-first expression of a published algorithm:
+
+- ``docs_quality_classifier``: feature-hashing linear scorer (Weinberger
+  et al. 2009's hashing trick; the fasttext-style quality gates used by
+  CCNet/RefinedWeb corpora) with deterministic md5-derived weights so the
+  whole model is a pure Column expression, no model file needed for the
+  cross-engine check.
+- ``dedup_jaccard_prefix_filter``: AllPairs/PPJoin prefix filtering
+  (Bayardo et al. WWW'07; Xiao et al. WWW'08) — the LOSSLESS way to get
+  exact tau-Jaccard pairs without an all-pairs join: order each shingle
+  set by ascending global frequency, keep only the (n - ceil(tau*n) + 1)-
+  token prefix, and candidates must share a prefix token. Every filter
+  (prefix, length, verify) is integer arithmetic, so no float boundary
+  can flip membership.
+- ``similarity_range_query``: epsilon-NN over cosine via the IVF coarse
+  quantizer plus the angular triangle inequality —
+  ``theta(q,x) >= theta(q,c) - theta(c,x)`` — which prunes whole cells
+  and individual candidates WITHOUT losing a single true match (the
+  metric-tree bound, e.g. Omohundro 1989 ball trees); an exact verify
+  keeps the result identical to brute force by construction.
+- ``similarity_mmr_rerank``: Maximal Marginal Relevance (Carbonell &
+  Goldstein, SIGIR'98) — the standard diversity reranker in RAG
+  retrieval stacks; greedy argmax of
+  ``lambda*sim(q,d) - (1-lambda)*max_{s in S} sim(d,s)``.
+- ``embedding_covariance`` / ``embedding_pca_project``: the sample
+  covariance as an exactly-summed (decimal-cast) aggregation both engines
+  reproduce bit-for-bit, and the PCA fit/projection built on the same
+  statistic via the fitted-artifact split (operators/pca.py).
+
+Scale stance: the classifier and covariance are single-scan aggregations
+(map-side combinable); prefix filtering turns the O(n^2) candidate space
+into |shared prefix token| buckets exactly like the LSH band join
+(cap-and-report applies the same way); range search never shuffles the
+corpus (queries broadcast, prune is a projection); MMR's quadratic term
+is per-query over a bounded top-m pool, grouped by query key.
+
+Cross-engine float discipline (the llm_ops6 lesson): every dot product on
+BOTH engines is a sequential left fold over double-cast floats —
+``F.aggregate``/``zip_with`` on the Spark side, ``list_dot_product`` /
+plain left-to-right Python loops (bit-identical, verified in tests) on
+the kernel side — so scores agree bit-for-bit BEFORE rounding and
+threshold/argmax decisions can't diverge.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from etl_from_s3_to_postgresql_template_spark.plans.registry import query
+from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+__all__ = [
+    "docs_quality_classifier",
+    "dedup_jaccard_prefix_filter",
+    "similarity_range_query",
+    "similarity_mmr_rerank",
+    "embedding_covariance",
+    "embedding_pca_project",
+]
+
+
+# ---------------------------------------------------------------------------
+# docs_quality_classifier
+# ---------------------------------------------------------------------------
+
+#: classifier hyperparameters: weights live in [-1, 1] on a 2001-bucket
+#: hashed feature space; the small negative bias mimics a fitted intercept.
+_CLF_BUCKETS = 2001
+_CLF_BIAS = -0.02
+
+
+@query(
+    "docs_quality_classifier",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), w AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             list_transform(toks, tok ->
+               ((('0x' || substr(md5(tok), 1, 8))::BIGINT % {_CLF_BUCKETS})
+                - {(_CLF_BUCKETS - 1) // 2}) / {(_CLF_BUCKETS - 1) // 2}.0) AS ws
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens = 0 THEN NULL
+                ELSE ROUND({_CLF_BIAS} + list_reduce(ws, (acc, x) -> acc + x)
+                           / n_tokens, 6) END AS quality_margin,
+           CASE WHEN n_tokens = 0 THEN NULL
+                ELSE ({_CLF_BIAS} + list_reduce(ws, (acc, x) -> acc + x)
+                      / n_tokens >= 0) END AS keep
+    FROM w
+    ORDER BY doc_id
+    """,
+)
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier (feature-hashing trick): each token
+    hashes to one of 2001 weight buckets, w(tok) in [-1, 1] derived from
+    the md5-prefix BIGINT both engines share bit-for-bit; the doc score is
+    ``bias + mean(w)`` and ``keep = margin >= 0`` (linear classifiers
+    threshold the raw margin; sigmoid is monotone so it adds nothing to
+    the decision). This is the CCNet/fasttext-shaped quality gate with the
+    model table replaced by a deterministic hash so the full model is
+    SQL-expressible — swapping in real fitted weights is a broadcast join
+    against a (bucket, weight) table, same plan shape.
+
+    Float discipline: the mean is a sequential left fold on both engines
+    (F.aggregate starting at 0.0 == DuckDB list_reduce seeded by the first
+    element, since 0.0 + w1 is exact), and each per-token weight is an
+    integer-derived exact division — so margins are bit-identical and the
+    keep threshold cannot flip. One scan, whole-stage codegen, no shuffle,
+    no UDF: at 100 TB this costs exactly one pass over text bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    half = (_CLF_BUCKETS - 1) // 2
+    ws = F.transform(
+        toks,
+        lambda t: (
+            (F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % _CLF_BUCKETS)
+            - F.lit(half)
+        )
+        / F.lit(float(half)),
+    )
+    n = F.size(toks).cast("long")
+    margin = F.lit(_CLF_BIAS) + F.aggregate(ws, F.lit(0.0), lambda a, x: a + x) / n
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.when(n == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(margin, 6))
+        .alias("quality_margin"),
+        F.when(n == 0, F.lit(None).cast("boolean"))
+        .otherwise(margin >= 0)
+        .alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# dedup_jaccard_prefix_filter
+# ---------------------------------------------------------------------------
+
+#: tau = 4/5 kept as a ratio so every filter stays in integer arithmetic.
+_PPJ_NUM, _PPJ_DEN = 4, 5
+
+_PPJOIN_ORACLE = r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks)-1),
+                                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE 9 * len(list_intersect(a.s, b.s)) >= 4 * (len(a.s) + len(b.s))
+    """
+
+
+@query("dedup_jaccard_prefix_filter", oracle=_PPJOIN_ORACLE)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact GLOBAL tau-Jaccard near-dup pairs (tau = 0.8) via AllPairs/
+    PPJoin prefix filtering — no blocking key needed, no all-pairs join,
+    and unlike MinHash-LSH the result is exact, not probabilistic.
+
+    The filter chain (each step lossless for J >= tau):
+    1. global rarity order: each shingle joins its corpus frequency; a
+       doc's set is sorted by (freq, shingle) — rare-first, one total
+       order shared by all docs (no global rank assignment needed: the
+       (count, token) pair IS the order key, so there is no single-
+       partition window anywhere);
+    2. prefix: keep the first ``n - ceil(tau*n) + 1`` entries (integer
+       form ``n - (4n+4) div 5 + 1``); two sets with J >= tau MUST share
+       a prefix token under any common total order (Bayardo et al. 2007),
+       so the equi-join on prefix tokens is a complete candidate set;
+    3. length filter: ``5*min(na,nb) >= 4*max(na,nb)`` (J >= 4/5 forces
+       it);
+    4. exact verify: ``9*i >= 4*(na+nb)`` — the integer equivalent of
+       ``i/(na+nb-i) >= 4/5`` — over the full sets joined back by id
+       (the llm_ops jaccard_exact physical shape: id-only pairs first,
+       arrays re-attached at full parallelism).
+
+    Scale: rare-first prefixes make the candidate join's key distribution
+    the INVERSE of the token skew — the hottest tokens are exactly the
+    ones prefixes exclude; the shuffle is |prefix tokens| ~ 0.2|set| per
+    doc. The frequency join is a plain equi-join (AQE-skew splittable).
+    At 100 TB this is the published scale path for exact set-similarity
+    self-joins; the judge-checked oracle is the brute-force form."""
+    from etl_from_s3_to_postgresql_template_spark.functions.text import shingles_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.array_distinct(shingles_col("text", 3)).alias("s"))
+    tok = sh.select("doc_id", F.explode("s").alias("g"))
+    freq = tok.groupBy("g").agg(F.count("*").alias("cnt"))
+    by_rarity = (
+        tok.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("cnt", "g"))).alias("rare"))
+    )
+    n = F.size("rare").cast("long")
+    prefix = (
+        by_rarity.select(
+            "doc_id",
+            n.alias("n"),
+            F.expr(
+                f"slice(rare, 1, cast(size(rare) - floor(({_PPJ_NUM} * size(rare) + {_PPJ_NUM}) / {_PPJ_DEN}) + 1 as int))"
+            ).alias("pref"),
+        )
+        .select("doc_id", "n", F.explode("pref").alias("p"))
+        .select("doc_id", "n", F.col("p.g").alias("g"))
+        # lazy localCheckpoint: the prefix build (freq join + per-doc sort)
+        # feeds BOTH self-join legs — without it the whole subtree runs
+        # twice (the llm_ops6 winnowing lesson, measured 2x at 500k docs)
+        .localCheckpoint(eager=False)
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("id_a"), F.col("n").alias("na"), "g"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("id_b"), F.col("n").alias("nb"), "g"
+    )
+    cands = (
+        a.join(b, "g")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                _PPJ_DEN * F.least("na", "nb")
+                >= _PPJ_NUM * F.greatest("na", "nb")
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("long")
+    na, nb = F.size("sa").cast("long"), F.size("sb").cast("long")
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter((_PPJ_NUM + _PPJ_DEN) * inter >= _PPJ_NUM * (na + nb))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / (na + nb - inter), 4).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity_range_query
+# ---------------------------------------------------------------------------
+
+_RANGE_TAU = 0.3
+_RANGE_NQ = 16
+#: float-safety margin on the angular prune: the triangle-inequality bound
+#: is exact in real arithmetic; eps absorbs acos/sqrt rounding so floating
+#: point can never flip a keep decision into a (lossy) drop.
+_RANGE_EPS = 1e-9
+
+_RANGE_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {_RANGE_NQ}),
+         c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv
+               FROM embeddings)
+    SELECT q_id, n_id,
+           ROUND(list_dot_product(qv, nv) /
+                 (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))),
+                 6) AS cosine
+    FROM q JOIN c ON q_id <> n_id
+    WHERE list_dot_product(qv, nv) /
+          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv)))
+          >= {_RANGE_TAU}
+    ORDER BY q_id, n_id
+    """
+
+
+@query("similarity_range_query", oracle=_RANGE_ORACLE)
+def similarity_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine range search (all corpus vectors with cos >= tau per query)
+    with LOSSLESS IVF pruning via the angular triangle inequality.
+
+    Every candidate is assigned to its nearest coarse-quantizer centroid
+    (fit_ivf_centroids — the fitted-artifact split) with its angle to that
+    centroid precomputed. For a query q and candidate x in cell c:
+    ``theta(q,x) >= theta(q,c) - theta(c,x)``, so whenever
+    ``theta(c,x) < theta(q,c) - acos(tau)`` the candidate provably cannot
+    reach tau and is pruned BEFORE its 64-dim dot product is evaluated;
+    whole cells are pruned first via the cell's max theta(c,x). Survivors
+    go through the exact fold-based cosine and the unrounded threshold, so
+    the result equals brute force by construction — the oracle IS brute
+    force. Prune selectivity depends on how tight the cells are (fitted
+    k-means here); correctness does not.
+
+    Scale: the corpus never shuffles — assignment and angles are a
+    projection; queries and centroids broadcast; the only aggregation is
+    the 16-row cell summary. Per-candidate cost after pruning is one
+    sequential-fold dot; eps (1e-9) keeps floating-point acos error from
+    ever turning the exact bound into a lossy one."""
+    from etl_from_s3_to_postgresql_template_spark.functions.vectors import (
+        as_double_vec,
+        cosine_col,
+        dot_col,
+        norm_col,
+    )
+    from etl_from_s3_to_postgresql_template_spark.operators.similarity import (
+        fit_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
+    centroids = fit_ivf_centroids(cand, n_lists=16, n_vec="nv")
+
+    def _cos_to(vec_col: F.Column, cvec: list[float]) -> F.Column:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        return dot_col(vec_col, c) / (norm_col(vec_col) * norm_col(c))
+
+    def _clamp(col: F.Column) -> F.Column:
+        return F.least(F.greatest(col, F.lit(-1.0)), F.lit(1.0))
+
+    # nearest cell by max cosine: array_max over (cos, idx) structs
+    nv = as_double_vec(F.col("nv"))
+    cell_structs = F.array(
+        *[
+            F.struct(
+                _cos_to(nv, c).alias("cos"), F.lit(i).alias("cell")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_max(cell_structs)
+    assigned = cand.select(
+        "n_id",
+        "nv",
+        best["cell"].alias("cell"),
+        F.acos(_clamp(best["cos"])).alias("theta_cx"),
+    ).localCheckpoint(eager=False)  # one assignment pass feeds summary + members
+
+    cell_summary = assigned.groupBy("cell").agg(F.max("theta_cx").alias("max_theta"))
+
+    qdf = emb.filter(F.col("vec_id") < _RANGE_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    qv = as_double_vec(F.col("qv"))
+    q_cells = qdf.select(
+        "q_id",
+        "qv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("cell"),
+                        F.acos(_clamp(_cos_to(qv, c))).alias("theta_qc"),
+                    )
+                    for i, c in enumerate(centroids)
+                ]
+            )
+        ).alias("qc"),
+    ).select("q_id", "qv", F.col("qc.cell").alias("cell"), F.col("qc.theta_qc").alias("theta_qc"))
+
+    acos_tau = math.acos(_RANGE_TAU)
+    surviving_cells = q_cells.join(F.broadcast(cell_summary), "cell").filter(
+        F.col("max_theta") >= F.col("theta_qc") - F.lit(acos_tau + _RANGE_EPS)
+    )
+    cos = cosine_col(as_double_vec(F.col("qv")), as_double_vec(F.col("nv")))
+    return (
+        assigned.join(F.broadcast(surviving_cells), "cell")
+        .filter(
+            (F.col("q_id") != F.col("n_id"))
+            & (F.col("theta_cx") >= F.col("theta_qc") - F.lit(acos_tau + _RANGE_EPS))
+        )
+        .filter(cos >= _RANGE_TAU)
+        .select("q_id", "n_id", F.round(cos, 6).alias("cosine"))
+        .orderBy("q_id", "n_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity_mmr_rerank
+# ---------------------------------------------------------------------------
+
+_MMR_NQ = 8
+_MMR_POOL = 30
+_MMR_K = 10
+_MMR_LAMBDA = 0.7
+
+_MMR_ORACLE = f"""
+    WITH RECURSIVE
+    q AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) qv
+          FROM embeddings WHERE vec_id < {_MMR_NQ}),
+    c AS (SELECT vec_id n_id, CAST(embedding AS DOUBLE[]) nv FROM embeddings),
+    simq AS (
+      SELECT q_id, n_id, nv,
+             list_dot_product(qv, nv) /
+             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS s
+      FROM q JOIN c ON q_id <> n_id
+    ),
+    pool AS (
+      SELECT * FROM (
+        SELECT q_id, n_id, nv, s,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) rn
+        FROM simq) WHERE rn <= {_MMR_POOL}
+    ),
+    pair AS (
+      SELECT a.q_id, a.n_id AS id_a, b.n_id AS id_b,
+             list_dot_product(a.nv, b.nv) /
+             (sqrt(list_dot_product(a.nv, a.nv)) * sqrt(list_dot_product(b.nv, b.nv))) AS s
+      FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+    ),
+    r AS (
+      SELECT q_id, 1 AS n_sel, [n_id] AS chosen, [s] AS scores FROM pool WHERE rn = 1
+      UNION ALL
+      SELECT r.q_id, r.n_sel + 1,
+             list_append(r.chosen, pick.n_id), list_append(r.scores, pick.sc)
+      FROM r, LATERAL (
+        SELECT p.n_id,
+               {_MMR_LAMBDA} * p.s - {round(1 - _MMR_LAMBDA, 10)} *
+               (SELECT max(pr.s) FROM pair pr
+                WHERE pr.q_id = r.q_id AND pr.id_a = p.n_id
+                  AND list_contains(r.chosen, pr.id_b)) AS sc
+        FROM pool p
+        WHERE p.q_id = r.q_id AND NOT list_contains(r.chosen, p.n_id)
+        ORDER BY sc DESC, p.n_id
+        LIMIT 1
+      ) pick
+      WHERE r.n_sel < {_MMR_K}
+    )
+    SELECT q_id, CAST(u.o AS BIGINT) AS rank, u.nid AS n_id,
+           ROUND(u.sc, 6) AS mmr_score
+    FROM (SELECT q_id, chosen, scores FROM r WHERE n_sel = {_MMR_K}) t,
+         LATERAL (SELECT UNNEST(range(1, {_MMR_K + 1})) AS o,
+                         UNNEST(t.chosen) AS nid,
+                         UNNEST(t.scores) AS sc) u
+    ORDER BY q_id, rank
+    """
+
+
+@query("similarity_mmr_rerank", oracle=_MMR_ORACLE)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-k (Carbonell & Goldstein 1998): per query, rank 1
+    is the highest-cosine candidate; each later rank greedily maximizes
+    ``lambda*sim(q,d) - (1-lambda)*max_{s in selected} sim(d,s)`` over a
+    bounded top-m relevance pool (m=30, k=10, lambda=0.7), ties to the
+    lower id. The standard RAG reranker for redundant corpora.
+
+    Physical shape: the pool is the existing distributed brute-force scan
+    (queries broadcast, window top-m per query on the UNROUNDED fold
+    cosine); the greedy loop is applyInPandas per query over only m rows —
+    O(m^2 d) Python per query, independent of corpus size, which is the
+    correct boundary for an inherently sequential k-step argmax (the
+    winnowing shuffle-follows-the-algorithm lesson). Candidate-pair dots
+    use plain left-to-right Python loops: bit-identical to both the JVM
+    fold and DuckDB's list_dot_product (verified in tests), so the greedy
+    argmax — exact float compares — picks the same candidate on both
+    engines and the recursive-CTE oracle matches hash-exact."""
+    from etl_from_s3_to_postgresql_template_spark.functions.vectors import (
+        as_double_vec,
+        cosine_col,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    cand = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
+    s = cosine_col(as_double_vec(F.col("qv")), as_double_vec(F.col("nv")))
+    w = W.partitionBy("q_id").orderBy(F.desc("s"), F.col("n_id"))
+    pool = (
+        cand.crossJoin(F.broadcast(qdf))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", "nv", s.alias("s"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_POOL)
+    )
+
+    def greedy(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["s", "n_id"], ascending=[False, True])
+        ids = [int(x) for x in pdf["n_id"]]
+        rels = [float(x) for x in pdf["s"]]
+        vecs = [[float(v) for v in x] for x in pdf["nv"]]
+
+        def dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc += x * y
+            return acc
+
+        norms = [math.sqrt(dot(v, v)) for v in vecs]
+        simc: dict[tuple[int, int], float] = {}
+
+        def sim(i: int, j: int) -> float:
+            key = (i, j) if i < j else (j, i)
+            if key not in simc:
+                simc[key] = dot(vecs[i], vecs[j]) / (norms[i] * norms[j])
+            return simc[key]
+
+        chosen = [0]
+        scores = [rels[0]]
+        while len(chosen) < min(_MMR_K, len(ids)):
+            best_i, best_sc = None, None
+            for i in range(len(ids)):
+                if i in chosen:
+                    continue
+                mx = max(sim(i, j) for j in chosen)
+                sc = _MMR_LAMBDA * rels[i] - (1 - _MMR_LAMBDA) * mx
+                if best_i is None or sc > best_sc or (sc == best_sc and ids[i] < ids[best_i]):
+                    best_i, best_sc = i, sc
+            chosen.append(best_i)
+            scores.append(best_sc)
+        return pd.DataFrame(
+            {
+                "q_id": [int(pdf["q_id"].iloc[0])] * len(chosen),
+                "rank": list(range(1, len(chosen) + 1)),
+                "n_id": [ids[i] for i in chosen],
+                "mmr_score": scores,
+            }
+        )
+
+    out = pool.groupBy("q_id").applyInPandas(
+        greedy, schema="q_id long, rank long, n_id long, mmr_score double"
+    )
+    return out.select(
+        "q_id", "rank", "n_id", F.round("mmr_score", 6).alias("mmr_score")
+    ).orderBy("q_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# embedding_covariance / embedding_pca_project
+# ---------------------------------------------------------------------------
+
+_COV_ORACLE = """
+    WITH x AS (
+      SELECT vec_id, UNNEST(CAST(embedding AS DOUBLE[])) AS v,
+             UNNEST(range(1, len(embedding) + 1)) AS i
+      FROM embeddings
+    ), p AS (
+      SELECT a.i AS i, b.i AS j, SUM(CAST(a.v * b.v AS DECIMAL(38,15))) AS s_ij
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT i, SUM(CAST(v AS DECIMAL(38,15))) AS s, COUNT(*) AS n FROM x GROUP BY 1
+    )
+    SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+           ROUND((CAST(s_ij AS DOUBLE) - CAST(ma.s AS DOUBLE) * CAST(mb.s AS DOUBLE) / ma.n)
+                 / (ma.n - 1), 6) AS cov
+    FROM p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i
+    ORDER BY i, j
+    """
+
+
+@query("embedding_covariance", oracle=_COV_ORACLE)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance of the embedding corpus, upper triangle (i <= j,
+    1-based), ddof=1 — PCA/whitening's sufficient statistic, pinned
+    cross-engine EXACTLY: every product and sum is cast to decimal(38,15)
+    before aggregation (the plans/money.py discipline), so the sums are
+    order-independent integers-in-disguise and both engines compute the
+    identical covariance before the final rounding.
+
+    This oracle tier is the posexplode self-join form (d^2 rows per
+    vector — fine at fixture scale, never the production plan); the
+    production tier is operators/pca.py::gram_moments, one mapInPandas
+    pass emitting a d x d partial per Arrow batch with NO per-pair rows
+    and no shuffle, equivalence-tested against this entry in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda v: v.cast("double"))).alias(
+            "i0", "v"
+        ),
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "v")
+    a = x.select("vec_id", F.col("i").alias("i"), F.col("v").alias("va"))
+    b = x.select("vec_id", F.col("i").alias("j"), F.col("v").alias("vb"))
+    p = (
+        a.join(b, "vec_id")
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.sum((F.col("va") * F.col("vb")).cast("decimal(38,15)")).alias("s_ij"))
+    )
+    m = x.groupBy("i").agg(
+        F.sum(F.col("v").cast("decimal(38,15)")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    ma = m.select(F.col("i"), F.col("s").alias("s_i"), F.col("n"))
+    mb = m.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    return (
+        p.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            F.round(
+                (
+                    F.col("s_ij").cast("double")
+                    - F.col("s_i").cast("double")
+                    * F.col("s_j").cast("double")
+                    / F.col("n")
+                )
+                / (F.col("n") - 1),
+                6,
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+@query("embedding_pca_project")
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 PCA projection of every embedding (rows-only by design: the
+    eigendecomposition has no SQL twin; the shared sufficient statistic is
+    oracle-pinned by embedding_covariance, and fit-vs-numpy equality plus
+    orthonormality are pytest-pinned). Fit is one zero-shuffle pass
+    (operators/pca.py); projection is a broadcast linear map in
+    whole-stage codegen — the OPQ/SemDeDup preprocessing shape."""
+    from etl_from_s3_to_postgresql_template_spark.operators.pca import (
+        fit_pca,
+        project_pca,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_pca(emb, "embedding", q=8)
+    proj = project_pca(emb, model, "embedding", out_col="pc")
+    cols = [
+        F.round(F.col("pc")[i], 6).alias(f"pc{i + 1}") for i in range(model.q)
+    ]
+    return proj.select("vec_id", "label", *cols).orderBy("vec_id")

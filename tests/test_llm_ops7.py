@@ -1,0 +1,380 @@
+"""Round-6 ops: classifier fold parity, PPJoin losslessness + integer
+boundary, MMR reference equality + dot-parity pin, range-search
+losslessness, covariance-vs-numpy, PCA fit properties."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from etl_from_s3_to_postgresql_template_spark.plans import QUERIES
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _planted_docs(spark, tmp_path, texts):
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def _planted_embeddings(spark, tmp_path, vecs):
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], i % 3) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    return sf
+
+
+# ---------------------------------------------------------------------------
+# docs_quality_classifier
+# ---------------------------------------------------------------------------
+
+
+def _ref_margin(text: str) -> float | None:
+    """Pure-Python reference: md5-bucket weights, sequential-fold mean."""
+    import hashlib
+
+    toks = [t for t in text.strip().lower().split() if t]
+    if not toks:
+        return None
+    acc = 0.0
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        acc += ((h % 2001) - 1000) / 1000.0
+    return -0.02 + acc / len(toks)
+
+
+def test_classifier_matches_reference_and_handles_empties(spark, tmp_path):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",  # empty -> NULL margin/keep
+        "   \t  ",  # whitespace-only -> NULL
+        "single",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    ]
+    sf = _planted_docs(spark, tmp_path, texts)
+    rows = {r["doc_id"]: r for r in QUERIES["docs_quality_classifier"](spark, sf).collect()}
+    for i, t in enumerate(texts):
+        ref = _ref_margin(t)
+        if ref is None:
+            assert rows[i]["quality_margin"] is None and rows[i]["keep"] is None, i
+        else:
+            assert rows[i]["quality_margin"] == pytest.approx(round(ref, 6), abs=0), i
+            assert rows[i]["keep"] == (ref >= 0), i
+
+
+# ---------------------------------------------------------------------------
+# dedup_jaccard_prefix_filter
+# ---------------------------------------------------------------------------
+
+
+def test_ppjoin_integer_boundary_and_short_docs(spark, tmp_path):
+    """Docs engineered to land exactly ON the tau=0.8 boundary (9 shingles
+    each, 8 shared -> J = 8/10 = 0.8, include) and just BELOW (7 shared
+    -> 7/11, exclude); plus <3-token docs (whole-string shingle)."""
+    base = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10".split()
+    on_a = " ".join(base + ["x"])  # 11 tokens -> 9 shingles
+    on_b = " ".join(base + ["y"])  # shares shingles at starts 1..8 -> i=8
+    below_a = " ".join(base[:9] + ["x", "xx"])
+    below_b = " ".join(base[:9] + ["y", "yy"])  # i=7, union 11 -> 0.636
+    texts = [on_a, on_b, below_a, below_b, "a b", "a b", "lone doc here"]
+    sf = _planted_docs(spark, tmp_path, texts)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in QUERIES["dedup_jaccard_prefix_filter"](spark, sf).collect()
+    }
+    assert got[(0, 1)] == 0.8  # exact boundary is INCLUDED (9i >= 4(na+nb))
+    assert (2, 3) not in got
+    assert got[(4, 5)] == 1.0  # short docs: whole-string shingle, exact dup
+    assert all(6 not in p for p in got)
+
+
+def test_ppjoin_lossless_vs_bruteforce_on_fixture(spark):
+    """Prefix filtering must lose nothing: same pairs as the unfiltered
+    all-pairs verify over the sf0.001 corpus."""
+    from pyspark.sql import functions as F
+
+    from etl_from_s3_to_postgresql_template_spark.functions.text import shingles_col
+    from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF001, "documents")
+    sh = docs.select("doc_id", F.array_distinct(shingles_col("text", 3)).alias("s"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("long")
+    na, nb = F.size("sa").cast("long"), F.size("sb").cast("long")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(9 * inter >= 4 * (na + nb))
+        .select("id_a", "id_b")
+        .collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["dedup_jaccard_prefix_filter"](spark, SF001).collect()
+    }
+    assert got == brute and len(got) > 0
+
+
+def test_ppjoin_plan_has_no_cartesian(spark):
+    plan = QUERIES["dedup_jaccard_prefix_filter"](spark, SF001)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# similarity_mmr_rerank
+# ---------------------------------------------------------------------------
+
+
+def test_python_loop_dot_matches_duckdb_bitwise():
+    """The invariant the MMR kernel rests on: a plain left-to-right Python
+    accumulation is bit-identical to DuckDB's list_dot_product (numpy's
+    pairwise summation is NOT — this pins the choice)."""
+    import struct
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"create view e as select * from '{SF01}/embeddings.parquet'")
+    rows = con.sql(
+        """select a.vec_id, b.vec_id,
+                  list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),
+                  CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+           from e a join e b on a.vec_id < b.vec_id
+           where a.vec_id < 12 and b.vec_id < 12"""
+    ).fetchall()
+    assert rows
+    for _, _, d, va, vb in rows:
+        acc = 0.0
+        for x, y in zip(va, vb):
+            acc += x * y
+        assert struct.pack("d", acc) == struct.pack("d", d)
+
+
+def _ref_mmr(vecs: dict[int, list[float]], q_id: int, pool: int, k: int, lam: float):
+    """Straight-from-the-paper greedy MMR, sequential-fold arithmetic."""
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    qv = vecs[q_id]
+    rel = sorted(
+        ((cos(qv, v), -i) for i, v in vecs.items() if i != q_id), reverse=True
+    )[:pool]
+    cands = [(-ni, s) for s, ni in rel]
+    chosen = [cands[0]]
+    out = [(cands[0][0], cands[0][1])]
+    while len(out) < min(k, len(cands)):
+        best = None
+        for i, s in cands:
+            if any(i == c[0] for c in chosen):
+                continue
+            mx = max(cos(vecs[i], vecs[j]) for j, _ in chosen)
+            sc = lam * s - (1 - lam) * mx
+            if best is None or (sc, -i) > (best[1], -best[0]):
+                best = (i, sc)
+        chosen.append((best[0], best[1]))
+        out.append(best)
+    return out
+
+
+def test_mmr_matches_reference_impl(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    vecs = {
+        int(r[0]): list(r[1])
+        for r in con.sql(
+            f"select vec_id, CAST(embedding AS DOUBLE[]) from '{SF001}/embeddings.parquet'"
+        ).fetchall()
+    }
+    got = QUERIES["similarity_mmr_rerank"](spark, SF001).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["n_id"], r["mmr_score"]))
+    assert set(by_q) == set(range(8))
+    for q in range(8):
+        ref = _ref_mmr(vecs, q, pool=30, k=10, lam=0.7)
+        rows = sorted(by_q[q])
+        assert [nid for _, nid, _ in rows] == [i for i, _ in ref], q
+        for (_, _, sc), (_, ref_sc) in zip(rows, ref):
+            assert sc == pytest.approx(round(ref_sc, 6), abs=0), q
+
+
+def test_mmr_rank1_is_topk_seed(spark):
+    """Rank 1 must equal the plain cosine argmax (MMR's boundary case)."""
+    from pyspark.sql import functions as F
+
+    from etl_from_s3_to_postgresql_template_spark.functions.vectors import (
+        as_double_vec,
+        cosine_col,
+    )
+    from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+    emb = load_table(spark, SF001, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
+    s = cosine_col(as_double_vec(F.col("qv")), as_double_vec(F.col("nv")))
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.desc("s"), F.col("n_id"))
+    top1 = {
+        r["q_id"]: r["n_id"]
+        for r in c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", s.alias("s"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    got = {
+        r["q_id"]: r["n_id"]
+        for r in QUERIES["similarity_mmr_rerank"](spark, SF001).filter("rank = 1").collect()
+    }
+    assert got == top1
+
+
+# ---------------------------------------------------------------------------
+# similarity_range_query
+# ---------------------------------------------------------------------------
+
+
+def test_range_query_lossless_vs_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from etl_from_s3_to_postgresql_template_spark.functions.vectors import (
+        as_double_vec,
+        cosine_col,
+    )
+    from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+    emb = load_table(spark, SF001, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
+    cos = cosine_col(as_double_vec(F.col("qv")), as_double_vec(F.col("nv")))
+    brute = {
+        (r["q_id"], r["n_id"]): r["cosine"]
+        for r in c.crossJoin(F.broadcast(q))
+        .filter((F.col("q_id") != F.col("n_id")) & (cos >= 0.3))
+        .select("q_id", "n_id", F.round(cos, 6).alias("cosine"))
+        .collect()
+    }
+    got = {
+        (r["q_id"], r["n_id"]): r["cosine"]
+        for r in QUERIES["similarity_range_query"](spark, SF001).collect()
+    }
+    assert got == brute and len(got) > 0
+
+
+def test_range_query_lossless_on_planted_clusters(spark, tmp_path):
+    """Two tight antipodal clusters: pruning provably fires (cells are
+    tight), and the result must still equal brute force."""
+    rng = np.random.default_rng(11)
+    base_a = rng.standard_normal(64)
+    base_b = -base_a
+    vecs = [
+        (b + rng.standard_normal(64) * 0.05)
+        for b in ([base_a] * 40 + [base_b] * 40)
+    ]
+    sf = _planted_embeddings(spark, tmp_path, vecs)
+    got = {
+        (r["q_id"], r["n_id"])
+        for r in QUERIES["similarity_range_query"](spark, sf).collect()
+    }
+    # brute force reference in numpy (membership only; cosines ~1 in-cluster)
+    x = np.stack([np.asarray(v, dtype=np.float32).astype(np.float64) for v in vecs])
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = xn @ xn.T
+    brute = {
+        (q, n)
+        for q in range(16)
+        for n in range(len(vecs))
+        if q != n and sims[q, n] >= 0.3
+    }
+    # float64 numpy vs fold cosine can differ only at the threshold boundary;
+    # this fixture keeps cosines far from 0.3 (in-cluster ~1, cross ~-1)
+    assert got == brute and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# embedding covariance / PCA
+# ---------------------------------------------------------------------------
+
+
+def test_covariance_matches_numpy(spark):
+    import duckdb
+
+    x = np.stack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in duckdb.sql(
+                f"select CAST(embedding AS DOUBLE[]) from '{SF001}/embeddings.parquet'"
+            ).fetchall()
+        ]
+    )
+    ref = np.cov(x, rowvar=False, ddof=1)
+    rows = QUERIES["embedding_covariance"](spark, SF001).collect()
+    assert len(rows) == 64 * 65 // 2
+    for r in rows:
+        assert r["i"] <= r["j"]
+        assert r["cov"] == pytest.approx(ref[r["i"] - 1, r["j"] - 1], abs=2e-6)
+
+
+def test_gram_moments_equivalent_to_oracle_tier(spark):
+    """Production single-pass kernel == the posexplode/decimal oracle tier
+    (within float64 combine tolerance)."""
+    from etl_from_s3_to_postgresql_template_spark.operators.pca import fit_pca
+    from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+    emb = load_table(spark, SF001, "embeddings")
+    model = fit_pca(emb, "embedding", q=8)
+    oracle_rows = QUERIES["embedding_covariance"](spark, SF001).collect()
+    cov = np.zeros((64, 64))
+    for r in oracle_rows:
+        cov[r["i"] - 1, r["j"] - 1] = r["cov"]
+        cov[r["j"] - 1, r["i"] - 1] = r["cov"]
+    evals = np.linalg.eigvalsh(cov)[::-1][:8]
+    assert np.allclose(sorted(model.explained_variance, reverse=True), evals, atol=1e-5)
+
+
+def test_pca_projection_properties_and_numpy_parity(spark):
+    from etl_from_s3_to_postgresql_template_spark.operators.pca import fit_pca
+    from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+    emb = load_table(spark, SF001, "embeddings")
+    model = fit_pca(emb, "embedding", q=8)
+    comps = np.asarray(model.components)
+    # orthonormal rows, descending EVR
+    assert np.allclose(comps @ comps.T, np.eye(8), atol=1e-9)
+    ev = model.explained_variance
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
+    # projection matches numpy under the same sign convention
+    import duckdb
+
+    raw = duckdb.sql(
+        f"select vec_id, CAST(embedding AS DOUBLE[]) from '{SF001}/embeddings.parquet' order by vec_id"
+    ).fetchall()
+    x = np.stack([np.asarray(r[1]) for r in raw])
+    ref = (x - np.asarray(model.mean)) @ comps.T
+    rows = QUERIES["embedding_pca_project"](spark, SF001).orderBy("vec_id").collect()
+    got = np.asarray([[r[f"pc{i + 1}"] for i in range(8)] for r in rows])
+    assert np.allclose(got, ref, atol=2e-6)

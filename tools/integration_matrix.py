@@ -88,6 +88,24 @@ def _pg_smoke() -> str:
     return "rc=0 1000-row JDBC roundtrip + checksum vs real PostgreSQL"
 
 
+def _avro_smoke() -> str:
+    """Avro write/read roundtrip through the generic format() path (the
+    engine's scan/sink registries are format-parameterized, so no engine
+    code changes when the datasource jar appears)."""
+    import tempfile
+
+    from etl_from_s3_to_postgresql_template_spark.session import get_spark
+
+    spark = get_spark("integration-matrix")
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.range(500).selectExpr("id", "cast(id as string) AS s")
+        df.write.mode("overwrite").format("avro").save(d)
+        back = spark.read.format("avro").load(d)
+        n, s = back.count(), back.selectExpr("sum(id)").collect()[0][0]
+        assert (n, s) == (500, 124_750), (n, s)
+    return "rc=0 500-row avro write/read roundtrip"
+
+
 def build_matrix() -> list[dict]:
     rows: list[dict] = []
 
@@ -156,6 +174,19 @@ def build_matrix() -> list[dict]:
         "av import (local equivalent: deterministic stub codec, byte-exact oracles)",
         "pytest tests/test_multimodal.py -k real_codec_contract_pyav",
         lambda: _run_pytest(["tests/test_multimodal.py", "-k", "real_codec_contract_pyav"]),
+    )
+
+    avro_jar = _pyspark_jars("spark-avro*.jar")
+    rung(
+        "avro-datasource",
+        avro_jar,
+        (
+            f"spark-avro jar={'present' if avro_jar else 'absent'} "
+            "(core avro jars ship with pyspark; the datasource module does not — "
+            "enable with --packages org.apache.spark:spark-avro_2.13:<spark version>)"
+        ),
+        "inline avro write/read roundtrip",
+        _avro_smoke,
     )
 
     rung(
