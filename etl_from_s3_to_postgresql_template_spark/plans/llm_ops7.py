@@ -65,6 +65,8 @@ __all__ = [
     "similarity_mmr_rerank",
     "embedding_covariance",
     "embedding_pca_project",
+    "corpus_inverted_index",
+    "text_bm25_topk",
 ]
 
 
@@ -640,3 +642,174 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pc")[i], 6).alias(f"pc{i + 1}") for i in range(model.q)
     ]
     return proj.select("vec_id", "label", *cols).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# corpus_inverted_index / text_bm25_topk
+# ---------------------------------------------------------------------------
+
+#: inverted-index bounds: tokens below the df floor are noise for retrieval
+#: stats; posting lists are truncated to the first _INV_CAP doc ids (ascending)
+#: BEFORE any collect, so no unbounded array ever materializes.
+_INV_MIN_DF = 10
+_INV_CAP = 20
+
+_INV_ORACLE = rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                       x -> x <> '')) AS toks
+      FROM documents
+    ), p AS (SELECT doc_id, UNNEST(toks) AS token FROM t)
+    SELECT token, CAST(count(*) AS BIGINT) AS df,
+           list_sort(list(doc_id))[1:{_INV_CAP}] AS postings
+    FROM p GROUP BY token HAVING count(*) >= {_INV_MIN_DF} ORDER BY token
+    """
+
+
+@query("corpus_inverted_index", oracle=_INV_ORACLE)
+def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded inverted index over the corpus: per token, document
+    frequency plus the first {cap} posting doc_ids ascending — the
+    classic IR structure BM25/boolean retrieval reads, built the
+    scale-safe way: the posting list is truncated by a per-token window
+    rank BEFORE collect_list, so the collected array is bounded at
+    _INV_CAP entries no matter how hot the token (a stopword's postings
+    would otherwise be O(corpus)); df comes from the full count aggregate,
+    which never materializes a list at all. Two shuffles on the token key,
+    both map-side combined / AQE-skew splittable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    )
+    p = docs.select("doc_id", F.explode(toks).alias("token"))
+    dfc = p.groupBy("token").agg(F.count("*").alias("df")).filter(
+        F.col("df") >= _INV_MIN_DF
+    )
+    w = W.partitionBy("token").orderBy("doc_id")
+    bounded = (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _INV_CAP)
+        .groupBy("token")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+    )
+    return dfc.join(bounded, "token").select("token", "df", "postings").orderBy("token")
+
+
+#: BM25 parameters (Robertson-Sparck Jones; Lucene's (k1+1) numerator and
+#: the +1-inside-ln idf so scores stay positive), fixed query term set.
+_BM25_TERMS = ("table", "stream", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 10
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i + 1}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS BIGINT) AS df{i + 1}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    contrib = "\n        + ".join(
+        f"ln((g.n_docs - df{i + 1} + 0.5) / (df{i + 1} + 0.5) + 1.0)"
+        f" * (tf{i + 1} * {_BM25_K1 + 1})"
+        f" / (tf{i + 1} + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B} * dl * g.n_docs / g.sum_dl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(toks)) AS BIGINT) AS sum_dl,
+             {df_cols}
+      FROM t
+    ), s AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+             {tf_cols}
+      FROM t
+    ), sc AS (
+      SELECT doc_id, dl,
+        ROUND({contrib}, 6) AS bm25
+      FROM s, g
+    )
+    SELECT doc_id, dl, bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+    FROM sc QUALIFY rank <= {_BM25_K} ORDER BY rank
+    """
+
+
+@query("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson et al., TREC-3; Lucene scoring
+    shape) for a fixed conjunctive query, top-10 docs. Complements the
+    embedding-side retrieval entries with the lexical side of a hybrid
+    search stack.
+
+    Plan shape: ONE corpus scan computes per-doc dl and per-term tf as
+    higher-order-function projections (no explode, no per-token shuffle);
+    the corpus statistics (N, sum_dl, per-term df) reduce to a single
+    broadcast row; scoring is a pure projection; only the final top-k
+    ranks. The idf/tf expression trees are structured identically on both
+    engines, left-associative, over exact integers (tf, dl, df, N) — the
+    only rounding differences possible are 1-ulp ln() tails, absorbed by
+    rounding scores to 6 before ranking (the brute_force_topk rule:
+    round-then-rank so float tails can't flip rank order; doc_id breaks
+    exact ties). At 100 TB: scan + broadcast + projection, the cheapest
+    possible shape — the global window ranks only rows that survive a
+    score sort, and k is constant."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    base = docs.select("doc_id", toks.alias("toks"))
+    g = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("sum_dl"),
+        *[
+            F.sum(F.array_contains("toks", t).cast("int"))
+            .cast("long")
+            .alias(f"df{i + 1}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    def _tf(term: str):
+        # NB: a two-parameter lambda would make F.filter pass (element,
+        # index) — bind the term via a closure, never a default arg
+        return F.size(F.filter("toks", lambda x: x == term)).cast("long")
+
+    s = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[_tf(t).alias(f"tf{i + 1}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    sc = s.crossJoin(F.broadcast(g))
+    contrib = None
+    for i in range(len(_BM25_TERMS)):
+        tf, dfi = F.col(f"tf{i + 1}"), F.col(f"df{i + 1}")
+        idf = F.log(
+            (F.col("n_docs") - dfi + 0.5) / (dfi + 0.5) + 1.0
+        )
+        term = (
+            idf
+            * (tf * F.lit(_BM25_K1 + 1))
+            / (
+                tf
+                + F.lit(_BM25_K1)
+                * (
+                    F.lit(1 - _BM25_B)
+                    + F.lit(_BM25_B) * F.col("dl") * F.col("n_docs") / F.col("sum_dl")
+                )
+            )
+        )
+        contrib = term if contrib is None else contrib + term
+    scored = sc.select("doc_id", "dl", F.round(contrib, 6).alias("bm25"))
+    w = W.orderBy(F.desc("bm25"), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _BM25_K)
+        .orderBy("rank")
+    )

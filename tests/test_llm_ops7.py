@@ -378,3 +378,65 @@ def test_pca_projection_properties_and_numpy_parity(spark):
     rows = QUERIES["embedding_pca_project"](spark, SF001).orderBy("vec_id").collect()
     got = np.asarray([[r[f"pc{i + 1}"] for i in range(8)] for r in rows])
     assert np.allclose(got, ref, atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# corpus_inverted_index / text_bm25_topk
+# ---------------------------------------------------------------------------
+
+
+def test_inverted_index_bounds_and_df_on_planted_hot_token(spark, tmp_path):
+    """A token in 30 docs: df reports the FULL count while postings are
+    truncated to the 20 lowest doc_ids — the bound that keeps stopword
+    posting arrays from growing with the corpus."""
+    texts = [f"hot filler{i} " + ("pad " * 12) for i in range(30)]
+    texts += [f"cold{i} only here" for i in range(5)]
+    sf = _planted_docs(spark, tmp_path, texts)
+    rows = {r["token"]: r for r in QUERIES["corpus_inverted_index"](spark, sf).collect()}
+    assert rows["hot"]["df"] == 30
+    assert list(rows["hot"]["postings"]) == list(range(20))
+    assert rows["pad"]["df"] == 30
+    assert "cold0" not in rows  # below the df floor
+
+
+def _ref_bm25(texts, terms=("table", "stream", "vector"), k1=1.2, b=0.75):
+    import math as m
+
+    toks = [[t for t in x.strip().lower().split() if t] for x in texts]
+    n = len(toks)
+    sum_dl = sum(len(t) for t in toks)
+    out = []
+    for d, tk in enumerate(toks):
+        dl = len(tk)
+        score = 0.0
+        for q in terms:
+            tf = sum(1 for x in tk if x == q)
+            df = sum(1 for t2 in toks if q in t2)
+            idf = m.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            score += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl * n / sum_dl))
+        out.append((d, dl, round(score, 6)))
+    return out
+
+
+def test_bm25_matches_reference_with_df_extremes(spark, tmp_path):
+    """Planted corpus covering: term in EVERY doc (idf floor), term in one
+    doc (idf ceiling), term absent everywhere (zero contribution), tf
+    saturation (many repeats), and short/long docs."""
+    texts = [
+        "table " * 20 + "stream end",   # tf saturation on 'table'
+        "table stream stream pad pad pad",
+        "table pad " * 30,
+        "table short",
+    ]
+    sf = _planted_docs(spark, tmp_path, texts)
+    ref = {d: s for d, _, s in _ref_bm25(texts)}
+    got = {r["doc_id"]: r["bm25"] for r in QUERIES["text_bm25_topk"](spark, sf).collect()}
+    for d, s in got.items():
+        assert s == pytest.approx(ref[d], abs=1e-6), d
+    # ranking: round-then-rank, doc_id tie-break
+    ranked = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
+    got_rows = sorted(
+        (r["rank"], r["doc_id"])
+        for r in QUERIES["text_bm25_topk"](spark, sf).collect()
+    )
+    assert [d for _, d in got_rows] == [d for d, _ in ranked]
