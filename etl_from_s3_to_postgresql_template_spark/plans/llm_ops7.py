@@ -67,6 +67,9 @@ __all__ = [
     "embedding_pca_project",
     "corpus_inverted_index",
     "text_bm25_topk",
+    "text_rrf_fusion",
+    "docs_chunk_dedup_stats",
+    "corpus_prep_funnel3",
 ]
 
 
@@ -704,7 +707,9 @@ _BM25_B = 0.75
 _BM25_K = 10
 
 
-def _bm25_oracle() -> str:
+def _bm25_cte() -> str:
+    """Shared DuckDB CTE block ``t, g, s, sc`` scoring every doc (dl > 0)
+    with BM25 — reused by the top-k entry and the RRF fusion oracle."""
     tf_cols = ",\n             ".join(
         f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i + 1}"
         for i, t in enumerate(_BM25_TERMS)
@@ -719,6 +724,9 @@ def _bm25_oracle() -> str:
         f" / (tf{i + 1} + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B} * dl * g.n_docs / g.sum_dl))"
         for i in range(len(_BM25_TERMS))
     )
+    idf_b = ",\n        ".join(
+        f"ln((g.n_docs + 1.0) / (df{i + 1} + 1.0)) AS idfb{i + 1}" for i in range(len(_BM25_TERMS))
+    )
     return rf"""
     WITH t AS (
       SELECT doc_id,
@@ -732,16 +740,25 @@ def _bm25_oracle() -> str:
     ), s AS (
       SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
              {tf_cols}
-      FROM t
+      FROM t WHERE len(toks) > 0
     ), sc AS (
       SELECT doc_id, dl,
-        ROUND({contrib}, 6) AS bm25
+        ROUND({contrib}, 6) AS bm25,
+        {idf_b},
+        {", ".join(f"tf{i + 1}" for i in range(len(_BM25_TERMS)))}
       FROM s, g
-    )
+    )"""
+
+
+def _bm25_oracle() -> str:
+    return (
+        _bm25_cte()
+        + f"""
     SELECT doc_id, dl, bm25,
            CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
     FROM sc QUALIFY rank <= {_BM25_K} ORDER BY rank
     """
+    )
 
 
 @query("text_bm25_topk", oracle=_bm25_oracle())
@@ -763,6 +780,20 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact ties). At 100 TB: scan + broadcast + projection, the cheapest
     possible shape — the global window ranks only rows that survive a
     score sort, and k is constant."""
+    scored = _bm25_scored_frame(spark, sf_dir).select("doc_id", "dl", "bm25")
+    w = W.orderBy(F.desc("bm25"), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _BM25_K)
+        .orderBy("rank")
+    )
+
+
+def _bm25_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every dl>0 doc scored: (doc_id, dl, bm25, tfidf) — bm25 as in
+    text_bm25_topk; tfidf is the classic normalized-tf * idf sum
+    ``sum_t (tf_t/dl) * ln((N+1)/(df_t+1))``, the second lexical ranker
+    the RRF entry fuses. Both rounded to 6 BEFORE any ranking."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
     base = docs.select("doc_id", toks.alias("toks"))
@@ -776,18 +807,20 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, t in enumerate(_BM25_TERMS)
         ],
     )
+
     def _tf(term: str):
         # NB: a two-parameter lambda would make F.filter pass (element,
         # index) — bind the term via a closure, never a default arg
         return F.size(F.filter("toks", lambda x: x == term)).cast("long")
 
-    s = base.select(
+    s = base.filter(F.size("toks") > 0).select(
         "doc_id",
         F.size("toks").cast("long").alias("dl"),
         *[_tf(t).alias(f"tf{i + 1}") for i, t in enumerate(_BM25_TERMS)],
     )
     sc = s.crossJoin(F.broadcast(g))
     contrib = None
+    tfidf = None
     for i in range(len(_BM25_TERMS)):
         tf, dfi = F.col(f"tf{i + 1}"), F.col(f"df{i + 1}")
         idf = F.log(
@@ -806,10 +839,290 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         contrib = term if contrib is None else contrib + term
-    scored = sc.select("doc_id", "dl", F.round(contrib, 6).alias("bm25"))
-    w = W.orderBy(F.desc("bm25"), F.col("doc_id"))
+        idf_b = F.log((F.col("n_docs") + 1.0) / (dfi + 1.0))
+        term_b = (tf / F.col("dl")) * idf_b
+        tfidf = term_b if tfidf is None else tfidf + term_b
+    return sc.select(
+        "doc_id",
+        "dl",
+        F.round(contrib, 6).alias("bm25"),
+        F.round(tfidf, 6).alias("tfidf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_rrf_fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_DEPTH = 50
+_RRF_TOP = 10
+
+_TFIDF_TAIL = f"""
+    , scb AS (
+      SELECT doc_id,
+             ROUND({" + ".join(f"(tf{i + 1} / (dl * 1.0)) * idfb{i + 1}" for i in range(len(_BM25_TERMS)))},
+                   6) AS tfidf
+      FROM sc
+    ),
+    ra AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM sc QUALIFY r <= {_RRF_DEPTH}
+    ),
+    rb AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY tfidf DESC, doc_id) AS r
+      FROM scb QUALIFY r <= {_RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / ({_RRF_K} + ra.r), 0)
+                   + COALESCE(1.0 / ({_RRF_K} + rb.r), 0), 6) AS rrf_score,
+             ra.r AS rank_bm25, rb.r AS rank_tfidf
+      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+    )
+    SELECT doc_id, rrf_score,
+           CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+           CAST(rank_tfidf AS BIGINT) AS rank_tfidf,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+    FROM fused QUALIFY rank <= {_RRF_TOP} ORDER BY rank
+    """
+
+
+@query("text_rrf_fusion", oracle=_bm25_cte() + _TFIDF_TAIL)
+def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two lexical
+    rankers for the same query — BM25 and normalized-tf*idf — the
+    ensemble/hybrid-retrieval combiner: ``score(d) = sum_r 1/(60 +
+    rank_r(d))`` over each ranking's top-50, missing ranks contributing
+    0. RRF is rank-only, so fusing a dense ANN ranking in is the same
+    full-outer-join step; the two-lexical form keeps the whole entry (and
+    its oracle) on one table.
+
+    Determinism: both input rankings are round-then-rank (integer ranks
+    agree cross-engine by the text_bm25_topk argument); the fused score is
+    a fixed-order two-term sum of exact-integer reciprocals. Plan shape:
+    one corpus scan feeds both scorers (shared frame, lazy-checkpointed),
+    each ranking is a window over score-surviving rows, and the fusion is
+    a full outer join of two <= 50-row frames."""
+    scored = _bm25_scored_frame(spark, sf_dir).localCheckpoint(eager=False)
+    wa = W.orderBy(F.desc("bm25"), F.col("doc_id"))
+    wb = W.orderBy(F.desc("tfidf"), F.col("doc_id"))
+    ra = (
+        scored.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= _RRF_DEPTH)
+        .select("doc_id", F.col("r").alias("rank_bm25"))
+    )
+    rb = (
+        scored.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") <= _RRF_DEPTH)
+        .select("doc_id", F.col("r").alias("rank_tfidf"))
+    )
+    fused = ra.join(rb, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("rank_bm25")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("rank_tfidf")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+        F.col("rank_bm25").cast("long").alias("rank_bm25"),
+        F.col("rank_tfidf").cast("long").alias("rank_tfidf"),
+    )
+    w = W.orderBy(F.desc("rrf_score"), F.col("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _BM25_K)
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _RRF_TOP)
         .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_chunk_dedup_stats
+# ---------------------------------------------------------------------------
+
+#: non-overlapping chunk width for paragraph-level dedup (the fixture's
+#: synthetic docs have no newlines, so fixed token blocks stand in for
+#: paragraphs; on real corpora swap the chunker for split-on-\n\n — the
+#: counting pipeline downstream is identical).
+_CHUNK_W = 32
+
+_CHUNK_DEDUP_ORACLE = rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, CAST(u.k AS BIGINT) AS chunk_idx,
+             md5(array_to_string(toks[(u.k * {_CHUNK_W} + 1):(u.k * {_CHUNK_W} + {_CHUNK_W})], ' ')) AS h
+      FROM t, UNNEST(range(CAST(ceil(len(toks) / {_CHUNK_W}.0) AS BIGINT))) u(k)
+      WHERE len(toks) > 0
+    ), g AS (
+      SELECT h, count(*) AS cnt FROM c GROUP BY h
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           ROUND(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_frac
+    FROM c JOIN g USING (h)
+    GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("docs_chunk_dedup_stats", oracle=_CHUNK_DEDUP_ORACLE)
+def docs_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level duplication exposure (the Dolma line/paragraph-dedup
+    analog): split each doc into non-overlapping 32-token chunks, hash
+    each, and report per doc how many of its chunks occur MORE THAN ONCE
+    across the whole corpus (within-doc repeats count — a doc repeating
+    its own paragraph is boilerplate exposure too). ``WHERE dup_frac >=
+    x`` is then the drop-filter, or the dup chunks themselves the removal
+    targets.
+
+    Scale: chunks hash inside the scan (one higher-order projection + one
+    posexplode of ~n_tokens/32 16-byte hashes per doc — the grams-never-
+    shuffle-as-strings rule); the only wide ops are the hash-key count
+    and the hash-key join back, both map-side combined, both AQE-skew
+    splittable; hot hashes (site boilerplate) skew the count key but the
+    count output is one row per hash regardless."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    n_chunks = F.ceil(F.size("toks") / float(_CHUNK_W)).cast("int")
+    hashes = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.md5(
+            F.array_join(F.slice("toks", k * _CHUNK_W + 1, _CHUNK_W), " ")
+        ),
+    )
+    c = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("doc_id", F.posexplode(hashes).alias("chunk_idx", "h"))
+    )
+    g = c.groupBy("h").agg(F.count("*").alias("cnt"))
+    dup = F.sum((F.col("cnt") > 1).cast("int")).cast("long")
+    return (
+        c.join(g, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            dup.alias("n_dup_chunks"),
+            F.round(dup / F.count("*"), 4).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_prep_funnel3
+# ---------------------------------------------------------------------------
+
+
+def _funnel3_oracle() -> str:
+    clf = f"""
+    clf AS (
+      SELECT doc_id,
+             CASE WHEN len(ctoks) = 0 THEN FALSE
+                  ELSE ({_CLF_BIAS} + list_reduce(
+                          list_transform(ctoks, tok ->
+                            ((('0x' || substr(md5(tok), 1, 8))::BIGINT % {_CLF_BUCKETS})
+                             - {(_CLF_BUCKETS - 1) // 2}) / {(_CLF_BUCKETS - 1) // 2}.0),
+                          (acc, x) -> acc + x) / len(ctoks) >= 0) END AS ok_clf
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> x <> '') AS ctoks
+            FROM documents)
+    )"""
+    chunk = f"""
+    ch AS (
+      SELECT doc_id, md5(array_to_string(
+               ktoks[(u.k * {_CHUNK_W} + 1):(u.k * {_CHUNK_W} + {_CHUNK_W})], ' ')) AS h
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> x <> '') AS ktoks
+            FROM documents) ck,
+           UNNEST(range(CAST(ceil(len(ktoks) / {_CHUNK_W}.0) AS BIGINT))) u(k)
+      WHERE len(ktoks) > 0
+    ),
+    chg AS (SELECT h, count(*) AS cnt FROM ch GROUP BY h),
+    chs AS (
+      SELECT doc_id,
+             sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 1.0 / count(*) < 0.5 AS ok_chunk
+      FROM ch JOIN chg USING (h) GROUP BY doc_id
+    )"""
+    ppj = """
+    sh3 AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(toks3) >= 3
+                    THEN list_transform(range(1, len(toks3)-1),
+                                        i -> toks3[i] || ' ' || toks3[i+1] || ' ' || toks3[i+2])
+                    ELSE [array_to_string(toks3, ' ')] END) AS s
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks3 FROM documents)
+    ),
+    losers AS (
+      SELECT DISTINCT b.doc_id AS doc_id
+      FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+      WHERE 9 * len(list_intersect(a.s, b.s)) >= 4 * (len(a.s) + len(b.s))
+    )"""
+    return f"""
+    WITH {clf.strip()},
+    {chunk.strip()},
+    {ppj.strip()},
+    flags AS (
+      SELECT d.doc_id, COALESCE(c.ok_clf, FALSE) AS ok_clf,
+             COALESCE(s.ok_chunk, FALSE) AS ok_chunk,
+             l.doc_id IS NULL AS ok_dedup
+      FROM documents d
+      LEFT JOIN clf c USING (doc_id)
+      LEFT JOIN chs s USING (doc_id)
+      LEFT JOIN losers l USING (doc_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS input_docs,
+           CAST(SUM(CASE WHEN ok_clf THEN 1 ELSE 0 END) AS BIGINT) AS after_classifier,
+           CAST(SUM(CASE WHEN ok_clf AND ok_chunk THEN 1 ELSE 0 END) AS BIGINT) AS after_chunk_gate,
+           CAST(SUM(CASE WHEN ok_clf AND ok_chunk AND ok_dedup THEN 1 ELSE 0 END) AS BIGINT)
+             AS after_dedup
+    FROM flags
+    """
+
+
+@query("corpus_prep_funnel3", oracle=_funnel3_oracle())
+def corpus_prep_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 end-to-end prep funnel: classifier gate -> chunk-dup gate
+    (dup_frac < 0.5) -> exact tau=0.8 Jaccard dedup (keep-lowest-id:
+    any doc appearing as the higher id of a pair drops — the
+    dedup_survivors convention). One row of cumulative stage counts, the
+    corpus_prep_funnel/funnel2 capstone shape, composing this round's
+    operators so their interaction (not just each in isolation) is
+    oracle-checked."""
+    clf = docs_quality_classifier(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("keep"), F.lit(False)).alias("ok_clf")
+    )
+    chs = docs_chunk_dedup_stats(spark, sf_dir).select(
+        "doc_id", (F.col("dup_frac") < 0.5).alias("ok_chunk")
+    )
+    losers = (
+        dedup_jaccard_prefix_filter(spark, sf_dir)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_loser", F.lit(True))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    flags = (
+        docs.join(clf, "doc_id", "left")
+        .join(chs, "doc_id", "left")
+        .join(losers, "doc_id", "left")
+        .select(
+            F.coalesce("ok_clf", F.lit(False)).alias("ok_clf"),
+            F.coalesce("ok_chunk", F.lit(False)).alias("ok_chunk"),
+            F.col("is_loser").isNull().alias("ok_dedup"),
+        )
+    )
+    return flags.agg(
+        F.count("*").alias("input_docs"),
+        F.sum(F.col("ok_clf").cast("int")).cast("long").alias("after_classifier"),
+        F.sum((F.col("ok_clf") & F.col("ok_chunk")).cast("int"))
+        .cast("long")
+        .alias("after_chunk_gate"),
+        F.sum((F.col("ok_clf") & F.col("ok_chunk") & F.col("ok_dedup")).cast("int"))
+        .cast("long")
+        .alias("after_dedup"),
     )

@@ -440,3 +440,88 @@ def test_bm25_matches_reference_with_df_extremes(spark, tmp_path):
         for r in QUERIES["text_bm25_topk"](spark, sf).collect()
     )
     assert [d for _, d in got_rows] == [d for d, _ in ranked]
+
+
+# ---------------------------------------------------------------------------
+# text_rrf_fusion / docs_chunk_dedup_stats / corpus_prep_funnel3
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fusion_matches_composed_rankings(spark):
+    """RRF output must equal fusing the engine's own two rankings by the
+    published formula — computed independently here from the scored
+    frame."""
+    from etl_from_s3_to_postgresql_template_spark.plans.llm_ops7 import (
+        _bm25_scored_frame,
+    )
+
+    scored = _bm25_scored_frame(spark, SF001).collect()
+    ra = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(scored, key=lambda r: (-r["bm25"], r["doc_id"]))[:50]
+        )
+    }
+    rb = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(scored, key=lambda r: (-r["tfidf"], r["doc_id"]))[:50]
+        )
+    }
+    fused = {
+        d: round(
+            (1.0 / (60 + ra[d]) if d in ra else 0.0)
+            + (1.0 / (60 + rb[d]) if d in rb else 0.0),
+            6,
+        )
+        for d in set(ra) | set(rb)
+    }
+    ref = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["doc_id"], r["rrf_score"])
+        for r in QUERIES["text_rrf_fusion"](spark, SF001).orderBy("rank").collect()
+    ]
+    assert got == ref
+
+
+def test_chunk_dedup_planted_shared_and_within_doc_chunks(spark, tmp_path):
+    block = " ".join(f"w{i}" for i in range(32))
+    other = " ".join(f"u{i}" for i in range(32))
+    texts = [
+        block + " " + other,          # chunk0 shared with doc1, chunk1 unique? no — shared with doc3
+        block + " tail words here",   # chunk0 == doc0 chunk0 -> dup
+        "short doc",                  # single partial chunk, unique
+        other + " " + other,          # within-doc repeat: both chunks identical
+    ]
+    sf = _planted_docs(spark, tmp_path, texts)
+    rows = {r["doc_id"]: r for r in QUERIES["docs_chunk_dedup_stats"](spark, sf).collect()}
+    assert rows[0]["n_chunks"] == 2
+    assert rows[0]["n_dup_chunks"] == 2  # block shared with doc1, other shared with doc3
+    assert rows[1]["n_chunks"] == 2 and rows[1]["n_dup_chunks"] == 1
+    assert rows[2]["n_chunks"] == 1 and rows[2]["n_dup_chunks"] == 0
+    assert rows[3]["n_chunks"] == 2 and rows[3]["n_dup_chunks"] == 2  # self-repeat counts
+    assert rows[3]["dup_frac"] == 1.0
+
+
+def test_funnel3_composes_its_stage_operators(spark):
+    """The funnel's cumulative counts must equal composing the three
+    registered operators independently."""
+    clf = {
+        r["doc_id"]: bool(r["keep"]) if r["keep"] is not None else False
+        for r in QUERIES["docs_quality_classifier"](spark, SF001).collect()
+    }
+    chunk_ok = {
+        r["doc_id"]: r["dup_frac"] < 0.5
+        for r in QUERIES["docs_chunk_dedup_stats"](spark, SF001).collect()
+    }
+    losers = {
+        r["id_b"] for r in QUERIES["dedup_jaccard_prefix_filter"](spark, SF001).collect()
+    }
+    docs = set(clf)
+    s1 = sum(clf[d] for d in docs)
+    s2 = sum(clf[d] and chunk_ok.get(d, False) for d in docs)
+    s3 = sum(clf[d] and chunk_ok.get(d, False) and d not in losers for d in docs)
+    row = QUERIES["corpus_prep_funnel3"](spark, SF001).collect()[0]
+    assert (row["input_docs"], row["after_classifier"]) == (len(docs), s1)
+    assert (row["after_chunk_gate"], row["after_dedup"]) == (s2, s3)
+    assert row["input_docs"] >= row["after_classifier"] >= row["after_chunk_gate"] >= row["after_dedup"]
