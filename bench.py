@@ -56,6 +56,13 @@ DOCS_HEAVY = [
     "doc_winnowing_fingerprints",
     "dedup_winnowing_pairs",
     "corpus_bpe_first_merge_gate",
+    # r6 additions: the round's three heaviest new corpus plans — PPJoin
+    # exact tau-Jaccard (prefix-filter candidate join), chunk-level dedup
+    # exposure (hash count + join-back), and the three-gate prep funnel
+    # that composes them with the classifier.
+    "dedup_jaccard_prefix_filter",
+    "docs_chunk_dedup_stats",
+    "corpus_prep_funnel3",
 ]
 
 

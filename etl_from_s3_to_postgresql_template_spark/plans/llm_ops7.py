@@ -70,6 +70,7 @@ __all__ = [
     "text_rrf_fusion",
     "docs_chunk_dedup_stats",
     "corpus_prep_funnel3",
+    "corpus_coreset_kcenter",
 ]
 
 
@@ -328,6 +329,8 @@ def similarity_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cand = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
+    if cand.isEmpty():  # empty-input contract: no corpus -> no matches
+        return spark.createDataFrame([], "q_id long, n_id long, cosine double")
     centroids = fit_ivf_centroids(cand, n_lists=16, n_vec="nv")
 
     def _cos_to(vec_col: F.Column, cvec: list[float]) -> F.Column:
@@ -639,6 +642,10 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    if emb.isEmpty():  # empty-input contract: nothing to fit or project
+        return spark.createDataFrame(
+            [], "vec_id long, label int, " + ", ".join(f"pc{i} double" for i in range(1, 9))
+        )
     model = fit_pca(emb, "embedding", q=8)
     proj = project_pca(emb, model, "embedding", out_col="pc")
     cols = [
@@ -995,6 +1002,10 @@ def docs_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") > 0)
         .select("doc_id", F.posexplode(hashes).alias("chunk_idx", "h"))
+        # lazy localCheckpoint: the chunk-hash kernel feeds both the
+        # hash-count aggregate and the join-back leg — one evaluation,
+        # not two (the llm_ops6 rule for frames with multiple consumers)
+        .localCheckpoint(eager=False)
     )
     g = c.groupBy("h").agg(F.count("*").alias("cnt"))
     dup = F.sum((F.col("cnt") > 1).cast("int")).cast("long")
@@ -1125,4 +1136,102 @@ def corpus_prep_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("ok_clf") & F.col("ok_chunk") & F.col("ok_dedup")).cast("int"))
         .cast("long")
         .alias("after_dedup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_coreset_kcenter
+# ---------------------------------------------------------------------------
+
+_KC_K = 8
+
+_KC_ORACLE = f"""
+    WITH RECURSIVE
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    d AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             1 - list_dot_product(a.e, b.e) /
+                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS dist
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    r AS (
+      SELECT 1 AS rank, (SELECT min(vec_id) FROM v) AS vec_id,
+             [(SELECT min(vec_id) FROM v)] AS chosen, CAST(NULL AS DOUBLE) AS sel_dist
+      UNION ALL
+      SELECT r.rank + 1, pick.vec_id, list_append(r.chosen, pick.vec_id), pick.md
+      FROM r, LATERAL (
+        SELECT c.vec_id,
+               (SELECT min(d.dist) FROM d
+                WHERE d.ia = c.vec_id AND list_contains(r.chosen, d.ib)) AS md
+        FROM v c
+        WHERE NOT list_contains(r.chosen, c.vec_id)
+        ORDER BY md DESC, c.vec_id
+        LIMIT 1
+      ) pick
+      WHERE r.rank < {_KC_K}
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, vec_id, ROUND(sel_dist, 6) AS sel_dist
+    FROM r ORDER BY rank
+    """
+
+
+@query("corpus_coreset_kcenter", oracle=_KC_ORACLE)
+def corpus_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985; the 2-approximation
+    farthest-point heuristic used for training-data coreset/active-learning
+    selection, e.g. Sener-Savarese 2018) over cosine distance: seed with
+    the lowest id, then k-1 times pick the point FARTHEST from the
+    selected set (max over candidates of min over selected of
+    ``1 - cos``), ties to the lower id. Emits (rank, vec_id, sel_dist) —
+    sel_dist is the covering radius at each step, the quantity whose decay
+    says when the coreset is "big enough".
+
+    Physical shape: the selected set is a fitted artifact (<= k vectors),
+    so each round is ONE corpus scan — a projection computing min-of-k
+    fold distances against broadcast literals — topped by a global
+    TakeOrdered(1); k scans total, no shuffle, no pairwise anything. The
+    driver loop IS the algorithm (inherently sequential), same boundary
+    as fit_ivf_centroids/fit_pca. Cross-engine: fold cosines are
+    bit-identical (the llm_ops7 discipline), argmax compares exact
+    doubles, so the recursive-CTE oracle matches hash-exact."""
+    from etl_from_s3_to_postgresql_template_spark.functions.vectors import (
+        as_double_vec,
+        dot_col,
+        norm_col,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("e"))
+    seed_rows = v.orderBy("vec_id").limit(1).collect()
+    if not seed_rows:  # empty-input contract: nothing to select
+        return spark.createDataFrame([], "rank long, vec_id long, sel_dist double")
+    seed = seed_rows[0]
+    chosen: list[tuple[int, list[float], float | None]] = [
+        (seed["vec_id"], list(seed["e"]), None)
+    ]
+
+    def _dist_to(cvec: list[float]) -> F.Column:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        return 1 - dot_col(F.col("e"), c) / (norm_col(F.col("e")) * norm_col(c))
+
+    while len(chosen) < _KC_K:
+        dists = [_dist_to(vec) for (_, vec, _) in chosen]
+        md = dists[0] if len(dists) == 1 else F.least(*dists)
+        pick = (
+            v.filter(~F.col("vec_id").isin([i for (i, _, _) in chosen]))
+            .select("vec_id", "e", md.alias("md"))
+            .orderBy(F.desc("md"), F.col("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((pick["vec_id"], list(pick["e"]), pick["md"]))
+    rows = [
+        (i + 1, vid, sd) for i, (vid, _, sd) in enumerate(chosen)
+    ]
+    # round via F.round, not Python round(): Python rounds half-even,
+    # Spark/DuckDB round half-up — keep the tie behavior on one engine pair
+    return (
+        spark.createDataFrame(rows, "rank long, vec_id long, sel_dist double")
+        .select("rank", "vec_id", F.round("sel_dist", 6).alias("sel_dist"))
+        .orderBy("rank")
     )

@@ -525,3 +525,76 @@ def test_funnel3_composes_its_stage_operators(spark):
     assert (row["input_docs"], row["after_classifier"]) == (len(docs), s1)
     assert (row["after_chunk_gate"], row["after_dedup"]) == (s2, s3)
     assert row["input_docs"] >= row["after_classifier"] >= row["after_chunk_gate"] >= row["after_dedup"]
+
+
+# ---------------------------------------------------------------------------
+# corpus_coreset_kcenter
+# ---------------------------------------------------------------------------
+
+
+def test_kcenter_matches_reference_and_covering_radius_decays(spark):
+    import duckdb
+
+    vecs = {
+        int(r[0]): list(r[1])
+        for r in duckdb.sql(
+            f"select vec_id, CAST(embedding AS DOUBLE[]) from '{SF001}/embeddings.parquet'"
+        ).fetchall()
+    }
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def dist(a, b):
+        return 1 - dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    chosen = [min(vecs)]
+    ref = [(1, chosen[0], None)]
+    while len(chosen) < 8:
+        best = None
+        for i in vecs:
+            if i in chosen:
+                continue
+            md = min(dist(vecs[i], vecs[j]) for j in chosen)
+            if best is None or (md, -i) > (best[1], -best[0]):
+                best = (i, md)
+        chosen.append(best[0])
+        ref.append((len(chosen), best[0], round(best[1], 6)))
+    got = [
+        (r["rank"], r["vec_id"], r["sel_dist"])
+        for r in QUERIES["corpus_coreset_kcenter"](spark, SF001).orderBy("rank").collect()
+    ]
+    assert got == ref
+    # greedy k-center invariant: the covering radius is non-increasing
+    radii = [sd for _, _, sd in got if sd is not None]
+    assert all(radii[i] >= radii[i + 1] - 1e-12 for i in range(len(radii) - 1))
+
+
+def test_unicode_lower_parity_boundary(spark):
+    """Documents the cross-engine lower() boundary every text oracle sits
+    on: Spark (Java) and DuckDB agree on all probed non-ASCII case
+    mappings EXCEPT U+0130 (Turkish dotted capital I), where Spark emits
+    the Unicode-correct 'i' + U+0307 combining dot and DuckDB emits plain
+    'i'. The fixtures are ASCII so every oracle is unaffected; this test
+    pins the known divergence so a change in either engine surfaces."""
+    from pyspark.sql import functions as F
+
+    agree = ["STRASSE", "ΣΙΓΜΑ", "ĄĆĘŁ", "ÀÉÎÕÜ", "ДОМ", "ẞ", "ǅungla", "ﬁne"]
+    diverge = ["İstanbul"]
+    import duckdb
+
+    rows = (
+        spark.createDataFrame([(t,) for t in agree + diverge], "s string")
+        .select("s", F.lower("s").alias("lo"))
+        .collect()
+    )
+    con = duckdb.connect()
+    got = {r["s"]: r["lo"] for r in rows}
+    for t in agree:
+        assert got[t] == con.sql("select lower(?)", params=[t]).fetchone()[0], t
+    for t in diverge:
+        duck = con.sql("select lower(?)", params=[t]).fetchone()[0]
+        assert got[t] == "i̇stanbul" and duck == "istanbul"
