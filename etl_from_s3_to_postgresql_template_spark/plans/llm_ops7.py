@@ -71,6 +71,8 @@ __all__ = [
     "docs_chunk_dedup_stats",
     "corpus_prep_funnel3",
     "corpus_coreset_kcenter",
+    "similarity_hard_negatives",
+    "embedding_knn_label_accuracy",
 ]
 
 
@@ -1234,4 +1236,152 @@ def corpus_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(rows, "rank long, vec_id long, sel_dist double")
         .select("rank", "vec_id", F.round("sel_dist", 6).alias("sel_dist"))
         .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity_hard_negatives / embedding_knn_label_accuracy
+# ---------------------------------------------------------------------------
+
+_HN_NQ = 8
+_HN_K = 5
+
+_HN_ORACLE = f"""
+    WITH q AS (SELECT vec_id q_id, label q_label, CAST(embedding AS DOUBLE[]) qv
+               FROM embeddings WHERE vec_id < {_HN_NQ}),
+         c AS (SELECT vec_id n_id, label n_label, CAST(embedding AS DOUBLE[]) nv
+               FROM embeddings),
+         p AS (
+           SELECT q_id, q_label, n_id, n_label,
+                  ROUND(list_dot_product(qv, nv) /
+                        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))),
+                        6) AS cosine
+           FROM q JOIN c ON q_id <> n_id AND q_label <> n_label
+         )
+    SELECT q_id, CAST(q_label AS INT) AS q_label, n_id, CAST(n_label AS INT) AS n_label,
+           cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT)
+             AS rank
+    FROM p QUALIFY rank <= {_HN_K} ORDER BY q_id, rank
+    """
+
+
+@query("similarity_hard_negatives", oracle=_HN_ORACLE)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch-negatives
+    upgrade every dense-retriever pipeline runs — e.g. DPR, Karpukhin et
+    al. 2020): per query, the top-5 most-similar corpus vectors whose
+    label DIFFERS — maximally confusable negatives. Same broadcast
+    brute-force shape as similarity_topk_bruteforce with the label
+    disequality fused into the join condition (so Catalyst filters before
+    ranking); round-then-rank keeps order parity. The scale path is the
+    same tiered ANN funnel the topk entries use — the label filter
+    composes with any candidate generator."""
+    from etl_from_s3_to_postgresql_template_spark.functions.vectors import (
+        as_double_vec,
+        cosine_col,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _HN_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("nv"),
+    )
+    cos = F.round(cosine_col(as_double_vec(F.col("qv")), as_double_vec(F.col("nv"))), 6)
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("n_id"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter((F.col("q_id") != F.col("n_id")) & (F.col("q_label") != F.col("n_label")))
+        .select("q_id", "q_label", "n_id", "n_label", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _HN_K)
+        .orderBy("q_id", "rank")
+    )
+
+
+_KNN_K = 5
+
+_KNN_ORACLE = f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+         p AS (
+           SELECT a.vec_id, a.label AS own, b.label AS nl,
+                  ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                    ROUND(list_dot_product(a.e, b.e) /
+                          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                          6) DESC, b.vec_id) AS rn
+           FROM v a JOIN v b ON a.vec_id <> b.vec_id
+         ),
+         votes AS (
+           SELECT vec_id, own, nl, count(*) AS c FROM p WHERE rn <= {_KNN_K}
+           GROUP BY 1, 2, 3
+         ),
+         maj AS (
+           SELECT vec_id, own, nl AS pred,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, nl) AS r
+           FROM votes
+         )
+    SELECT CAST(own AS INT) AS label, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pred = own THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           ROUND(sum(CASE WHEN pred = own THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS agree_frac
+    FROM maj WHERE r = 1 GROUP BY own ORDER BY label
+    """
+
+
+@query("embedding_knn_label_accuracy", oracle=_KNN_ORACLE)
+def embedding_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit via leave-one-out kNN agreement (the standard
+    mislabel-detection signal — Confident Learning's neighborhood
+    consistency shape): each vector's 5 nearest neighbors vote; a label
+    whose members' majority votes disagree with them is noisy or
+    non-separable. Emits per-label (n, n_agree, agree_frac).
+
+    Vote counting and the majority pick are pure integers with (count
+    desc, label asc) tie-break — deterministic cross-engine; neighbor
+    ranking is round-then-rank. The registered form is the exact all-pairs
+    audit and carries the fixture-scale guard (operators/guards.py) like
+    dedup_embedding_pairs: at corpus scale the SAME vote/majority pipeline
+    runs over ANN neighbor lists (similarity_topk_* generators) instead of
+    the exact join."""
+    from etl_from_s3_to_postgresql_template_spark.functions.vectors import (
+        as_double_vec,
+        cosine_col,
+    )
+    from etl_from_s3_to_postgresql_template_spark.operators.guards import (
+        assert_fixture_scale,
+    )
+
+    emb = assert_fixture_scale(
+        load_table(spark, sf_dir, "embeddings"), "embedding_knn_label_accuracy"
+    )
+    a = emb.select("vec_id", F.col("label").alias("own"), F.col("embedding").alias("ea"))
+    b = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("label").alias("nl"), F.col("embedding").alias("eb")
+    )
+    cos = F.round(cosine_col(as_double_vec(F.col("ea")), as_double_vec(F.col("eb"))), 6)
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.col("n_id"))
+    p = (
+        a.join(b, F.col("vec_id") != F.col("n_id"))
+        .select("vec_id", "own", "n_id", "nl", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+    )
+    votes = p.groupBy("vec_id", "own", "nl").agg(F.count("*").alias("c"))
+    wm = W.partitionBy("vec_id").orderBy(F.desc("c"), F.col("nl"))
+    maj = votes.withColumn("r", F.row_number().over(wm)).filter(F.col("r") == 1)
+    agree = F.sum((F.col("nl") == F.col("own")).cast("int")).cast("long")
+    return (
+        maj.groupBy(F.col("own").alias("label"))
+        .agg(
+            F.count("*").alias("n"),
+            agree.alias("n_agree"),
+            F.round(agree / F.count("*"), 4).alias("agree_frac"),
+        )
+        .orderBy("label")
     )

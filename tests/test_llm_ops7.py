@@ -598,3 +598,55 @@ def test_unicode_lower_parity_boundary(spark):
     for t in diverge:
         duck = con.sql("select lower(?)", params=[t]).fetchone()[0]
         assert got[t] == "i̇stanbul" and duck == "istanbul"
+
+
+# ---------------------------------------------------------------------------
+# similarity_hard_negatives / embedding_knn_label_accuracy
+# ---------------------------------------------------------------------------
+
+
+def _planted_labeled_embeddings(spark, tmp_path, vecs_labels):
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], int(l)) for i, (v, l) in enumerate(vecs_labels)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    return sf
+
+
+def test_hard_negatives_are_cross_label_and_ranked(spark, tmp_path):
+    rng = np.random.default_rng(5)
+    a, b = rng.standard_normal(64), rng.standard_normal(64)
+    vecs = [(a + rng.standard_normal(64) * 0.1, 0) for _ in range(10)]
+    vecs += [(b + rng.standard_normal(64) * 0.1, 1) for _ in range(10)]
+    sf = _planted_labeled_embeddings(spark, tmp_path, vecs)
+    rows = QUERIES["similarity_hard_negatives"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r["n_label"] != r["q_label"]
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == list(
+            range(1, len(rs) + 1)
+        )
+        # ranked by descending cosine
+        cs = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert cs == sorted(cs, reverse=True)
+
+
+def test_knn_label_accuracy_detects_mislabel(spark, tmp_path):
+    rng = np.random.default_rng(9)
+    a, b = rng.standard_normal(64), rng.standard_normal(64)
+    clean = [(a + rng.standard_normal(64) * 0.05, 0) for _ in range(12)]
+    clean += [(b + rng.standard_normal(64) * 0.05, 1) for _ in range(12)]
+    sf = _planted_labeled_embeddings(spark, tmp_path, clean)
+    rows = {r["label"]: r for r in QUERIES["embedding_knn_label_accuracy"](spark, sf).collect()}
+    assert rows[0]["agree_frac"] == 1.0 and rows[1]["agree_frac"] == 1.0
+    # plant one mislabel: a label-1 point sitting in cluster A
+    noisy = clean + [(a + rng.standard_normal(64) * 0.05, 1)]
+    sf2 = _planted_labeled_embeddings(spark, tmp_path.joinpath("noisy"), noisy)
+    rows2 = {r["label"]: r for r in QUERIES["embedding_knn_label_accuracy"](spark, sf2).collect()}
+    assert rows2[1]["n"] == 13 and rows2[1]["n_agree"] == 12  # the planted point disagrees
+    assert rows2[0]["agree_frac"] == 1.0

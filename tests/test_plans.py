@@ -292,3 +292,53 @@ def test_split_leakage_scan_is_blocked(spark):
     plan = _plan(spark, "split_leakage_scan")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_r6_classifier_and_bm25_plan_shapes(spark):
+    """Round-6 single-scan entries: the classifier is shuffle-free (one
+    projection over the scan, only the output sort exchanges); BM25 reads
+    only (doc_id, text) and reduces corpus stats with a partial (map-side)
+    aggregate before its single-row exchange."""
+    simple = QUERIES["docs_quality_classifier"](spark, SF)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    # one scan; the output-sort rangepartitioning is the only exchange
+    exchanges = [ln for ln in simple.splitlines() if "Exchange" in ln]
+    assert all("rangepartitioning" in ln for ln in exchanges), exchanges
+    plan = _plan(spark, "docs_quality_classifier")
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+    bm25 = QUERIES["text_bm25_topk"](spark, SF)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "partial_count" in bm25 or "partial_sum" in bm25  # map-side combine
+    plan2 = _plan(spark, "text_bm25_topk")
+    assert "doc_id:bigint,text:string" in plan2  # column pruning held
+
+
+def test_r6_range_query_corpus_never_shuffles(spark):
+    """The IVF range search must not exchange the candidate side on any
+    corpus-sized key: allowed exchanges are the 16-row cell summary, the
+    query side, and single-partition collapses — never hashpartitioning
+    on n_id/doc-sized data before the verify filter."""
+    plan = _plan(spark, "similarity_range_query")
+    body = plan.split("== Physical Plan ==")[-1]
+    for ln in body.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "n_id" not in ln, ln
+    assert "CartesianProduct" not in plan
+
+
+def test_r6_ppjoin_and_chunk_dedup_plan_shapes(spark):
+    """Chunk dedup must map-side combine its chunk-hash count (visible:
+    the count runs after the kernel checkpoint); PPJoin's prefix subtree
+    sits behind a lazy localCheckpoint (by design — it feeds two legs),
+    so assert its scan-side contract instead: only (doc_id, text) read,
+    no cartesian anywhere."""
+    simple = QUERIES["docs_chunk_dedup_stats"](spark, SF)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "partial_count" in simple
+    plan = _plan(spark, "dedup_jaccard_prefix_filter")
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "CartesianProduct" not in plan
