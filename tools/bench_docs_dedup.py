@@ -38,6 +38,17 @@ K_INDEPENDENT = [
     "text_quality",
     "doc_winnowing_fingerprints",
     "dedup_winnowing_pairs",
+    # round-6 additions (all blocking adapts to n by construction)
+    "docs_quality_classifier",
+    "dedup_jaccard_prefix_filter",
+    "docs_chunk_dedup_stats",
+    "corpus_inverted_index",
+    "text_bm25_topk",
+    "similarity_range_query",
+    "similarity_mmr_rerank",
+    "similarity_hard_negatives",
+    "embedding_pca_project",
+    "corpus_coreset_kcenter",
 ]
 
 
