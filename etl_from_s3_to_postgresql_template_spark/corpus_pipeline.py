@@ -54,19 +54,30 @@ def annotate_corpus(
     min_chars: int = 50,
     min_alpha_ratio: float = 0.5,
     ngram: int = 8,
+    use_classifier: bool = False,
 ) -> DataFrame:
     """One frame, one flag per funnel stage. Flags are CUMULATIVE in the
     pipeline order (a doc only reaches dedup if it passed quality), so the
     funnel report is a stack of conditional counts over this single frame.
 
+    ``use_classifier=True`` inserts the round-6 hashed linear classifier
+    (functions/text.py::hashed_margin_col — the fasttext-shaped model
+    gate) between the rule gate and dedup: ``ok_quality`` then requires
+    BOTH the shape rules and a non-negative margin, still row-local and
+    shuffle-free, so every downstream flag and the funnel report compose
+    unchanged. Default off: the rule-only funnel stays bit-identical to
+    prior rounds.
+
     Join shapes: the dedup-winner and contamination sets are (doc_id)-only
     frames joined back; both shuffles carry 8-byte keys. Decontamination
     itself never shuffles the corpus (broadcast benchmark hash set)."""
+    from etl_from_s3_to_postgresql_template_spark.functions.text import hashed_margin_col
+
     q = quality_columns("text")
-    gated = docs.withColumn(
-        "ok_quality",
-        (F.length("text") >= min_chars) & (q["alpha_ratio"] >= min_alpha_ratio),
-    )
+    rule_ok = (F.length("text") >= min_chars) & (q["alpha_ratio"] >= min_alpha_ratio)
+    if use_classifier:
+        rule_ok = rule_ok & (hashed_margin_col("text") >= 0)
+    gated = docs.withColumn("ok_quality", rule_ok)
     survivors = gated.where("ok_quality")
     winners = dedup_exact_by_hash(survivors).select("doc_id", F.lit(True).alias("ok_dedup"))
     contaminated = decontaminate(survivors, n=ngram).select(

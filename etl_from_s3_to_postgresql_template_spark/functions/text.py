@@ -29,6 +29,7 @@ __all__ = [
     "quality_columns",
     "char_class_counts",
     "shingles_col",
+    "hashed_margin_col",
 ]
 
 # Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
@@ -240,3 +241,29 @@ def shingles_col(text: Column | str, k: int = 3) -> Column:
     return F.when(
         (n >= k) & (F.length(norm) > 0), F.regexp_extract_all(norm, F.lit(pat), F.lit(1))
     ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def hashed_margin_col(
+    text: Column | str, buckets: int = 2001, bias: float = -0.02
+) -> Column:
+    """Feature-hashing linear-classifier margin (plans/llm_ops7.py
+    docs_quality_classifier, exposed for pipeline composition): tokens
+    hash to ``buckets`` md5-derived weight buckets in [-1, 1]; margin =
+    ``bias + mean(weight)`` via a sequential left fold (cross-engine
+    bit-stable). NULL for token-less docs."""
+    from pyspark.sql import functions as F
+
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda x: x != "")
+    half = (buckets - 1) // 2
+    ws = F.transform(
+        toks,
+        lambda t: (
+            (F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % buckets)
+            - F.lit(half)
+        )
+        / F.lit(float(half)),
+    )
+    n = F.size(toks).cast("long")
+    margin = F.lit(bias) + F.aggregate(ws, F.lit(0.0), lambda a, x: a + x) / n
+    return F.when(n == 0, F.lit(None).cast("double")).otherwise(margin)

@@ -129,28 +129,17 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-derived exact division — so margins are bit-identical and the
     keep threshold cannot flip. One scan, whole-stage codegen, no shuffle,
     no UDF: at 100 TB this costs exactly one pass over text bytes."""
+    from etl_from_s3_to_postgresql_template_spark.functions.text import hashed_margin_col
+
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
-    half = (_CLF_BUCKETS - 1) // 2
-    ws = F.transform(
-        toks,
-        lambda t: (
-            (F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % _CLF_BUCKETS)
-            - F.lit(half)
-        )
-        / F.lit(float(half)),
-    )
     n = F.size(toks).cast("long")
-    margin = F.lit(_CLF_BIAS) + F.aggregate(ws, F.lit(0.0), lambda a, x: a + x) / n
+    margin = hashed_margin_col("text", _CLF_BUCKETS, _CLF_BIAS)
     return docs.select(
         "doc_id",
         n.alias("n_tokens"),
-        F.when(n == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(margin, 6))
-        .alias("quality_margin"),
-        F.when(n == 0, F.lit(None).cast("boolean"))
-        .otherwise(margin >= 0)
-        .alias("keep"),
+        F.round(margin, 6).alias("quality_margin"),
+        (margin >= 0).alias("keep"),
     ).orderBy("doc_id")
 
 
@@ -708,7 +697,12 @@ def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     _INV_CAP entries no matter how hot the token (a stopword's postings
     would otherwise be O(corpus)); df comes from the full count aggregate,
     which never materializes a list at all. Two shuffles on the token key,
-    both map-side combined / AQE-skew splittable."""
+    both map-side combined / AQE-skew splittable. Skew note: a hot
+    token's instances rank through ONE window partition — latency skew,
+    accepted deliberately (the winnowing bucket-cap precedent) because
+    the window's external sort spills to disk, whereas any collect-then-
+    truncate form would buffer a stopword's full posting set in one
+    aggregation buffer."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.array_distinct(
         F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")

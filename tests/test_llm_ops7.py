@@ -650,3 +650,28 @@ def test_knn_label_accuracy_detects_mislabel(spark, tmp_path):
     rows2 = {r["label"]: r for r in QUERIES["embedding_knn_label_accuracy"](spark, sf2).collect()}
     assert rows2[1]["n"] == 13 and rows2[1]["n_agree"] == 12  # the planted point disagrees
     assert rows2[0]["agree_frac"] == 1.0
+
+
+def test_pipeline_classifier_stage_composes(spark):
+    """annotate_corpus(use_classifier=True) must equal intersecting the
+    rule gate with the registered classifier's keep flag, and the whole
+    downstream funnel must still be cumulative."""
+    from etl_from_s3_to_postgresql_template_spark.corpus_pipeline import (
+        annotate_corpus,
+        corpus_funnel_stats,
+    )
+    from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF001, "documents")
+    base = {r["doc_id"]: r["ok_quality"] for r in annotate_corpus(docs).collect()}
+    keep = {
+        r["doc_id"]: bool(r["keep"]) if r["keep"] is not None else False
+        for r in QUERIES["docs_quality_classifier"](spark, SF001).collect()
+    }
+    ann = annotate_corpus(docs, use_classifier=True)
+    got = {r["doc_id"]: r["ok_quality"] for r in ann.collect()}
+    for d in base:
+        assert got[d] == (base[d] and keep[d]), d
+    st = corpus_funnel_stats(ann)
+    assert st.input_docs >= st.after_quality >= st.after_dedup >= st.after_decontam
+    assert st.after_quality == sum(got.values())
