@@ -219,7 +219,9 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(
             F.transform(shingles_col("text", 3), lambda g: F.xxhash64(g))
         ).alias("s"),
-    )
+        # lazy localCheckpoint: the hashed shingle frame feeds the token
+        # explode AND both verify legs — one evaluation, not three
+    ).localCheckpoint(eager=False)
     tok = sh.select("doc_id", F.explode("s").alias("g"))
     freq = tok.groupBy("g").agg(F.count("*").alias("cnt"))
     by_rarity = (
@@ -342,31 +344,42 @@ def similarity_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cand.isEmpty():  # empty-input contract: no corpus -> no matches
         return spark.createDataFrame([], "q_id long, n_id long, cosine double")
     centroids = fit_ivf_centroids(cand, n_lists=16, n_vec="nv")
+    # unit-normalize centroids ONCE driver-side: the per-row assignment
+    # then needs one ||x|| plus 16 dots (17 folds/row), not 16x(dot+2
+    # norms) = 48 — cos(x, c) = dot(x, c_unit)/||x||
+    import math as _math
 
-    def _cos_to(vec_col: F.Column, cvec: list[float]) -> F.Column:
-        c = F.array(*[F.lit(float(x)) for x in cvec])
-        return dot_col(vec_col, c) / (norm_col(vec_col) * norm_col(c))
+    unit = []
+    for c in centroids:
+        nrm = _math.sqrt(sum(x * x for x in c)) or 1.0
+        unit.append([x / nrm for x in c])
 
     def _clamp(col: F.Column) -> F.Column:
         return F.least(F.greatest(col, F.lit(-1.0)), F.lit(1.0))
 
     # nearest cell by max cosine: array_max over (cos, idx) structs
     nv = as_double_vec(F.col("nv"))
+    xnorm = norm_col(nv)
     cell_structs = F.array(
         *[
             F.struct(
-                _cos_to(nv, c).alias("cos"), F.lit(i).alias("cell")
+                (dot_col(nv, F.array(*[F.lit(float(x)) for x in cu])) / F.col("_xn")).alias("cos"),
+                F.lit(i).alias("cell"),
             )
-            for i, c in enumerate(centroids)
+            for i, cu in enumerate(unit)
         ]
     )
     best = F.array_max(cell_structs)
-    assigned = cand.select(
-        "n_id",
-        "nv",
-        best["cell"].alias("cell"),
-        F.acos(_clamp(best["cos"])).alias("theta_cx"),
-    ).localCheckpoint(eager=False)  # one assignment pass feeds summary + members
+    assigned = (
+        cand.withColumn("_xn", xnorm)
+        .select(
+            "n_id",
+            "nv",
+            best["cell"].alias("cell"),
+            F.acos(_clamp(best["cos"])).alias("theta_cx"),
+        )
+        .localCheckpoint(eager=False)  # one assignment pass feeds summary + members
+    )
 
     cell_summary = assigned.groupBy("cell").agg(F.max("theta_cx").alias("max_theta"))
 
@@ -382,9 +395,14 @@ def similarity_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("cell"),
-                        F.acos(_clamp(_cos_to(qv, c))).alias("theta_qc"),
+                        F.acos(
+                            _clamp(
+                                dot_col(qv, F.array(*[F.lit(float(x)) for x in cu]))
+                                / norm_col(qv)
+                            )
+                        ).alias("theta_qc"),
                     )
-                    for i, c in enumerate(centroids)
+                    for i, cu in enumerate(unit)
                 ]
             )
         ).alias("qc"),
@@ -1216,7 +1234,11 @@ def corpus_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("e"))
+    # lazy localCheckpoint: the double-cast corpus is scanned k times (one
+    # per selection round) — materialize the cast once
+    v = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("e")).localCheckpoint(
+        eager=False
+    )
     seed_rows = v.orderBy("vec_id").limit(1).collect()
     if not seed_rows:  # empty-input contract: nothing to select
         return spark.createDataFrame([], "rank long, vec_id long, sel_dist double")
