@@ -486,7 +486,9 @@ _MMR_ORACLE = f"""
 
 
 @query("similarity_mmr_rerank", oracle=_MMR_ORACLE)
-def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_mmr_rerank(
+    spark: SparkSession, sf_dir: str, lam: float = _MMR_LAMBDA
+) -> DataFrame:
     """MMR diversified top-k (Carbonell & Goldstein 1998): per query, rank 1
     is the highest-cosine candidate; each later rank greedily maximizes
     ``lambda*sim(q,d) - (1-lambda)*max_{s in selected} sim(d,s)`` over a
@@ -554,7 +556,7 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if i in chosen:
                     continue
                 mx = max(sim(i, j) for j in chosen)
-                sc = _MMR_LAMBDA * rels[i] - (1 - _MMR_LAMBDA) * mx
+                sc = lam * rels[i] - (1 - lam) * mx
                 if best_i is None or sc > best_sc or (sc == best_sc and ids[i] < ids[best_i]):
                     best_i, best_sc = i, sc
             chosen.append(best_i)

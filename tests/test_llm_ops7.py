@@ -675,3 +675,80 @@ def test_pipeline_classifier_stage_composes(spark):
     st = corpus_funnel_stats(ann)
     assert st.input_docs >= st.after_quality >= st.after_dedup >= st.after_decontam
     assert st.after_quality == sum(got.values())
+
+
+def test_mmr_lambda_one_degenerates_to_plain_topk(spark):
+    """MMR's boundary case: lambda=1 removes the diversity term, so the
+    selection must equal the plain cosine top-10 in rank order."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from etl_from_s3_to_postgresql_template_spark.functions.vectors import (
+        as_double_vec,
+        cosine_col,
+    )
+    from etl_from_s3_to_postgresql_template_spark.plans.llm_ops7 import (
+        similarity_mmr_rerank,
+    )
+    from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+    emb = load_table(spark, SF001, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
+    sim = cosine_col(as_double_vec(F.col("qv")), as_double_vec(F.col("nv")))
+    w = W.partitionBy("q_id").orderBy(F.desc("s"), F.col("n_id"))
+    topk = {
+        (r["q_id"], r["rn"]): r["n_id"]
+        for r in c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", sim.alias("s"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .collect()
+    }
+    got = {
+        (r["q_id"], r["rank"]): r["n_id"]
+        for r in similarity_mmr_rerank(spark, SF001, lam=1.0).collect()
+    }
+    assert got == topk
+
+
+def test_ppjoin_lossless_on_random_corpora(spark, tmp_path):
+    """Seeded random corpora (Zipf-ish small vocab so shingle overlap is
+    common): prefix-filtered pairs must equal the brute-force tau=0.8
+    verify on every corpus."""
+    import itertools
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        texts = []
+        for d in range(24):
+            n = rng.randint(2, 40)
+            toks = [rng.choice(vocab) for _ in range(n)]
+            texts.append(" ".join(toks))
+        # plant a few near-dup pairs by copying with a small tail change
+        for i in (0, 5, 9):
+            texts.append(texts[i] + " tailtok")
+        sf = _planted_docs(spark, tmp_path.joinpath(f"s{seed}"), texts)
+
+        def shingles(t):
+            tk = t.strip().split()
+            if len(tk) >= 3:
+                return {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+            return {" ".join(tk)}
+
+        sets = [shingles(t) for t in texts]
+        brute = set()
+        for a, b in itertools.combinations(range(len(texts)), 2):
+            i = len(sets[a] & sets[b])
+            if 9 * i >= 4 * (len(sets[a]) + len(sets[b])):
+                brute.add((a, b))
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in QUERIES["dedup_jaccard_prefix_filter"](spark, sf).collect()
+        }
+        assert got == brute, seed
