@@ -37,8 +37,10 @@ __all__ = [
     "BackendUnavailable",
     "ParquetBackend",
     "DeltaBackend",
+    "IcebergBackend",
     "get_backend",
     "delta_available",
+    "iceberg_available",
 ]
 
 
@@ -215,10 +217,12 @@ class DeltaBackend:
 
 
 def get_backend(name: str = "auto", spark: SparkSession | None = None):
-    """Resolve a table backend: ``"parquet"``, ``"delta"``, or ``"auto"``
-    (Delta when available, else parquet). ``"delta"`` raises
-    ``BackendUnavailable`` with setup instructions when the runtime lacks
-    it — an explicit ask fails loudly rather than silently degrading."""
+    """Resolve a table backend: ``"parquet"``, ``"delta"``, ``"iceberg"``,
+    or ``"auto"`` (Delta when available, else Iceberg, else parquet — the
+    path-addressed backends first, since callers pass filesystem paths
+    unless they opted into Iceberg's catalog namespace). An explicit ask
+    for an absent backend raises ``BackendUnavailable`` with setup
+    instructions rather than silently degrading."""
     if name == "parquet":
         return ParquetBackend()
     if name == "delta":
@@ -229,6 +233,204 @@ def get_backend(name: str = "auto", spark: SparkSession | None = None):
                 "get_backend('parquet')"
             )
         return DeltaBackend()
+    if name == "iceberg":
+        if not iceberg_available(spark):
+            raise BackendUnavailable(
+                "Iceberg backend needs the iceberg-spark-runtime jar and a "
+                "configured Iceberg catalog; install them or use "
+                "get_backend('parquet')"
+            )
+        return IcebergBackend()
     if name == "auto":
-        return DeltaBackend() if delta_available(spark) else ParquetBackend()
-    raise ValueError(f"unknown table backend {name!r} (parquet | delta | auto)")
+        if delta_available(spark):
+            return DeltaBackend()
+        if iceberg_available(spark):
+            return IcebergBackend()
+        return ParquetBackend()
+    raise ValueError(
+        f"unknown table backend {name!r} (parquet | delta | iceberg | auto)"
+    )
+
+
+def iceberg_available(spark: SparkSession | None = None) -> bool:
+    """True when the Iceberg Spark runtime classes are on the JVM
+    classpath (``org.apache.iceberg:iceberg-spark-runtime-...`` at submit
+    time, plus a configured ``spark.sql.catalog.<name>`` Iceberg catalog).
+    Unlike Delta there is no Python package half — Iceberg's Spark
+    surface is SQL (MERGE INTO / DELETE FROM / CALL procedures)."""
+    if spark is None:
+        return False
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _iceberg_merge_sql(
+    table: str, key: str, data_cols: list[str], delete_col: str | None
+) -> str:
+    """MERGE INTO statement for an upsert from the ``__ib_updates`` temp
+    view — split out as a pure function so statement shape is unit-tested
+    without the Iceberg jars."""
+    sets = ", ".join(f"t.{c} = u.{c}" for c in data_cols)
+    cols = ", ".join([key, *data_cols])
+    vals = ", ".join(f"u.{c}" for c in [key, *data_cols])
+    delete_clause = (
+        f"WHEN MATCHED AND u.{delete_col} = true THEN DELETE\n" if delete_col else ""
+    )
+    return (
+        f"MERGE INTO {table} t\n"
+        f"USING __ib_updates u\n"
+        f"ON t.{key} = u.{key}\n"
+        f"{delete_clause}"
+        f"WHEN MATCHED THEN UPDATE SET {sets}\n"
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+
+def _iceberg_delete_sql(table: str, key_col: str) -> str:
+    """Keyed bulk delete. Iceberg's Spark extensions DO support IN-
+    subqueries in DELETE (unlike OSS Delta, whose path is MERGE ...
+    whenMatchedDelete — see DeltaBackend.delete_rows), so the natural
+    statement works and stays unbounded in |keys|."""
+    return f"DELETE FROM {table} WHERE {key_col} IN (SELECT {key_col} FROM __ib_keys)"
+
+
+def _iceberg_rewrite_sql(catalog: str, table_no_catalog: str, target_file_bytes: int) -> str:
+    """rewrite_data_files maintenance procedure (bin-packing compaction,
+    Iceberg's OPTIMIZE analog)."""
+    return (
+        f"CALL {catalog}.system.rewrite_data_files("
+        f"table => '{table_no_catalog}', "
+        f"options => map('target-file-size-bytes', '{target_file_bytes}'))"
+    )
+
+
+@dataclass
+class IcebergBackend:
+    """Apache Iceberg backend: the same three operations as atomic
+    snapshot commits via Iceberg's Spark SQL surface. NOTE the addressing
+    difference: Iceberg tables live in a configured catalog, so the
+    ``target_path``/``path`` arguments are CATALOG TABLE IDENTIFIERS
+    (``<catalog>.<db>.<table>``), not filesystem paths — same report
+    dataclasses, different namespace (documented loudly because the
+    parquet/Delta backends take paths).
+
+    Metrics come from the snapshot summary of the commit just executed
+    (``<table>.snapshots``) and file counts from the ``<table>.files``
+    metadata table — log-pruned metadata reads, never data scans. MERGE
+    cannot attribute matched-update vs copied rows from the summary
+    alone, so ``updated`` is computed with one metadata-pruned key-
+    intersection count before the merge."""
+
+    name: str = "iceberg"
+
+    def _require(self, spark: SparkSession) -> None:
+        if not iceberg_available(spark):
+            raise BackendUnavailable(
+                "Iceberg backend needs the iceberg-spark-runtime jar "
+                "(spark.jars.packages=org.apache.iceberg:iceberg-spark-"
+                "runtime-4.0_2.13:<ver>) plus a configured "
+                "spark.sql.catalog.<name> Iceberg catalog; fall back to "
+                "get_backend('parquet') otherwise"
+            )
+
+    def _last_summary(self, spark: SparkSession, table: str) -> dict:
+        row = spark.sql(
+            f"SELECT summary FROM {table}.snapshots ORDER BY committed_at DESC LIMIT 1"
+        ).collect()[0]
+        return dict(row["summary"])
+
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        target_path: str,
+        updates: DataFrame,
+        key: str,
+        delete_col: str | None = None,
+    ) -> MergeReport:
+        self._require(spark)
+        dup = updates.groupBy(key).count().where("count > 1").limit(1).count()
+        if dup:
+            raise ValueError(
+                "updates contain duplicate keys; merge would be non-deterministic"
+            )
+        before = int(
+            self._last_summary(spark, target_path).get("total-records", 0)
+        )
+        updates.createOrReplaceTempView("__ib_updates")
+        target_cols = [f.name for f in spark.table(target_path).schema.fields]
+        data_cols = [c for c in target_cols if c != key]
+        # the snapshot summary cannot separate inserts from deletes in a
+        # mixed commit, so attribute rows with metadata-pruned counts
+        # BEFORE the merge (key-only semi joins — no data columns read):
+        n_updates = updates.count()
+        matched = (
+            spark.table(target_path)
+            .join(updates.select(key), key, "left_semi")
+            .count()
+        )
+        deleted = 0
+        if delete_col is not None:
+            deleted = (
+                updates.where(f"{delete_col} = true")
+                .join(spark.table(target_path).select(key), key, "left_semi")
+                .count()
+            )
+        spark.sql(_iceberg_merge_sql(target_path, key, data_cols, delete_col))
+        inserted = n_updates - matched
+        after = before + inserted - deleted
+        summary = self._last_summary(spark, target_path)
+        if "total-records" in summary:  # cross-check against the commit
+            after = int(summary["total-records"])
+        return MergeReport(
+            rows_before=before,
+            rows_after=after,
+            inserted=int(inserted),
+            updated=int(matched - deleted),
+            deleted=int(deleted),
+        )
+
+    def compact(
+        self,
+        spark: SparkSession,
+        path: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        sort_by: list[str] | None = None,
+    ) -> CompactionReport:
+        self._require(spark)
+        if sort_by:
+            # sort-order rewrite is a separate procedure; bin-pack only here
+            raise ValueError(
+                "IcebergBackend.compact is bin-packing only; set the table's "
+                "sort order and use rewrite_data_files(strategy => 'sort')"
+            )
+        files_before = spark.sql(f"SELECT count(*) AS c FROM {path}.files").collect()[0]["c"]
+        catalog, _, rest = path.partition(".")
+        res = spark.sql(_iceberg_rewrite_sql(catalog, rest, target_file_bytes)).collect()[0]
+        rewritten = int(res["rewritten_data_files_count"])
+        added = int(res["added_data_files_count"])
+        return CompactionReport(
+            files_before=int(files_before),
+            files_after=int(files_before - rewritten + added),
+            bytes_total=int(res["rewritten_bytes_count"]),
+            target_file_bytes=target_file_bytes,
+        )
+
+    def delete_rows(
+        self, spark: SparkSession, path: str, keys: DataFrame, key_col: str
+    ) -> DeleteReport:
+        self._require(spark)
+        files_total = spark.sql(f"SELECT count(*) AS c FROM {path}.files").collect()[0]["c"]
+        keys.select(key_col).distinct().createOrReplaceTempView("__ib_keys")
+        spark.sql(_iceberg_delete_sql(path, key_col))
+        summary = self._last_summary(spark, path)
+        return DeleteReport(
+            files_total=int(files_total),
+            files_touched=int(summary.get("deleted-data-files", 0)),
+            rows_deleted=int(summary.get("deleted-records", 0)),
+            rows_rewritten=int(summary.get("added-records", 0)),
+        )

@@ -86,3 +86,62 @@ def test_delta_backend_merge_functional(spark, tmp_path):
     )
     rep = DeltaBackend().merge_upsert(spark, path, updates, "n_nationkey")
     assert rep.updated == 1 and rep.inserted == 0
+
+
+# ---------------------------------------------------------------------------
+# Iceberg backend (dep-gated: jars absent in this container — structural
+# coverage here, functional via tools/integration_matrix.py where present)
+# ---------------------------------------------------------------------------
+
+
+def test_iceberg_unavailable_raises_with_setup_text(spark):
+    from etl_from_s3_to_postgresql_template_spark.sinks.tableformat import (
+        BackendUnavailable,
+        get_backend,
+        iceberg_available,
+    )
+
+    if iceberg_available(spark):
+        pytest.skip("iceberg present in this runtime")
+    with pytest.raises(BackendUnavailable) as e:
+        get_backend("iceberg", spark)
+    assert "iceberg-spark-runtime" in str(e.value)
+
+
+def test_iceberg_auto_falls_back_to_parquet(spark):
+    from etl_from_s3_to_postgresql_template_spark.sinks.tableformat import (
+        delta_available,
+        get_backend,
+        iceberg_available,
+    )
+
+    if delta_available(spark) or iceberg_available(spark):
+        pytest.skip("a table format is present; auto correctly prefers it")
+    assert get_backend("auto", spark).name == "parquet"
+
+
+def test_iceberg_sql_builders():
+    """The statement shapes are unit-testable without the jars: MERGE with
+    and without the delete clause, IN-subquery DELETE (supported by
+    Iceberg's extensions, unlike OSS Delta), rewrite_data_files CALL."""
+    from etl_from_s3_to_postgresql_template_spark.sinks.tableformat import (
+        _iceberg_delete_sql,
+        _iceberg_merge_sql,
+        _iceberg_rewrite_sql,
+    )
+
+    m = _iceberg_merge_sql("cat.db.t", "id", ["v", "w"], None)
+    assert "MERGE INTO cat.db.t t" in m
+    assert "ON t.id = u.id" in m
+    assert "UPDATE SET t.v = u.v, t.w = u.w" in m
+    assert "INSERT (id, v, w) VALUES (u.id, u.v, u.w)" in m
+    assert "THEN DELETE" not in m
+    md = _iceberg_merge_sql("cat.db.t", "id", ["v"], "is_deleted")
+    assert "WHEN MATCHED AND u.is_deleted = true THEN DELETE" in md
+    # delete clause must precede the update clause (first match wins)
+    assert md.index("THEN DELETE") < md.index("UPDATE SET")
+    d = _iceberg_delete_sql("cat.db.t", "id")
+    assert d == "DELETE FROM cat.db.t WHERE id IN (SELECT id FROM __ib_keys)"
+    c = _iceberg_rewrite_sql("cat", "db.t", 128 * 1024 * 1024)
+    assert c.startswith("CALL cat.system.rewrite_data_files(")
+    assert "'134217728'" in c

@@ -176,6 +176,19 @@ def build_matrix() -> list[dict]:
         lambda: _run_pytest(["tests/test_multimodal.py", "-k", "real_codec_contract_pyav"]),
     )
 
+    iceberg_jar = _pyspark_jars("iceberg-spark-runtime*.jar")
+    rung(
+        "iceberg-table-format",
+        iceberg_jar,
+        (
+            f"iceberg-spark-runtime jar={'present' if iceberg_jar else 'absent'} "
+            "(local equivalent: SQL-builder unit tests + parquet backend, "
+            "tests/test_tableformat.py)"
+        ),
+        "pytest tests/test_tableformat.py -k iceberg",
+        lambda: _run_pytest(["tests/test_tableformat.py", "-k", "iceberg"]),
+    )
+
     avro_jar = _pyspark_jars("spark-avro*.jar")
     rung(
         "avro-datasource",
