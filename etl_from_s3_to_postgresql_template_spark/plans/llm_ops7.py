@@ -73,6 +73,7 @@ __all__ = [
     "corpus_coreset_kcenter",
     "similarity_hard_negatives",
     "embedding_knn_label_accuracy",
+    "docs_hashing_vectorizer",
 ]
 
 
@@ -1421,4 +1422,92 @@ def embedding_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(agree / F.count("*"), 4).alias("agree_frac"),
         )
         .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_hashing_vectorizer
+# ---------------------------------------------------------------------------
+
+_HV_DIM = 64
+
+_HV_ORACLE = rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), h AS (
+      SELECT doc_id, len(toks) AS n,
+             list_transform(toks, tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT) AS hs
+      FROM t
+    ), v AS (
+      SELECT doc_id, n,
+             list_transform(range(0, {_HV_DIM}), i ->
+               CAST(list_sum(list_transform(hs, hv ->
+                 CASE WHEN hv % {_HV_DIM} = i
+                      THEN (CASE WHEN (hv >> 6) & 1 = 0 THEN 1 ELSE -1 END)
+                      ELSE 0 END)) AS DOUBLE)) AS raw
+      FROM h
+    ), nrm AS (
+      SELECT doc_id, n, raw,
+             sqrt(list_reduce(list_transform(raw, x -> x * x), (a, b) -> a + b)) AS nn
+      FROM v WHERE n > 0
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CASE WHEN nn = 0 THEN list_transform(raw, x -> 0.0)
+                ELSE list_transform(raw, x -> ROUND(x / nn, 6)) END AS vec
+    FROM nrm ORDER BY doc_id
+    """
+
+
+@query("docs_hashing_vectorizer", oracle=_HV_ORACLE)
+def docs_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-vectorizer document embeddings (the feature-hashing /
+    'hashing trick' sparse projection — Weinberger et al. 2009; sklearn's
+    HashingVectorizer shape): each token hashes to one of 64 buckets with
+    a hash-derived +/-1 sign (the signed trick keeps the projection
+    unbiased), the doc vector is the signed bucket-count histogram, L2-
+    normalized. This is the model-free docs -> vector bridge: its output
+    plugs directly into every embedding-side operator (brute-force/LSH/
+    IVF search, SemDeDup, PCA, k-center) without any fitted model or
+    external service — and when a real encoder exists, only this
+    projection swaps out.
+
+    Physical shape: ONE scan, zero shuffle — the whole embedding is a
+    per-row fold (O(dim) per token) inside whole-stage codegen.
+    Cross-engine: bucket sums are exact integers (fold order irrelevant),
+    the norm is a sequential-fold sum of squares (bit-stable), division
+    and round-6 deterministic. Token-less docs are excluded (no direction
+    to normalize)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    hs = F.transform(
+        F.col("toks"), lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    zero = F.array_repeat(F.lit(0.0), _HV_DIM)
+
+    def upd(acc, hv):
+        sgn = (
+            F.when(F.shiftright(hv, 6).bitwiseAND(F.lit(1)) == 0, F.lit(1.0))
+            .otherwise(F.lit(-1.0))
+        )
+        b = (hv % _HV_DIM).cast("int")
+        return F.transform(acc, lambda v, i: v + F.when(b == i, sgn).otherwise(F.lit(0.0)))
+
+    raw = F.aggregate(hs, zero, upd)
+    nn = F.sqrt(
+        F.aggregate(F.transform(raw, lambda x: x * x), F.lit(0.0), lambda a, b: a + b)
+    )
+    vec = F.when(
+        nn == 0, F.transform(raw, lambda x: F.lit(0.0))
+    ).otherwise(F.transform(raw, lambda x: F.round(x / nn, 6)))
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            vec.alias("vec"),
+        )
+        .orderBy("doc_id")
     )

@@ -752,3 +752,30 @@ def test_ppjoin_lossless_on_random_corpora(spark, tmp_path):
             for r in QUERIES["dedup_jaccard_prefix_filter"](spark, sf).collect()
         }
         assert got == brute, seed
+
+
+def test_hashing_vectorizer_properties(spark, tmp_path):
+    """Unit norm, determinism, same-text -> same vector, distinct text ->
+    (almost surely) different vector, empty docs excluded; and the vector
+    plugs into the engine's cosine machinery (self-similarity = 1)."""
+    texts = ["alpha beta gamma delta", "alpha beta gamma delta", "omega psi chi", ""]
+    sf = _planted_docs(spark, tmp_path, texts)
+    rows = {r["doc_id"]: list(r["vec"]) for r in QUERIES["docs_hashing_vectorizer"](spark, sf).collect()}
+    assert set(rows) == {0, 1, 2}  # empty doc excluded
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]
+    for v in rows.values():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-4  # unit norm (post round-6)
+    # cross-check one vector against the pure-Python reference
+    import hashlib
+
+    def ref(text):
+        toks = [t for t in text.strip().lower().split() if t]
+        raw = [0.0] * 64
+        for t in toks:
+            hv = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            raw[hv % 64] += 1.0 if (hv >> 6) & 1 == 0 else -1.0
+        nn = sum(x * x for x in raw) ** 0.5
+        return [round(x / nn, 6) if nn else 0.0 for x in raw]
+
+    assert rows[2] == ref(texts[2])
