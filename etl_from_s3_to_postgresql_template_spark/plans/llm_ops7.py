@@ -74,6 +74,7 @@ __all__ = [
     "similarity_hard_negatives",
     "embedding_knn_label_accuracy",
     "docs_hashing_vectorizer",
+    "similarity_docs_topk",
 ]
 
 
@@ -1510,4 +1511,64 @@ def docs_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
             vec.alias("vec"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity_docs_topk (vectorizer-powered doc-to-doc search)
+# ---------------------------------------------------------------------------
+
+_DOCSIM_NQ = 8
+_DOCSIM_K = 5
+
+_DOCSIM_ORACLE = (
+    "WITH hv AS (" + _HV_ORACLE.replace("ORDER BY doc_id", "") + "),"
+    + f"""
+    q AS (SELECT doc_id AS q_id, CAST(vec AS DOUBLE[]) AS qv FROM hv WHERE doc_id < {_DOCSIM_NQ}),
+    c AS (SELECT doc_id AS n_id, CAST(vec AS DOUBLE[]) AS nv FROM hv),
+    p AS (
+      SELECT q_id, n_id,
+             ROUND(list_dot_product(qv, nv), 6) AS cosine
+      FROM q JOIN c ON q_id <> n_id
+    )
+    SELECT q_id, n_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT)
+             AS rank
+    FROM p QUALIFY rank <= {_DOCSIM_K} ORDER BY q_id, rank
+    """
+)
+
+
+@query("similarity_docs_topk", oracle=_DOCSIM_ORACLE)
+def similarity_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-to-document top-5 similarity over the hashing-vectorizer
+    embeddings — the composition proof for the docs -> vector bridge: no
+    embeddings table, no model, just text in and ranked neighbors out.
+    Vectors are unit-normalized by construction, so cosine IS the plain
+    dot product (one fold per pair, no norms at query time — the same
+    reason production ANN stores normalized vectors). Queries broadcast;
+    the corpus side never shuffles; round-then-rank as everywhere.
+
+    The vectorizer frame is lazy-checkpointed: it feeds both the query
+    and candidate legs (the llm_ops6 multiple-consumers rule)."""
+    from etl_from_s3_to_postgresql_template_spark.functions.vectors import dot_col
+
+    hv = (
+        docs_hashing_vectorizer(spark, sf_dir)
+        .select("doc_id", "vec")
+        .localCheckpoint(eager=False)
+    )
+    q = hv.filter(F.col("doc_id") < _DOCSIM_NQ).select(
+        F.col("doc_id").alias("q_id"), F.col("vec").alias("qv")
+    )
+    c = hv.select(F.col("doc_id").alias("n_id"), F.col("vec").alias("nv"))
+    cos = F.round(dot_col(F.col("qv"), F.col("nv")), 6)
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("n_id"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _DOCSIM_K)
+        .orderBy("q_id", "rank")
     )
