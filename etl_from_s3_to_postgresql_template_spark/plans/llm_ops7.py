@@ -349,11 +349,9 @@ def similarity_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unit-normalize centroids ONCE driver-side: the per-row assignment
     # then needs one ||x|| plus 16 dots (17 folds/row), not 16x(dot+2
     # norms) = 48 — cos(x, c) = dot(x, c_unit)/||x||
-    import math as _math
-
     unit = []
     for c in centroids:
-        nrm = _math.sqrt(sum(x * x for x in c)) or 1.0
+        nrm = math.sqrt(sum(x * x for x in c)) or 1.0
         unit.append([x / nrm for x in c])
 
     def _clamp(col: F.Column) -> F.Column:
@@ -389,26 +387,32 @@ def similarity_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
     qv = as_double_vec(F.col("qv"))
-    q_cells = qdf.select(
-        "q_id",
-        "qv",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("cell"),
-                        F.acos(
-                            _clamp(
-                                dot_col(qv, F.array(*[F.lit(float(x)) for x in cu]))
-                                / norm_col(qv)
-                            )
-                        ).alias("theta_qc"),
-                    )
-                    for i, cu in enumerate(unit)
-                ]
-            )
-        ).alias("qc"),
-    ).select("q_id", "qv", F.col("qc.cell").alias("cell"), F.col("qc.theta_qc").alias("theta_qc"))
+    q_cells = (
+        qdf.withColumn("_qn", norm_col(qv))  # hoist ||q|| like the candidate side
+        .select(
+            "q_id",
+            "qv",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("cell"),
+                            F.acos(
+                                _clamp(
+                                    dot_col(qv, F.array(*[F.lit(float(x)) for x in cu]))
+                                    / F.col("_qn")
+                                )
+                            ).alias("theta_qc"),
+                        )
+                        for i, cu in enumerate(unit)
+                    ]
+                )
+            ).alias("qc"),
+        )
+        .select(
+            "q_id", "qv", F.col("qc.cell").alias("cell"), F.col("qc.theta_qc").alias("theta_qc")
+        )
+    )
 
     acos_tau = math.acos(_RANGE_TAU)
     surviving_cells = q_cells.join(F.broadcast(cell_summary), "cell").filter(
@@ -466,7 +470,7 @@ _MMR_ORACLE = f"""
              list_append(r.chosen, pick.n_id), list_append(r.scores, pick.sc)
       FROM r, LATERAL (
         SELECT p.n_id,
-               {_MMR_LAMBDA} * p.s - {round(1 - _MMR_LAMBDA, 10)} *
+               {_MMR_LAMBDA} * p.s - {1 - _MMR_LAMBDA!r} *
                (SELECT max(pr.s) FROM pair pr
                 WHERE pr.q_id = r.q_id AND pr.id_a = p.n_id
                   AND list_contains(r.chosen, pr.id_b)) AS sc
@@ -479,8 +483,10 @@ _MMR_ORACLE = f"""
     )
     SELECT q_id, CAST(u.o AS BIGINT) AS rank, u.nid AS n_id,
            ROUND(u.sc, 6) AS mmr_score
-    FROM (SELECT q_id, chosen, scores FROM r WHERE n_sel = {_MMR_K}) t,
-         LATERAL (SELECT UNNEST(range(1, {_MMR_K + 1})) AS o,
+    FROM (SELECT q_id, chosen, scores FROM (
+            SELECT r.*, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY n_sel DESC) AS _rr
+            FROM r) WHERE _rr = 1) t,
+         LATERAL (SELECT UNNEST(range(1, len(t.chosen) + 1)) AS o,
                          UNNEST(t.chosen) AS nid,
                          UNNEST(t.scores) AS sc) u
     ORDER BY q_id, rank
@@ -674,14 +680,22 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    if emb.isEmpty():  # empty-input contract: nothing to fit or project
-        return spark.createDataFrame(
-            [], "vec_id long, label int, " + ", ".join(f"pc{i} double" for i in range(1, 9))
-        )
+    schema = "vec_id long, label int, " + ", ".join(
+        f"pc{i} double" for i in range(1, 9)
+    )
+    # degenerate-input contract: < 2 vectors cannot fit a covariance —
+    # return the SAME 8-column schema, empty (not a ValueError mid-job)
+    if emb.limit(2).count() < 2:
+        return spark.createDataFrame([], schema)
     model = fit_pca(emb, "embedding", q=8)
     proj = project_pca(emb, model, "embedding", out_col="pc")
     cols = [
         F.round(F.col("pc")[i], 6).alias(f"pc{i + 1}") for i in range(model.q)
+    ]
+    # dim < 8 would fit fewer components; pad with typed NULLs so the
+    # entry's schema never depends on the input's dimensionality
+    cols += [
+        F.lit(None).cast("double").alias(f"pc{i + 1}") for i in range(model.q, 8)
     ]
     return proj.select("vec_id", "label", *cols).orderBy("vec_id")
 

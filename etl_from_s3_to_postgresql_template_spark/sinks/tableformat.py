@@ -170,20 +170,35 @@ class DeltaBackend:
         sort_by: list[str] | None = None,
     ) -> CompactionReport:
         DeltaTable = self._require(spark)
-        spark.conf.set("spark.databricks.delta.optimize.maxFileSize", str(target_file_bytes))
-        t = DeltaTable.forPath(spark, path)
-        # file count from DESCRIBE DETAIL (snapshot metadata), not a scan
-        files_before = t.detail().select("numFiles").collect()[0][0]
-        opt = t.optimize()
-        res = (opt.executeZOrderBy(*sort_by) if sort_by else opt.executeCompaction()).collect()[0]
-        metrics = res["metrics"]
-        rewritten = getattr(getattr(metrics, "filesRemoved", None), "totalSize", None)
-        return CompactionReport(
-            files_before=int(files_before),
-            files_after=int(files_before - metrics.numFilesRemoved + metrics.numFilesAdded),
-            bytes_total=int(rewritten or 0),  # bytes rewritten by this OPTIMIZE
-            target_file_bytes=target_file_bytes,
-        )
+        conf_key = "spark.databricks.delta.optimize.maxFileSize"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, str(target_file_bytes))
+        try:
+            t = DeltaTable.forPath(spark, path)
+            # file count + table size from DESCRIBE DETAIL (snapshot
+            # metadata), not a scan — and bytes_total keeps the parquet
+            # backend's meaning (total dataset bytes), not bytes-rewritten
+            detail = t.detail().select("numFiles", "sizeInBytes").collect()[0]
+            files_before = detail["numFiles"]
+            opt = t.optimize()
+            res = (
+                opt.executeZOrderBy(*sort_by) if sort_by else opt.executeCompaction()
+            ).collect()[0]
+            metrics = res["metrics"]
+            return CompactionReport(
+                files_before=int(files_before),
+                files_after=int(
+                    files_before - metrics.numFilesRemoved + metrics.numFilesAdded
+                ),
+                bytes_total=int(detail["sizeInBytes"]),
+                target_file_bytes=target_file_bytes,
+            )
+        finally:
+            # per-call setting must not leak into later session OPTIMIZEs
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
 
     def delete_rows(
         self, spark: SparkSession, path: str, keys: DataFrame, key_col: str
@@ -242,11 +257,10 @@ def get_backend(name: str = "auto", spark: SparkSession | None = None):
             )
         return IcebergBackend()
     if name == "auto":
-        if delta_available(spark):
-            return DeltaBackend()
-        if iceberg_available(spark):
-            return IcebergBackend()
-        return ParquetBackend()
+        # NOT Iceberg: auto callers pass filesystem paths, and Iceberg is
+        # addressed by catalog table identifier — silently routing a path
+        # there would fail on every operation. Iceberg is explicit-only.
+        return DeltaBackend() if delta_available(spark) else ParquetBackend()
     raise ValueError(
         f"unknown table backend {name!r} (parquet | delta | iceberg | auto)"
     )
@@ -270,11 +284,16 @@ def iceberg_available(spark: SparkSession | None = None) -> bool:
 
 
 def _iceberg_merge_sql(
-    table: str, key: str, data_cols: list[str], delete_col: str | None
+    table: str,
+    key: str,
+    data_cols: list[str],
+    delete_col: str | None,
+    view: str = "__ib_updates",
 ) -> str:
-    """MERGE INTO statement for an upsert from the ``__ib_updates`` temp
-    view — split out as a pure function so statement shape is unit-tested
-    without the Iceberg jars."""
+    """MERGE INTO statement for an upsert from a per-call temp view (the
+    caller generates a unique name so concurrent merges on one session
+    cannot clobber each other's inputs) — split out as a pure function so
+    statement shape is unit-tested without the Iceberg jars."""
     sets = ", ".join(f"t.{c} = u.{c}" for c in data_cols)
     cols = ", ".join([key, *data_cols])
     vals = ", ".join(f"u.{c}" for c in [key, *data_cols])
@@ -283,7 +302,7 @@ def _iceberg_merge_sql(
     )
     return (
         f"MERGE INTO {table} t\n"
-        f"USING __ib_updates u\n"
+        f"USING {view} u\n"
         f"ON t.{key} = u.{key}\n"
         f"{delete_clause}"
         f"WHEN MATCHED THEN UPDATE SET {sets}\n"
@@ -291,12 +310,12 @@ def _iceberg_merge_sql(
     )
 
 
-def _iceberg_delete_sql(table: str, key_col: str) -> str:
+def _iceberg_delete_sql(table: str, key_col: str, view: str = "__ib_keys") -> str:
     """Keyed bulk delete. Iceberg's Spark extensions DO support IN-
     subqueries in DELETE (unlike OSS Delta, whose path is MERGE ...
     whenMatchedDelete — see DeltaBackend.delete_rows), so the natural
     statement works and stays unbounded in |keys|."""
-    return f"DELETE FROM {table} WHERE {key_col} IN (SELECT {key_col} FROM __ib_keys)"
+    return f"DELETE FROM {table} WHERE {key_col} IN (SELECT {key_col} FROM {view})"
 
 
 def _iceberg_rewrite_sql(catalog: str, table_no_catalog: str, target_file_bytes: int) -> str:
@@ -321,10 +340,13 @@ class IcebergBackend:
 
     Metrics come from the snapshot summary of the commit just executed
     (``<table>.snapshots``) and file counts from the ``<table>.files``
-    metadata table — log-pruned metadata reads, never data scans. MERGE
-    cannot attribute matched-update vs copied rows from the summary
-    alone, so ``updated`` is computed with one metadata-pruned key-
-    intersection count before the merge."""
+    metadata table. MERGE attribution (inserted/updated/deleted) cannot
+    be read from the summary of a mixed commit, so it is computed with
+    key-only count jobs BEFORE the merge — these are extra jobs (pruned
+    to the key column, but they do read data) and they assume a SINGLE
+    WRITER between the counts and the commit plus unique target keys;
+    under concurrent writers the counts describe the pre-merge snapshot,
+    while ``rows_after`` is re-read from the commit's own summary."""
 
     name: str = "iceberg"
 
@@ -339,10 +361,12 @@ class IcebergBackend:
             )
 
     def _last_summary(self, spark: SparkSession, table: str) -> dict:
-        row = spark.sql(
+        rows = spark.sql(
             f"SELECT summary FROM {table}.snapshots ORDER BY committed_at DESC LIMIT 1"
-        ).collect()[0]
-        return dict(row["summary"])
+        ).collect()
+        # a freshly created table has no snapshots yet — empty summary,
+        # so the bootstrap first merge reads rows_before = 0
+        return dict(rows[0]["summary"]) if rows else {}
 
     def merge_upsert(
         self,
@@ -361,12 +385,15 @@ class IcebergBackend:
         before = int(
             self._last_summary(spark, target_path).get("total-records", 0)
         )
-        updates.createOrReplaceTempView("__ib_updates")
+        import uuid
+
+        view = f"__ib_updates_{uuid.uuid4().hex}"
+        updates.createOrReplaceTempView(view)
         target_cols = [f.name for f in spark.table(target_path).schema.fields]
         data_cols = [c for c in target_cols if c != key]
         # the snapshot summary cannot separate inserts from deletes in a
-        # mixed commit, so attribute rows with metadata-pruned counts
-        # BEFORE the merge (key-only semi joins — no data columns read):
+        # mixed commit, so attribute rows with key-only counts BEFORE the
+        # merge (single-writer assumption — see class docstring):
         n_updates = updates.count()
         matched = (
             spark.table(target_path)
@@ -380,7 +407,10 @@ class IcebergBackend:
                 .join(spark.table(target_path).select(key), key, "left_semi")
                 .count()
             )
-        spark.sql(_iceberg_merge_sql(target_path, key, data_cols, delete_col))
+        try:
+            spark.sql(_iceberg_merge_sql(target_path, key, data_cols, delete_col, view))
+        finally:
+            spark.catalog.dropTempView(view)
         inserted = n_updates - matched
         after = before + inserted - deleted
         summary = self._last_summary(spark, target_path)
@@ -413,10 +443,15 @@ class IcebergBackend:
         res = spark.sql(_iceberg_rewrite_sql(catalog, rest, target_file_bytes)).collect()[0]
         rewritten = int(res["rewritten_data_files_count"])
         added = int(res["added_data_files_count"])
+        # bytes_total keeps the parquet backend's meaning — TOTAL dataset
+        # bytes (metadata read over the files table), not bytes-rewritten
+        total_bytes = spark.sql(
+            f"SELECT COALESCE(sum(file_size_in_bytes), 0) AS b FROM {path}.files"
+        ).collect()[0]["b"]
         return CompactionReport(
             files_before=int(files_before),
             files_after=int(files_before - rewritten + added),
-            bytes_total=int(res["rewritten_bytes_count"]),
+            bytes_total=int(total_bytes),
             target_file_bytes=target_file_bytes,
         )
 
@@ -425,8 +460,14 @@ class IcebergBackend:
     ) -> DeleteReport:
         self._require(spark)
         files_total = spark.sql(f"SELECT count(*) AS c FROM {path}.files").collect()[0]["c"]
-        keys.select(key_col).distinct().createOrReplaceTempView("__ib_keys")
-        spark.sql(_iceberg_delete_sql(path, key_col))
+        import uuid
+
+        view = f"__ib_keys_{uuid.uuid4().hex}"
+        keys.select(key_col).distinct().createOrReplaceTempView(view)
+        try:
+            spark.sql(_iceberg_delete_sql(path, key_col, view))
+        finally:
+            spark.catalog.dropTempView(view)
         summary = self._last_summary(spark, path)
         return DeleteReport(
             files_total=int(files_total),

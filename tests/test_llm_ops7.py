@@ -779,3 +779,23 @@ def test_hashing_vectorizer_properties(spark, tmp_path):
         return [round(x / nn, 6) if nn else 0.0 for x in raw]
 
     assert rows[2] == ref(texts[2])
+
+
+def test_mmr_oracle_parity_on_tiny_pool(spark, tmp_path):
+    """Pool smaller than k: both engines must emit the PARTIAL ranking
+    (the oracle previously dropped such queries entirely)."""
+    import duckdb
+
+    rng = np.random.default_rng(3)
+    vecs = [rng.standard_normal(64) for _ in range(6)]  # pool of 5 < k=10
+    sf = _planted_embeddings(spark, tmp_path, vecs)
+    got = sorted(
+        (r["q_id"], r["rank"], r["n_id"], r["mmr_score"])
+        for r in QUERIES["similarity_mmr_rerank"](spark, sf).collect()
+    )
+    from etl_from_s3_to_postgresql_template_spark.plans.llm_ops7 import _MMR_ORACLE
+
+    con = duckdb.connect()
+    con.sql(f"create view embeddings as select * from '{sf}/embeddings.parquet/*.parquet'")
+    ref = sorted(tuple(r) for r in con.sql(_MMR_ORACLE).fetchall())
+    assert got == ref and len(got) == 6 * 5
