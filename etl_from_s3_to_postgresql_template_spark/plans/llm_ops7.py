@@ -75,6 +75,7 @@ __all__ = [
     "embedding_knn_label_accuracy",
     "docs_hashing_vectorizer",
     "similarity_docs_topk",
+    "corpus_quality_report",
 ]
 
 
@@ -1585,4 +1586,107 @@ def similarity_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _DOCSIM_K)
         .orderBy("q_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_quality_report
+# ---------------------------------------------------------------------------
+
+_REPORT_ORACLE = rf"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(toks)) AS BIGINT) AS n_tokens_total,
+             ROUND(sum(len(toks)) * 1.0 / count(*), 4) AS mean_doc_tokens
+      FROM t
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size
+      FROM (SELECT UNNEST(toks) AS tok FROM t)
+    ), clf AS (
+      SELECT ROUND(sum(CASE WHEN n > 0 AND {_CLF_BIAS} + list_reduce(ws, (a,x) -> a + x) / n >= 0
+                            THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS pct_classifier_keep
+      FROM (SELECT len(toks) AS n,
+                   list_transform(toks, tok ->
+                     ((('0x' || substr(md5(tok),1,8))::BIGINT % {_CLF_BUCKETS})
+                      - {(_CLF_BUCKETS - 1) // 2}) / {(_CLF_BUCKETS - 1) // 2}.0) AS ws
+            FROM t)
+    ), ch AS (
+      SELECT doc_id, md5(array_to_string(toks[(u.k*{_CHUNK_W}+1):(u.k*{_CHUNK_W}+{_CHUNK_W})], ' ')) AS h
+      FROM t, UNNEST(range(CAST(ceil(len(toks)/{_CHUNK_W}.0) AS BIGINT))) u(k)
+      WHERE len(toks) > 0
+    ), chg AS (SELECT h, count(*) AS cnt FROM ch GROUP BY h),
+    chd AS (
+      SELECT ROUND(count(DISTINCT CASE WHEN cnt > 1 THEN doc_id END) * 1.0
+                   / count(DISTINCT doc_id), 4) AS pct_docs_with_dup_chunks
+      FROM ch JOIN chg USING (h)
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(tk) >= 3
+                  THEN list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                  ELSE [array_to_string(tk, ' ')] END) AS s
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents)
+    ), ppj AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_neardup_pairs
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE 9 * len(list_intersect(a.s, b.s)) >= 4 * (len(a.s) + len(b.s))
+    )
+    SELECT n_docs, n_tokens_total, mean_doc_tokens, vocab_size,
+           pct_classifier_keep, pct_docs_with_dup_chunks, n_neardup_pairs
+    FROM base, vocab, clf, chd, ppj
+    """
+
+
+@query("corpus_quality_report", oracle=_REPORT_ORACLE)
+def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health dashboard — the first query a corpus owner
+    runs: volume (docs, tokens, mean length, vocabulary), model-gate pass
+    rate (hashed classifier), boilerplate exposure (share of docs with a
+    corpus-duplicated chunk), and exact near-dup pressure (tau=0.8 PPJoin
+    pair count). Composes the registered round-6 operators, so every
+    number here is individually oracle-checked elsewhere AND the
+    composition is oracle-checked as a whole.
+
+    Physical shape: four 1-row aggregates + one count, cross-joined —
+    each input is the already-analyzed plan of its operator; nothing new
+    touches the data. The classifier/keep percentage counts token-less
+    docs as not-keep (same convention as the funnel)."""
+    clf = docs_quality_classifier(spark, sf_dir)
+    base = clf.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_total"),
+        F.round(F.sum("n_tokens") / F.count("*"), 4).alias("mean_doc_tokens"),
+        F.round(
+            F.sum(F.coalesce(F.col("keep"), F.lit(False)).cast("int")) / F.count("*"), 4
+        ).alias("pct_classifier_keep"),
+    )
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(toks).alias("tok"))
+        .agg(F.count_distinct("tok").alias("vocab_size"))
+    )
+    chd = docs_chunk_dedup_stats(spark, sf_dir).agg(
+        F.round(
+            F.sum((F.col("n_dup_chunks") > 0).cast("int")) / F.count("*"), 4
+        ).alias("pct_docs_with_dup_chunks")
+    )
+    ppj = dedup_jaccard_prefix_filter(spark, sf_dir).agg(
+        F.count("*").alias("n_neardup_pairs")
+    )
+    return (
+        base.crossJoin(vocab)
+        .crossJoin(chd)
+        .crossJoin(ppj)
+        .select(
+            "n_docs",
+            "n_tokens_total",
+            "mean_doc_tokens",
+            "vocab_size",
+            "pct_classifier_keep",
+            "pct_docs_with_dup_chunks",
+            "n_neardup_pairs",
+        )
     )

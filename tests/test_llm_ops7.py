@@ -799,3 +799,20 @@ def test_mmr_oracle_parity_on_tiny_pool(spark, tmp_path):
     con.sql(f"create view embeddings as select * from '{sf}/embeddings.parquet/*.parquet'")
     ref = sorted(tuple(r) for r in con.sql(_MMR_ORACLE).fetchall())
     assert got == ref and len(got) == 6 * 5
+
+
+def test_corpus_quality_report_composes_its_inputs(spark):
+    """Every report number must equal re-deriving it from the registered
+    component operators."""
+    row = QUERIES["corpus_quality_report"](spark, SF001).collect()[0]
+    clf = QUERIES["docs_quality_classifier"](spark, SF001).collect()
+    assert row["n_docs"] == len(clf)
+    assert row["n_tokens_total"] == sum(r["n_tokens"] for r in clf)
+    keep = sum(1 for r in clf if r["keep"])
+    assert row["pct_classifier_keep"] == round(keep / len(clf), 4)
+    ch = QUERIES["docs_chunk_dedup_stats"](spark, SF001).collect()
+    assert row["pct_docs_with_dup_chunks"] == round(
+        sum(1 for r in ch if r["n_dup_chunks"] > 0) / len(ch), 4
+    )
+    ppj = QUERIES["dedup_jaccard_prefix_filter"](spark, SF001).count()
+    assert row["n_neardup_pairs"] == ppj
