@@ -229,15 +229,23 @@ def shingles_col(text: Column | str, k: int = 3) -> Column:
     interpreted HOF eval per element (measured on 500k docs: 181 s ->
     58 s for the same bit-identical shingle strings; byte equality
     asserted in tests, so every downstream hash, candidate set, and
-    oracle is unchanged)."""
-    toks = tokens_col(text)
+    oracle is unchanged).
+
+    Shingles are over NON-EMPTY tokens: split() emits '' artifacts at
+    text edges when leading/trailing whitespace is not 0x20 (trim strips
+    spaces only), and the regex branch can never produce an
+    empty-token shingle anyway — counting those artifacts in ``n`` and
+    the fallback made 'a b\\n' take the regex branch (n=3) and emit []
+    while a filtered count takes the whole-doc fallback 'a b'. Every
+    shingle oracle applies the same list_filter(x -> x <> '')."""
+    toks = F.filter(tokens_col(text), lambda x: x != "")
     n = F.size(toks)
     c = F.col(text) if isinstance(text, str) else text
     norm = F.regexp_replace(F.trim(c), r"\s+", " ")
     pat = r"(?:^| )(?=(\S+" + r" \S+" * (k - 1) + r"))"
-    # empty text: split yields [''] (n == 1), which the zip_with form turns
-    # into [''] — the regex finds no token there, so route it to the
-    # fallback explicitly to keep the two forms byte-identical at any k
+    # empty text: the filtered token array is [] (n == 0) — the regex
+    # finds no token there, so route it to the fallback explicitly, which
+    # emits the same [''] whole-doc shingle as before
     return F.when(
         (n >= k) & (F.length(norm) > 0), F.regexp_extract_all(norm, F.lit(pat), F.lit(1))
     ).otherwise(F.array(F.concat_ws(" ", toks)))

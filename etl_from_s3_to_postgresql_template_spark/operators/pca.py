@@ -30,7 +30,13 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["PcaModel", "gram_moments", "fit_pca", "project_pca"]
+__all__ = [
+    "PcaModel",
+    "gram_moments",
+    "gram_moments_int",
+    "fit_pca",
+    "project_pca",
+]
 
 
 @dataclass
@@ -74,6 +80,52 @@ def gram_moments(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
     return df.select(vec_col).mapInPandas(
         partials, schema="n long, s array<double>, g array<double>"
+    )
+
+
+def gram_moments_int(
+    df: DataFrame, vec_col: str = "embedding", unit: int = 1_000_000_000
+) -> DataFrame:
+    """Integer-exact variant of :func:`gram_moments` for cross-engine
+    hash parity: every element contribution is quantized to integer units
+    BEFORE summation — ``floor(v_i * v_j * unit + 0.5)`` for the Gram
+    terms and ``floor(v_i * unit + 0.5)`` for the first moments — and the
+    per-batch partials are int64 sums of those integers. Integer addition
+    is associative and commutative, so the global combine is
+    order-independent and any engine applying the identical per-element
+    formula (one IEEE-754 multiply, one multiply by ``unit``, one add of
+    0.5, one floor — all deterministic) reproduces the sums bit-exactly.
+    This is what lets the zero-shuffle production kernel be oracle-paired
+    against a DuckDB HUGEINT query instead of being rows-only.
+
+    Same cost model as :func:`gram_moments`: one mapInPandas pass, one
+    ``(n, s[d], p[d*d])`` row per Arrow batch, zero shuffle. Row chunks
+    are sized so the d x d x chunk float64 temporary stays ~32 MB."""
+    u = float(unit)
+
+    def partials(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            vecs = pdf[vec_col].to_numpy()
+            if len(vecs) == 0:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            m, d = x.shape
+            p = np.zeros((d, d), dtype=np.int64)
+            s = np.zeros(d, dtype=np.int64)
+            step = max(1, (1 << 22) // (d * d))
+            for lo in range(0, m, step):
+                ch = x[lo : lo + step]
+                prod = ch[:, :, None] * ch[:, None, :]
+                p += np.floor(prod * u + 0.5).astype(np.int64).sum(axis=0)
+                s += np.floor(ch * u + 0.5).astype(np.int64).sum(axis=0)
+            yield pd.DataFrame(
+                {"n": [int(m)], "s": [s.tolist()], "p": [p.ravel().tolist()]}
+            )
+
+    return df.select(vec_col).mapInPandas(
+        partials, schema="n long, s array<long>, p array<long>"
     )
 
 

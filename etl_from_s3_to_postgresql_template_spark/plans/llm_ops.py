@@ -114,7 +114,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN list_transform(range(1, len(toks)-1),
                                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
                   ELSE [array_to_string(toks, ' ')] END AS s
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+      FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents)
     )
     SELECT doc_id,
            ROUND(1.0 - len(list_distinct(s)) * 1.0 / len(s), 4) AS repetition,
@@ -270,7 +270,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN list_transform(range(1, len(toks)-1),
                                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
                     ELSE [array_to_string(toks, ' ')] END) AS s
-      FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+      FROM (SELECT doc_id, source, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents)
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
@@ -652,7 +652,7 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN list_transform(range(1, len(toks)-1),
                                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
                     ELSE [array_to_string(toks, ' ')] END) AS s
-      FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+      FROM (SELECT doc_id, source, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents)
     ),
     edges AS (
       SELECT a.doc_id AS src, b.doc_id AS dst

@@ -546,7 +546,7 @@ def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN list_transform(range(1, len(toks)-1),
                                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
                     ELSE [array_to_string(toks, ' ')] END) AS s
-      FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+      FROM (SELECT doc_id, source, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents)
     ),
     edges AS (
       SELECT a.doc_id AS src, b.doc_id AS dst

@@ -1030,7 +1030,7 @@ def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN list_transform(range(1, len(toks)-1),
                                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
                   ELSE [array_to_string(toks, ' ')] END) AS s
-      FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+      FROM (SELECT doc_id, source, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents)
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            ROUND(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 4) AS contain_a_in_b,
@@ -1315,7 +1315,7 @@ __all__ += ["corpus_prep_funnel2"]
                   THEN list_transform(range(1, len(toks2)-1),
                                       i -> toks2[i] || ' ' || toks2[i+1] || ' ' || toks2[i+2])
                   ELSE [array_to_string(toks2, ' ')] END) AS s
-      FROM (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks2 FROM documents)
+      FROM (SELECT doc_id, source, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks2 FROM documents)
     ),
     losers AS (
       SELECT DISTINCT b.doc_id AS doc_id

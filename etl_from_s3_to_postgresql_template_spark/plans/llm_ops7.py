@@ -28,9 +28,11 @@ Each entry is the Spark-first expression of a published algorithm:
   retrieval stacks; greedy argmax of
   ``lambda*sim(q,d) - (1-lambda)*max_{s in S} sim(d,s)``.
 - ``embedding_covariance`` / ``embedding_pca_project``: the sample
-  covariance as an exactly-summed (decimal-cast) aggregation both engines
-  reproduce bit-for-bit, and the PCA fit/projection built on the same
-  statistic via the fitted-artifact split (operators/pca.py).
+  covariance in integer micro-units — per-element contributions quantized
+  to int64 1e-9 units before summation, the final value pure integer
+  arithmetic, so both engines reproduce it bit-for-bit with no float
+  rounding anywhere — and the PCA fit/projection built on the same
+  zero-shuffle kernel via the fitted-artifact split (operators/pca.py).
 
 Scale stance: the classifier and covariance are single-scan aggregations
 (map-side combinable); prefix filtering turns the O(n^2) candidate space
@@ -161,7 +163,7 @@ _PPJOIN_ORACLE = r"""
                     THEN list_transform(range(1, len(toks)-1),
                                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
                     ELSE [array_to_string(toks, ' ')] END) AS s
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+      FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents)
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
@@ -591,80 +593,122 @@ def similarity_mmr_rerank(
 # embedding_covariance / embedding_pca_project
 # ---------------------------------------------------------------------------
 
+#: covariance quantization: every per-element contribution is
+#: floor(x * 1e9 + 0.5) — one IEEE multiply + add + floor, deterministic on
+#: any engine — so the sums are exact int64/HUGEINT and the final value is
+#: pure integer arithmetic (no ROUND-on-double anywhere; the r6 driver red
+#: was Spark's BigDecimal HALF_UP vs DuckDB's x*1e6 float rounding
+#: diverging at a 5e-7 boundary).
+_COV_UNIT = 1_000_000_000
+
 _COV_ORACLE = """
     WITH x AS (
       SELECT vec_id, UNNEST(CAST(embedding AS DOUBLE[])) AS v,
              UNNEST(range(1, len(embedding) + 1)) AS i
       FROM embeddings
     ), p AS (
-      SELECT a.i AS i, b.i AS j, SUM(CAST(a.v * b.v AS DECIMAL(38,15))) AS s_ij
+      SELECT a.i AS i, b.i AS j,
+             SUM(CAST(floor(a.v * b.v * 1e9 + 0.5) AS HUGEINT)) AS pp
       FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
       GROUP BY 1, 2
     ), m AS (
-      SELECT i, SUM(CAST(v AS DECIMAL(38,15))) AS s, COUNT(*) AS n FROM x GROUP BY 1
+      SELECT i, SUM(CAST(floor(v * 1e9 + 0.5) AS HUGEINT)) AS s, COUNT(*) AS n
+      FROM x GROUP BY 1
+    ), nd AS (
+      SELECT p.i AS i, p.j AS j,
+             pp * ma.n * CAST(1000000000 AS HUGEINT) - ma.s * mb.s AS nn,
+             ma.n * (ma.n - 1) * CAST(1000000000000000000 AS HUGEINT) AS dd
+      FROM p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i
     )
-    SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
-           ROUND((CAST(s_ij AS DOUBLE) - CAST(ma.s AS DOUBLE) * CAST(mb.s AS DOUBLE) / ma.n)
-                 / (ma.n - 1), 6) AS cov
-    FROM p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i
-    ORDER BY i, j
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           CAST(CASE WHEN nn >= 0 THEN (2 * nn * 1000000 + dd) // (2 * dd)
+                     ELSE -((2 * (-nn) * 1000000 + dd) // (2 * dd))
+                END AS BIGINT) AS cov_micro
+    FROM nd ORDER BY i, j
     """
 
 
 @query("embedding_covariance", oracle=_COV_ORACLE)
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample covariance of the embedding corpus, upper triangle (i <= j,
-    1-based), ddof=1 — PCA/whitening's sufficient statistic, pinned
-    cross-engine EXACTLY: every product and sum is cast to decimal(38,15)
-    before aggregation (the plans/money.py discipline), so the sums are
-    order-independent integers-in-disguise and both engines compute the
-    identical covariance before the final rounding.
+    """Sample covariance of the embedding corpus in integer micro-units
+    (``cov_micro = round(cov * 1e6)``, half away from zero), upper
+    triangle (i <= j, 1-based), ddof=1 — PCA/whitening's sufficient
+    statistic, pinned cross-engine EXACTLY end to end: per-element
+    contributions are quantized to integer 1e-9 units (floor(x*1e9+0.5),
+    deterministic IEEE ops), summed as exact integers, and the final
+    micro-unit value is computed with pure integer arithmetic —
+    ``sgn(N) * ((2|N|*1e6 + D) div (2D))`` with ``N = P*n*1e9 - S_i*S_j``
+    and ``D = n*(n-1)*1e18`` — so there is NO floating rounding anywhere
+    an engine could disagree about (the r6 hash mismatch was exactly a
+    ROUND(double, 6) boundary flip).
 
-    This oracle tier is the posexplode self-join form (d^2 rows per
-    vector — fine at fixture scale, never the production plan); the
-    production tier is operators/pca.py::gram_moments, one mapInPandas
-    pass emitting a d x d partial per Arrow batch with NO per-pair rows
-    and no shuffle, equivalence-tested against this entry in pytest."""
+    This IS the production tier: operators/pca.py::gram_moments_int, one
+    zero-shuffle mapInPandas pass emitting int64 (n, s[d], p[d*d])
+    partials per Arrow batch — no d^2-row self-join anywhere in the plan
+    (the oracle keeps the posexplode self-join form, which is fine at
+    fixture scale). All operands stay nonnegative inside the integer
+    division so floor == truncate and Spark's DIV matches DuckDB's //.
+    Headroom: |N|*2e6 < 1e38 holds up to ~1e6 vectors of unit norm; the
+    oracle's HUGEINT tops out at 1.7e38 the same way."""
+    from etl_from_s3_to_postgresql_template_spark.operators.pca import (
+        gram_moments_int,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    x = emb.select(
-        "vec_id",
-        F.posexplode(F.transform("embedding", lambda v: v.cast("double"))).alias(
-            "i0", "v"
-        ),
-    ).select("vec_id", (F.col("i0") + 1).alias("i"), "v")
-    a = x.select("vec_id", F.col("i").alias("i"), F.col("v").alias("va"))
-    b = x.select("vec_id", F.col("i").alias("j"), F.col("v").alias("vb"))
+    out_schema = "i long, j long, cov_micro long"
+    head = emb.select(F.size("embedding").alias("d")).head(1)
+    if not head:
+        return spark.createDataFrame([], out_schema)
+    d = int(head[0]["d"])
+    dec = "decimal(38,0)"
+    # one kernel pass feeds the n / first-moment / Gram aggregates
+    parts = gram_moments_int(emb, "embedding", unit=_COV_UNIT).localCheckpoint(
+        eager=False
+    )
+    n_tot = parts.agg(F.sum("n").cast(dec).alias("n"))
+    s = (
+        parts.select(F.posexplode("s").alias("i0", "sv"))
+        .groupBy("i0")
+        .agg(F.sum(F.col("sv").cast(dec)).alias("s"))
+    )
     p = (
-        a.join(b, "vec_id")
-        .filter(F.col("j") >= F.col("i"))
-        .groupBy("i", "j")
-        .agg(F.sum((F.col("va") * F.col("vb")).cast("decimal(38,15)")).alias("s_ij"))
-    )
-    m = x.groupBy("i").agg(
-        F.sum(F.col("v").cast("decimal(38,15)")).alias("s"),
-        F.count("*").alias("n"),
-    )
-    ma = m.select(F.col("i"), F.col("s").alias("s_i"), F.col("n"))
-    mb = m.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
-    return (
-        p.join(F.broadcast(ma), "i")
-        .join(F.broadcast(mb), "j")
+        parts.select(F.posexplode("p").alias("idx", "pv"))
+        .groupBy("idx")
+        .agg(F.sum(F.col("pv").cast(dec)).alias("pp"))
         .select(
-            F.col("i").cast("long").alias("i"),
-            F.col("j").cast("long").alias("j"),
-            F.round(
-                (
-                    F.col("s_ij").cast("double")
-                    - F.col("s_i").cast("double")
-                    * F.col("s_j").cast("double")
-                    / F.col("n")
-                )
-                / (F.col("n") - 1),
-                6,
-            ).alias("cov"),
+            F.expr(f"idx DIV {d}").cast("int").alias("i0"),
+            (F.col("idx") % d).alias("j0"),
+            "pp",
         )
-        .orderBy("i", "j")
+        .filter(F.col("j0") >= F.col("i0"))
     )
+    sa = s.select(F.col("i0"), F.col("s").alias("s_i"))
+    sb = s.select(F.col("i0").alias("j0"), F.col("s").alias("s_j"))
+    unit = F.lit(_COV_UNIT).cast(dec)
+    nd = (
+        p.join(F.broadcast(sa), "i0")
+        .join(F.broadcast(sb), "j0")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            (F.col("i0") + 1).cast("long").alias("i"),
+            (F.col("j0") + 1).cast("long").alias("j"),
+            (F.col("pp") * F.col("n") * unit - F.col("s_i") * F.col("s_j")).alias(
+                "nn"
+            ),
+            (F.col("n") * (F.col("n") - F.lit(1).cast(dec)) * unit * unit).alias(
+                "dd"
+            ),
+        )
+    )
+    return nd.select(
+        "i",
+        "j",
+        F.expr(
+            "CAST(CASE WHEN nn >= 0 THEN (2 * nn * 1000000 + dd) DIV (2 * dd)"
+            "          ELSE -((2 * (-nn) * 1000000 + dd) DIV (2 * dd))"
+            "     END AS BIGINT)"
+        ).alias("cov_micro"),
+    ).orderBy("i", "j")
 
 
 @query("embedding_pca_project")
@@ -719,7 +763,7 @@ _INV_ORACLE = rf"""
       FROM documents
     ), p AS (SELECT doc_id, UNNEST(toks) AS token FROM t)
     SELECT token, CAST(count(*) AS BIGINT) AS df,
-           list_sort(list(doc_id))[1:{_INV_CAP}] AS postings
+           array_to_string(list_sort(list(doc_id))[1:{_INV_CAP}], ',') AS postings
     FROM p GROUP BY token HAVING count(*) >= {_INV_MIN_DF} ORDER BY token
     """
 
@@ -739,7 +783,12 @@ def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     accepted deliberately (the winnowing bucket-cap precedent) because
     the window's external sort spills to disk, whereas any collect-then-
     truncate form would buffer a stopword's full posting set in one
-    aggregation buffer."""
+    aggregation buffer.
+
+    Postings are emitted as a comma-joined STRING, not array<long>: the
+    driver's canonicalizer (pandas sort over raw cells) cannot hash
+    list-typed cells — the r6 driver ERR on this entry. Same information,
+    hashable; both engines join the identically-sorted list with ','."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.array_distinct(
         F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
@@ -753,7 +802,11 @@ def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _INV_CAP)
         .groupBy("token")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")).cast("array<string>"), ","
+            ).alias("postings")
+        )
     )
     return dfc.join(bounded, "token").select("token", "df", "postings").orderBy("token")
 
@@ -1118,7 +1171,7 @@ def _funnel3_oracle() -> str:
                     THEN list_transform(range(1, len(toks3)-1),
                                         i -> toks3[i] || ' ' || toks3[i+1] || ' ' || toks3[i+2])
                     ELSE [array_to_string(toks3, ' ')] END) AS s
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks3 FROM documents)
+      FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks3 FROM documents)
     ),
     losers AS (
       SELECT DISTINCT b.doc_id AS doc_id
@@ -1159,8 +1212,13 @@ def corpus_prep_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
     clf = docs_quality_classifier(spark, sf_dir).select(
         "doc_id", F.coalesce(F.col("keep"), F.lit(False)).alias("ok_clf")
     )
+    # gate on the UNROUNDED ratio from the integer columns (2*dup < n is
+    # the exact integer form of dup/n < 0.5): the oracle compares the raw
+    # ratio, and thresholding the 4-decimal dup_frac would flip a doc
+    # whose true ratio lies in [0.49995, 0.5) on the Spark side only
     chs = docs_chunk_dedup_stats(spark, sf_dir).select(
-        "doc_id", (F.col("dup_frac") < 0.5).alias("ok_chunk")
+        "doc_id",
+        (2 * F.col("n_dup_chunks") < F.col("n_chunks")).alias("ok_chunk"),
     )
     losers = (
         dedup_jaccard_prefix_filter(spark, sf_dir)
@@ -1273,13 +1331,19 @@ def corpus_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     while len(chosen) < _KC_K:
         dists = [_dist_to(vec) for (_, vec, _) in chosen]
         md = dists[0] if len(dists) == 1 else F.least(*dists)
-        pick = (
+        pick_rows = (
             v.filter(~F.col("vec_id").isin([i for (i, _, _) in chosen]))
             .select("vec_id", "e", md.alias("md"))
             .orderBy(F.desc("md"), F.col("vec_id"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not pick_rows:
+            # corpus smaller than _KC_K: every vector is already chosen —
+            # terminate early exactly like the oracle's recursive CTE
+            # (which simply stops producing rows) instead of IndexError
+            break
+        pick = pick_rows[0]
         chosen.append((pick["vec_id"], list(pick["e"]), pick["md"]))
     rows = [
         (i + 1, vid, sd) for i, (vid, _, sd) in enumerate(chosen)
@@ -1447,7 +1511,12 @@ def embedding_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HV_DIM = 64
 
-_HV_ORACLE = rf"""
+#: array-valued CTE text (vec as DOUBLE[], round-6) — composed by the
+#: doc-to-doc similarity oracle, which needs the actual vectors. The
+#: REGISTERED oracle wraps this and stringifies vec to integer micro-units
+#: (floor(x*1e6+0.5), deterministic IEEE) because the driver canonicalizer
+#: cannot hash list-typed cells (the corpus_inverted_index r6 lesson).
+_HV_ARRAY_SQL = rf"""
     WITH t AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
@@ -1475,9 +1544,16 @@ _HV_ORACLE = rf"""
     FROM nrm ORDER BY doc_id
     """
 
+_HV_ORACLE = f"""
+    WITH hv AS ({_HV_ARRAY_SQL.replace("ORDER BY doc_id", "")})
+    SELECT doc_id, n_tokens,
+           array_to_string(list_transform(CAST(vec AS DOUBLE[]),
+             x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)), ',') AS vec_micro
+    FROM hv ORDER BY doc_id
+    """
 
-@query("docs_hashing_vectorizer", oracle=_HV_ORACLE)
-def docs_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _hashing_vectorizer_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-vectorizer document embeddings (the feature-hashing /
     'hashing trick' sparse projection — Weinberger et al. 2009; sklearn's
     HashingVectorizer shape): each token hashes to one of 64 buckets with
@@ -1494,7 +1570,11 @@ def docs_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine: bucket sums are exact integers (fold order irrelevant),
     the norm is a sequential-fold sum of squares (bit-stable), division
     and round-6 deterministic. Token-less docs are excluded (no direction
-    to normalize)."""
+    to normalize).
+
+    This is the INTERNAL array-valued frame (vec: array<double>) consumed
+    by similarity_docs_topk; the registered entry wraps it with a
+    micro-unit stringification so the driver can hash it."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
     hs = F.transform(
@@ -1529,6 +1609,26 @@ def docs_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("docs_hashing_vectorizer", oracle=_HV_ORACLE)
+def docs_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of :func:`_hashing_vectorizer_frame`: identical
+    computation, but the vector is emitted as a comma-joined string of
+    integer micro-units (``floor(x * 1e6 + 0.5)`` per element — one IEEE
+    multiply/add/floor, deterministic on both engines) instead of
+    array<double>, because the driver canonicalizer cannot hash
+    list-typed cells (the corpus_inverted_index r6 driver ERR class,
+    caught here by the round-7 registry schema sweep before the driver
+    ever sampled this entry)."""
+    hv = _hashing_vectorizer_frame(spark, sf_dir)
+    micro = F.transform(
+        F.col("vec"),
+        lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long").cast("string"),
+    )
+    return hv.select(
+        "doc_id", "n_tokens", F.array_join(micro, ",").alias("vec_micro")
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # similarity_docs_topk (vectorizer-powered doc-to-doc search)
 # ---------------------------------------------------------------------------
@@ -1537,7 +1637,7 @@ _DOCSIM_NQ = 8
 _DOCSIM_K = 5
 
 _DOCSIM_ORACLE = (
-    "WITH hv AS (" + _HV_ORACLE.replace("ORDER BY doc_id", "") + "),"
+    "WITH hv AS (" + _HV_ARRAY_SQL.replace("ORDER BY doc_id", "") + "),"
     + f"""
     q AS (SELECT doc_id AS q_id, CAST(vec AS DOUBLE[]) AS qv FROM hv WHERE doc_id < {_DOCSIM_NQ}),
     c AS (SELECT doc_id AS n_id, CAST(vec AS DOUBLE[]) AS nv FROM hv),
@@ -1569,7 +1669,7 @@ def similarity_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_from_s3_to_postgresql_template_spark.functions.vectors import dot_col
 
     hv = (
-        docs_hashing_vectorizer(spark, sf_dir)
+        _hashing_vectorizer_frame(spark, sf_dir)
         .select("doc_id", "vec")
         .localCheckpoint(eager=False)
     )
@@ -1627,7 +1727,7 @@ _REPORT_ORACLE = rf"""
              list_distinct(CASE WHEN len(tk) >= 3
                   THEN list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
                   ELSE [array_to_string(tk, ' ')] END) AS s
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents)
+      FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk FROM documents)
     ), ppj AS (
       SELECT CAST(count(*) AS BIGINT) AS n_neardup_pairs
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id

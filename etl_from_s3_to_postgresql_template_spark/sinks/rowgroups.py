@@ -81,10 +81,16 @@ def audit_rowgroup_bounds(
         md = pq.ParquetFile(f).metadata
         n_rg += md.num_row_groups
         if md.num_row_groups == 1:
-            size = sum(
-                md.row_group(0).column(c).total_compressed_size
-                for c in range(md.row_group(0).num_columns)
+            # parquet.block.size bounds the UNCOMPRESSED buffered row-group
+            # size — a well-compressing 1 GB-of-text group can be 100 MB on
+            # disk yet still scans as one task, so judge the uncompressed
+            # total (rg.total_byte_size); check compressed too so a
+            # truncated/odd footer reporting 0 uncompressed still flags
+            rg = md.row_group(0)
+            uncompressed = rg.total_byte_size
+            compressed = sum(
+                rg.column(c).total_compressed_size for c in range(rg.num_columns)
             )
-            if size > max_rowgroup_bytes:
+            if max(uncompressed, compressed) > max_rowgroup_bytes:
                 bad.append(f)
     return RowGroupAudit(len(files), n_rg, bad)

@@ -361,11 +361,23 @@ class IcebergBackend:
             )
 
     def _last_summary(self, spark: SparkSession, table: str) -> dict:
+        # committed_at is millisecond-resolution and can TIE under rapid
+        # successive commits — read the CURRENT snapshot deterministically
+        # via the current_snapshot_id ref instead of a timestamp sort
         rows = spark.sql(
-            f"SELECT summary FROM {table}.snapshots ORDER BY committed_at DESC LIMIT 1"
+            f"""SELECT s.summary FROM {table}.snapshots s
+                JOIN {table}.refs r ON s.snapshot_id = r.snapshot_id
+                WHERE r.name = 'main' LIMIT 1"""
         ).collect()
-        # a freshly created table has no snapshots yet — empty summary,
-        # so the bootstrap first merge reads rows_before = 0
+        if not rows:
+            # a freshly created table has no snapshots yet — empty summary,
+            # so the bootstrap first merge reads rows_before = 0; keep the
+            # timestamp path as fallback for non-main-ref writes, with
+            # snapshot_id (monotonic per commit) breaking committed_at ties
+            rows = spark.sql(
+                f"SELECT summary FROM {table}.snapshots "
+                "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
+            ).collect()
         return dict(rows[0]["summary"]) if rows else {}
 
     def merge_upsert(

@@ -79,3 +79,42 @@ def test_registered_entry_monotone_support(spark):
 def test_word_frequencies_cap_is_deterministic(spark):
     vf = word_frequencies(_docs(spark, ["b b a a c"]), max_vocab=2).collect()
     assert [(r["word"], r["freq"]) for r in vf] == [("a", 2), ("b", 2)]
+
+
+def test_gate_uncapped_fit_matches_oracle_on_high_cardinality(spark, tmp_path):
+    """The driver-gate contract (VERDICT r6 item 7): the gate fits with
+    max_vocab=None because its oracle counts bigrams over ALL word
+    occurrences. Planted divergence corpus: one hot word whose bigram
+    ('aa') wins WITHIN any small capped vocabulary, and a long tail of
+    distinct rare words that collectively make 'zz' the true corpus-wide
+    argmax. The uncapped fit must agree with the DuckDB oracle ('zz');
+    the capped fit provably picks the wrong pair — the exact drift the
+    None cap closes."""
+    import duckdb
+
+    from etl_from_s3_to_postgresql_template_spark.plans.llm_ops6 import (
+        _BPE_GATE_ORACLE,
+    )
+
+    # 'aa' appears in one word with frequency 5 -> support 5
+    # 'zz' appears once in each of 10 DISTINCT rare words -> support 10
+    texts = ["aa aa aa aa aa"] + [f"w{i}zz" for i in range(10)]
+    docs = _docs(spark, texts)
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    uncapped = fit_bpe_merges(docs, n_merges=1, min_count=1, max_vocab=None)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = con.execute(_BPE_GATE_ORACLE).fetchall()
+    assert [(l, r, c) for l, r, c in uncapped[:1]] == [tuple(w) for w in want]
+    assert uncapped[0][:2] == ("z", "z") and uncapped[0][2] == 10
+
+    # a vocabulary cap smaller than the tail demonstrably diverges:
+    # top-1-by-frequency keeps only the 'aa' word, so the capped fit's
+    # first merge is (a, a) — NOT the corpus-wide argmax
+    capped = fit_bpe_merges(docs, n_merges=1, min_count=1, max_vocab=1)
+    assert capped[0][:2] == ("a", "a")
