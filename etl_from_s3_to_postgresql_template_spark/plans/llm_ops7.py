@@ -776,14 +776,21 @@ def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-safe way: the posting list is truncated by a per-token window
     rank BEFORE collect_list, so the collected array is bounded at
     _INV_CAP entries no matter how hot the token (a stopword's postings
-    would otherwise be O(corpus)); df comes from the full count aggregate,
-    which never materializes a list at all. Two shuffles on the token key,
-    both map-side combined / AQE-skew splittable. Skew note: a hot
-    token's instances rank through ONE window partition — latency skew,
-    accepted deliberately (the winnowing bucket-cap precedent) because
-    the window's external sort spills to disk, whereas any collect-then-
-    truncate form would buffer a stopword's full posting set in one
-    aggregation buffer.
+    would otherwise be O(corpus)); df comes from count(*) in the SAME
+    aggregate, with the rank gating only which doc_ids are collected
+    (when(rn <= cap) -> null, collect_list drops nulls).
+
+    Physical shape (r7 restructure, driven by the stage decomposition of
+    the r6 sweep's 13.8 ratio): ONE tokenize+explode pass, ONE exchange.
+    The previous two-consumer form (df aggregate + window legs joined at
+    the end) re-ran the explode per consumer, shuffled twice, and paid a
+    final token join; now the groupBy after the window REUSES the
+    window's hash partitioning (no second exchange — pinned by the plan
+    test) and the join is gone. Skew note: a hot token's instances rank
+    through ONE window partition — latency skew, accepted deliberately
+    (the winnowing bucket-cap precedent) because the window's external
+    sort spills to disk, whereas any collect-then-truncate form would
+    buffer a stopword's full posting set in one aggregation buffer.
 
     Postings are emitted as a comma-joined STRING, not array<long>: the
     driver's canonicalizer (pandas sort over raw cells) cannot hash
@@ -794,21 +801,23 @@ def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
     )
     p = docs.select("doc_id", F.explode(toks).alias("token"))
-    dfc = p.groupBy("token").agg(F.count("*").alias("df")).filter(
-        F.col("df") >= _INV_MIN_DF
-    )
     w = W.partitionBy("token").orderBy("doc_id")
-    bounded = (
+    return (
         p.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _INV_CAP)
         .groupBy("token")
         .agg(
+            F.count("*").alias("df"),
             F.array_join(
-                F.sort_array(F.collect_list("doc_id")).cast("array<string>"), ","
-            ).alias("postings")
+                F.sort_array(
+                    F.collect_list(F.when(F.col("rn") <= _INV_CAP, F.col("doc_id")))
+                ).cast("array<string>"),
+                ",",
+            ).alias("postings"),
         )
+        .filter(F.col("df") >= _INV_MIN_DF)
+        .select("token", "df", "postings")
+        .orderBy("token")
     )
-    return dfc.join(bounded, "token").select("token", "df", "postings").orderBy("token")
 
 
 #: BM25 parameters (Robertson-Sparck Jones; Lucene's (k1+1) numerator and

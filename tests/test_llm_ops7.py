@@ -978,3 +978,19 @@ def test_covariance_registered_plan_is_kernel_not_self_join(spark):
     # the d^2 self-join form joined posexploded vector elements on vec_id;
     # the kernel plan never touches vec_id at all
     assert "vec_id" not in plan
+
+
+def test_inverted_index_plan_single_pass_single_exchange(spark):
+    """r7 restructure pin: one tokenize+explode pass (single parquet
+    scan), ONE hash exchange (the window's; the groupBy reuses its
+    partitioning), no join — the r6 two-consumer form scanned and
+    exploded twice, shuffled twice, and joined the legs."""
+    plan = (
+        QUERIES["corpus_inverted_index"](spark, SF001)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
