@@ -191,19 +191,149 @@ def char_class_counts(text: Column | str) -> Column:
     return _class_counts(c)
 
 
+# --- fused quality-stats kernel (round 7) -------------------------------
+#
+# quality_columns previously combined the byte-LUT class pass with TWO
+# interpreted higher-order expressions (token_count_col's split+size and
+# stopword_hits_col's transform+filter+isin). Decomposed at 500k docs the
+# HOF soup cost more than the Arrow pass itself (full text_quality 23.3 s
+# vs 10.3 s for the class counts alone, same box) — HOFs are interpreted
+# per element AND defeat common-subexpression reuse across the projection.
+# This kernel folds token and stopword counting into the same single
+# Arrow pass, replicating the Spark expressions EXACTLY:
+#
+# - n_tokens == size(split(trim(c), '\s+')): trim strips 0x20 only
+#   (pandas .str.strip(' ')); Java regex \s is ASCII
+#   [ \t\n\x0B\f\r] (== _WS_LUT); split keeps edge empty-string
+#   artifacts, so the count is (#non-separator runs) + 1 per
+#   leading/trailing separator, and 1 for the empty string.
+# - n_stop == size(filter(transform(tokens, lower), isin(stopwords))):
+#   counted with one C-level regex over the lowercased trimmed text —
+#   a match must be a WHOLE token, so the pattern consumes start-or-one-
+#   separator, the word, and looks ahead at separator-or-end. Python
+#   re.ASCII pins \s-free byte classes to the same ASCII set as Java.
+#   ('' artifacts can never match; membership-relevant lowercasing of
+#   ASCII stopword candidates agrees between str.lower() and F.lower.)
+
+_WS_LUT = np.zeros(256, dtype=bool)
+_WS_LUT[[0x20, 0x09, 0x0A, 0x0B, 0x0C, 0x0D]] = True
+_WS_CLASS = r"[ \t\n\x0b\f\r]"
+_EN_STOP_PATTERN = (
+    rf"(?:^|{_WS_CLASS})(?:"
+    + "|".join(
+        sorted((__import__("re").escape(w) for w in LANG_STOPWORDS["en"]),
+               key=len, reverse=True)
+    )
+    + rf")(?={_WS_CLASS}|$)"
+)
+
+_QUALITY_STATS_TYPE = StructType(
+    [
+        StructField("n_alpha", LongType()),
+        StructField("n_digit", LongType()),
+        StructField("n_punct", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("n_stop", LongType()),
+    ]
+)
+
+
+@pandas_udf(_QUALITY_STATS_TYPE)
+def _quality_stats(s: pd.Series) -> pd.DataFrame:
+    import re
+
+    mask = s.isna().to_numpy()
+    trimmed = s.fillna("").str.strip(" ")  # F.trim semantics: 0x20 only
+    enc = trimmed.str.encode("utf-8").to_numpy()
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    # class counts: same packed gather + oversized fallback as _class_counts
+    packed_cs = np.concatenate(([0], np.cumsum(_PACKED_LUT[buf])))
+    seg = packed_cs[ends] - packed_cs[starts]
+    n_alpha = seg & _M21
+    n_digit = (seg >> 21) & _M21
+    n_punct = seg >> 42
+    for i in np.nonzero(lens >= (1 << 21))[0]:
+        b = buf[starts[i] : ends[i]]
+        n_alpha[i] = np.int64(np.count_nonzero(_BOOL_LUTS["alpha"][b]))
+        n_digit[i] = np.int64(np.count_nonzero(_BOOL_LUTS["digit"][b]))
+        n_punct[i] = np.int64(np.count_nonzero(_BOOL_LUTS["punct"][b]))
+    # token count: non-separator runs via boundary indicators (byte-exact:
+    # UTF-8 continuation bytes are never ASCII whitespace), plus edge
+    # separator artifacts split() keeps
+    ws = _WS_LUT[buf]
+    nz = lens > 0
+    if len(buf):
+        prev_ws = np.empty_like(ws)
+        prev_ws[0] = True
+        prev_ws[1:] = ws[:-1]
+        prev_ws[starts[nz]] = True  # doc boundary acts as separator
+        run_start = (~ws) & prev_ws
+        rs_cs = np.concatenate(([0], np.cumsum(run_start.astype(np.int64))))
+        n_runs = rs_cs[ends] - rs_cs[starts]
+    else:
+        n_runs = np.zeros(len(lens), dtype=np.int64)
+    lead = np.zeros(len(lens), dtype=np.int64)
+    trail = np.zeros(len(lens), dtype=np.int64)
+    lead[nz] = ws[starts[nz]]
+    trail[nz] = ws[ends[nz] - 1]
+    n_tokens = np.where(nz, n_runs + lead + trail, 1)
+    # stopword hits: one C regex over the lowercased text
+    n_stop = (
+        trimmed.str.lower()
+        .str.count(_EN_STOP_PATTERN, flags=re.ASCII)
+        .to_numpy()
+        .astype(np.int64)
+    )
+    out = pd.DataFrame(
+        {
+            "n_alpha": n_alpha,
+            "n_digit": n_digit,
+            "n_punct": n_punct,
+            "n_tokens": n_tokens,
+            "n_stop": n_stop,
+        }
+    )
+    out[mask] = None
+    # null-text contract, matched to the EXPRESSION forms this kernel
+    # replaces (pinned by the parity test): the class counts are null,
+    # but size(split(null)) and size(filter(null)) are -1 in this
+    # engine's configuration — keep the -1, or every downstream ratio
+    # and gate flips from the legacy sentinel to null
+    out.loc[mask, "n_tokens"] = -1
+    out.loc[mask, "n_stop"] = -1
+    return out
+
+
+def quality_stats_counts(text: Column | str) -> Column:
+    """Struct ``(n_alpha, n_digit, n_punct, n_tokens, n_stop)`` in ONE
+    Arrow pass — the fused kernel quality_columns consumes. Field
+    extractions of one call collapse to a single ArrowEvalPython."""
+    c = F.col(text) if isinstance(text, str) else text
+    return _quality_stats(c)
+
+
 def quality_columns(text: Column | str) -> dict[str, Column]:
-    """Length/punctuation/stopword quality signals (E3 quality scoring)."""
+    """Length/punctuation/stopword quality signals (E3 quality scoring).
+
+    All five counts come from ONE fused Arrow pass
+    (:func:`quality_stats_counts`): the previous mix of the class kernel
+    plus interpreted token/stopword HOFs cost 2.3x the kernel alone at
+    500k docs (r7 decomposition in SCALING.md) — the HOFs evaluated
+    per-element AND re-derived the token array per consumer."""
     c = F.col(text) if isinstance(text, str) else text
     n_chars = F.length(c).cast("long")
     n_chars_trim = F.length(F.trim(c)).cast("long")
-    n_tokens = token_count_col(c)
-    cc = char_class_counts(c)
-    n_alpha = cc.getField("n_alpha")
-    n_digit = cc.getField("n_digit")
+    st = quality_stats_counts(c)
+    n_tokens = st.getField("n_tokens")
+    n_alpha = st.getField("n_alpha")
+    n_digit = st.getField("n_digit")
     # class kept in lockstep with the DuckDB oracle in plans/llm_ops.py —
     # any character added here must be added there too
-    n_punct = cc.getField("n_punct")
-    n_stop = stopword_hits_col(c, LANG_STOPWORDS["en"])
+    n_punct = st.getField("n_punct")
+    n_stop = st.getField("n_stop")
     return {
         "n_chars_calc": n_chars,
         "n_tokens": n_tokens,

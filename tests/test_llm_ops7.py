@@ -994,3 +994,58 @@ def test_inverted_index_plan_single_pass_single_exchange(spark):
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_fused_quality_stats_matches_expression_forms(spark):
+    """The r7 fused Arrow kernel (quality_stats_counts: class counts +
+    token count + stopword hits in one pass) must equal the original
+    Spark expression forms CELL-EXACTLY on adversarial inputs: non-space
+    edge whitespace (split's empty-token artifacts count toward
+    n_tokens), consecutive stopwords, multi-separator runs, stopwords at
+    string edges, uppercase stopwords, 'a' as a one-char stopword beside
+    'and'/'that' in the alternation, empty and null text."""
+    from pyspark.sql import functions as F
+
+    from etl_from_s3_to_postgresql_template_spark.functions.text import (
+        LANG_STOPWORDS,
+        char_class_counts,
+        quality_stats_counts,
+        stopword_hits_col,
+        token_count_col,
+    )
+
+    texts = [
+        "The quick brown fox and the lazy dog",
+        "the the the",              # consecutive stopwords, single spaces
+        "the  and\tof",             # multi-space + tab separators
+        "a b a",                    # 1-char stopword at start/middle
+        "that",                     # whole doc is one stopword
+        "athe thea the",            # substrings must NOT match
+        "the\n",                    # trailing newline: token artifact
+        "\nand more\t\n",           # leading+trailing non-space whitespace
+        " \t ",                     # whitespace-only
+        "",                         # empty
+        None,                       # null
+        "THE AND OF TO",            # uppercase stopwords
+        "punct, and. digits 123!",  # classes + stopword mix
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    st = quality_stats_counts("text")
+    cc = char_class_counts("text")
+    rows = df.select(
+        "i",
+        st.getField("n_alpha").alias("ka"),
+        st.getField("n_digit").alias("kd"),
+        st.getField("n_punct").alias("kp"),
+        st.getField("n_tokens").alias("kt"),
+        st.getField("n_stop").alias("ks"),
+        cc.getField("n_alpha").alias("ea"),
+        cc.getField("n_digit").alias("ed"),
+        cc.getField("n_punct").alias("ep"),
+        token_count_col("text").alias("et"),
+        stopword_hits_col("text", LANG_STOPWORDS["en"]).alias("es"),
+    ).collect()
+    for r in rows:
+        assert (r["ka"], r["kd"], r["kp"], r["kt"], r["ks"]) == (
+            r["ea"], r["ed"], r["ep"], r["et"], r["es"],
+        ), (r["i"], texts[r["i"]], dict(r.asDict()))
