@@ -74,7 +74,18 @@ def stopword_hits_col(text: Column | str, stopwords: tuple[str, ...]) -> Column:
 
 
 def lang_scores(text: Column | str) -> dict[str, Column]:
-    return {lang: stopword_hits_col(text, sw) for lang, sw in LANG_STOPWORDS.items()}
+    """Per-language stopword-hit counts — ONE fused Arrow pass for all
+    five languages (r7; previously five interpreted transform+filter
+    HOFs per doc). Field extractions of the one kernel call collapse to
+    a single ArrowEvalPython; each count is bit-equal to
+    ``stopword_hits_col(text, LANG_STOPWORDS[lang])`` (parity-pinned),
+    including the -1-on-null sentinel size() gives, which lang_id_col's
+    ``best > 0`` guard relies on."""
+    from pyspark.sql import functions as F
+
+    c = F.col(text) if isinstance(text, str) else text
+    st = _make_lang_scores_udf()(F.lower(F.trim(c)))
+    return {lang: st.getField(lang) for lang in sorted(LANG_STOPWORDS)}
 
 
 def lang_id_col(text: Column | str) -> Column:
@@ -315,6 +326,52 @@ def quality_stats_counts(text: Column | str) -> Column:
     return _quality_stats(c)
 
 
+def _stop_pattern(words: tuple[str, ...]) -> str:
+    """Whole-token regex for stopword counting: consume start-or-one-
+    separator, the word (longest-first alternation), look ahead at
+    separator-or-end. Token boundaries are the explicit ASCII class
+    (Java regex \\s), so Python's Unicode \\s can't widen them."""
+    import re as _re
+
+    alt = "|".join(sorted((_re.escape(w) for w in words), key=len, reverse=True))
+    return rf"(?:^|{_WS_CLASS})(?:{alt})(?={_WS_CLASS}|$)"
+
+
+_LANG_SCORES_UDF = None
+
+
+def _make_lang_scores_udf():
+    """One Arrow kernel counting all five languages' stopword hits per
+    doc (input: already lowered+trimmed text, JVM semantics). Null text
+    -> -1 per field, the size(filter(null)) sentinel the expression form
+    produced (lang_id_col's `best > 0` guard routes those to 'und')."""
+    global _LANG_SCORES_UDF
+    if _LANG_SCORES_UDF is not None:
+        return _LANG_SCORES_UDF
+    import re
+
+    pats = {lang: _stop_pattern(sw) for lang, sw in LANG_STOPWORDS.items()}
+    fields = StructType([StructField(lang, LongType()) for lang in sorted(pats)])
+
+    @pandas_udf(fields)
+    def scores(s: pd.Series) -> pd.DataFrame:
+        mask = s.isna().to_numpy()
+        low = s.fillna("")
+        out = pd.DataFrame(
+            {
+                lang: low.str.count(pats[lang], flags=re.ASCII)
+                .to_numpy()
+                .astype(np.int64)
+                for lang in sorted(pats)
+            }
+        )
+        out[mask] = -1
+        return out
+
+    _LANG_SCORES_UDF = scores
+    return scores
+
+
 def quality_columns(text: Column | str) -> dict[str, Column]:
     """Length/punctuation/stopword quality signals (E3 quality scoring).
 
@@ -381,14 +438,16 @@ def shingles_col(text: Column | str, k: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
-def hashed_margin_col(
+def hashed_margin_expr_col(
     text: Column | str, buckets: int = 2001, bias: float = -0.02
 ) -> Column:
-    """Feature-hashing linear-classifier margin (plans/llm_ops7.py
-    docs_quality_classifier, exposed for pipeline composition): tokens
-    hash to ``buckets`` md5-derived weight buckets in [-1, 1]; margin =
-    ``bias + mean(weight)`` via a sequential left fold (cross-engine
-    bit-stable). NULL for token-less docs."""
+    """EXPRESSION form of the feature-hashing margin — the semantic
+    definition (and the DuckDB oracle's twin): tokens hash to ``buckets``
+    md5-derived weight buckets in [-1, 1]; margin = ``bias +
+    mean(weight)`` via a sequential left fold. Kept as the parity
+    reference for the Arrow kernel below, which is what production code
+    calls: the md5-per-token-OCCURRENCE here (plus two interpreted HOFs)
+    was the dominant cost of docs_quality_classifier at 500k docs."""
     from pyspark.sql import functions as F
 
     c = F.col(text) if isinstance(text, str) else text
@@ -405,3 +464,100 @@ def hashed_margin_col(
     n = F.size(toks).cast("long")
     margin = F.lit(bias) + F.aggregate(ws, F.lit(0.0), lambda a, x: a + x) / n
     return F.when(n == 0, F.lit(None).cast("double")).otherwise(margin)
+
+
+#: docs longer than this many tokens leave the column sweep and fold in a
+#: plain per-doc Python float loop (identical IEEE order) — keeps sweep
+#: iterations bounded by typical doc length, not the longest outlier.
+_MARGIN_SWEEP_CAP = 4096
+
+
+def _make_margin_udf(buckets: int, bias: float):
+    """Arrow kernel twin of :func:`hashed_margin_expr_col`, bit-exact by
+    construction (pinned by the parity test):
+
+    - input is the ALREADY lowered+trimmed text (F.lower(F.trim(c)) stays
+      in the JVM, so Unicode lowercasing semantics are Spark's, not
+      Python's);
+    - tokenization is re.split on the explicit ASCII class
+      ``[ \\t\\n\\x0b\\f\\r]+`` (Java regex \\s), empties filtered like
+      the expression form;
+    - md5 runs once per UNIQUE token per batch (pd.factorize) — the
+      Zipf headroom: ~50x fewer digests than per-occurrence — with the
+      identical value derivation int(hexdigest[:8], 16) % buckets;
+    - the per-doc mean is a SEQUENTIAL left fold in token order, exactly
+      like F.aggregate: a column sweep adds token j of every live doc on
+      iteration j (descending-length order, shrinking active prefix, so
+      total work is O(tokens)); docs longer than _MARGIN_SWEEP_CAP fold
+      in a per-doc Python float loop — both are the same IEEE add order.
+    """
+    import hashlib
+    import re
+
+    half = (buckets - 1) // 2
+    fhalf = float(half)
+    sep = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    @pandas_udf("double")
+    def margin(s: pd.Series) -> pd.Series:
+        mask = s.isna().to_numpy()
+        toks = [
+            [t for t in sep.split(x)] if x else []
+            for x in s.fillna("").to_list()
+        ]
+        toks = [[t for t in ts if t] for ts in toks]
+        counts = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+        flat = [t for ts in toks for t in ts]
+        out = np.full(len(toks), np.nan)
+        if flat:
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+            uw = np.empty(len(uniques))
+            for i, u in enumerate(uniques):
+                v = int(hashlib.md5(u.encode("utf-8")).hexdigest()[:8], 16)
+                uw[i] = ((v % buckets) - half) / fhalf
+            w_all = uw[codes]
+            offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            big = counts > _MARGIN_SWEEP_CAP
+            sweep = np.nonzero(~big & (counts > 0))[0]
+            if len(sweep):
+                order = sweep[np.argsort(-counts[sweep], kind="stable")]
+                cs, offs = counts[order], offsets[order]
+                acc = np.zeros(len(order))
+                k = len(order)
+                j = 0
+                while k > 0:
+                    while k > 0 and cs[k - 1] <= j:
+                        k -= 1
+                    if k == 0:
+                        break
+                    acc[:k] += w_all[offs[:k] + j]
+                    j += 1
+                out[order] = bias + acc / cs
+            for i in np.nonzero(big)[0]:
+                a = 0.0
+                for x in w_all[offsets[i] : offsets[i] + counts[i]]:
+                    a += x
+                out[i] = bias + a / counts[i]
+        res = pd.Series(out)
+        res[mask | (counts == 0)] = None
+        return res
+
+    return margin
+
+
+def hashed_margin_col(
+    text: Column | str, buckets: int = 2001, bias: float = -0.02
+) -> Column:
+    """Feature-hashing linear-classifier margin (plans/llm_ops7.py
+    docs_quality_classifier, exposed for pipeline composition): tokens
+    hash to ``buckets`` md5-derived weight buckets in [-1, 1]; margin =
+    ``bias + mean(weight)`` via a sequential left fold (cross-engine
+    bit-stable). NULL for token-less docs.
+
+    Runs as the factorized-md5 Arrow kernel (one digest per unique token
+    per batch) — bit-identical to :func:`hashed_margin_expr_col`, which
+    remains the semantic/parity reference."""
+    from pyspark.sql import functions as F
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _make_margin_udf(buckets, bias)(F.lower(F.trim(c)))

@@ -1049,3 +1049,91 @@ def test_fused_quality_stats_matches_expression_forms(spark):
         assert (r["ka"], r["kd"], r["kp"], r["kt"], r["ks"]) == (
             r["ea"], r["ed"], r["ep"], r["et"], r["es"],
         ), (r["i"], texts[r["i"]], dict(r.asDict()))
+
+
+def test_hashed_margin_kernel_bit_exact_vs_expression(spark, tmp_path):
+    """The factorized-md5 Arrow kernel behind hashed_margin_col must be
+    BIT-identical to the expression form (hashed_margin_expr_col) — same
+    md5 bucket weights, same sequential fold order — on adversarial docs
+    (repeated tokens, edge whitespace, empty/null, one long doc crossing
+    the column-sweep cap) and on the sf0.01 fixture corpus."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from etl_from_s3_to_postgresql_template_spark.functions.text import (
+        hashed_margin_col,
+        hashed_margin_expr_col,
+    )
+
+    long_doc = " ".join(f"w{i % 97}" for i in range(5000))  # > sweep cap
+    texts = [
+        "The quick brown fox jumps over the lazy dog",
+        "repeat repeat repeat repeat",
+        "\tmixed  Spacing\nhere\t\n",
+        "single",
+        "",
+        "   ",
+        None,
+        long_doc,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    rows = df.select(
+        "i",
+        hashed_margin_col("text").alias("k"),
+        hashed_margin_expr_col("text").alias("e"),
+    ).collect()
+    for r in rows:
+        if r["e"] is None:
+            assert r["k"] is None, r["i"]
+        else:
+            assert struct.pack("d", r["k"]) == struct.pack("d", r["e"]), (
+                r["i"], r["k"], r["e"],
+            )
+    fx = spark.read.parquet(f"{SF01}/documents.parquet")
+    got = fx.select(
+        hashed_margin_col("text").alias("k"), hashed_margin_expr_col("text").alias("e")
+    ).collect()
+    assert all(
+        (r["k"] is None and r["e"] is None)
+        or struct.pack("d", r["k"]) == struct.pack("d", r["e"])
+        for r in got
+    ) and len(got) == 500
+
+
+def test_fused_lang_scores_match_expression_form(spark):
+    """The fused 5-language stopword kernel behind lang_scores must equal
+    stopword_hits_col per language exactly — including the Chinese
+    (non-ASCII, often unsegmented) list, uppercase stopwords, edge
+    whitespace, and the -1-on-null sentinel lang_id_col's guard uses."""
+    from pyspark.sql import functions as F
+
+    from etl_from_s3_to_postgresql_template_spark.functions.text import (
+        LANG_STOPWORDS,
+        lang_scores,
+        stopword_hits_col,
+    )
+
+    texts = [
+        "the quick fox and the dog",
+        "el que la y en un los de",
+        "der die und das von zu mit den",
+        "LE LA DE et les",
+        "的 是 在 了",          # segmented zh stopwords
+        "的是在了",              # unsegmented: ONE token, no whole-token hit
+        "\nder die\t",
+        "",
+        "   ",
+        None,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    sc_cols = lang_scores("text")
+    expr_cols = {
+        lang: stopword_hits_col("text", sw) for lang, sw in LANG_STOPWORDS.items()
+    }
+    sel = ["i"]
+    for lang in sorted(LANG_STOPWORDS):
+        sel += [sc_cols[lang].alias(f"k_{lang}"), expr_cols[lang].alias(f"e_{lang}")]
+    for r in df.select(*sel).collect():
+        for lang in sorted(LANG_STOPWORDS):
+            assert r[f"k_{lang}"] == r[f"e_{lang}"], (r["i"], lang, texts[r["i"]])
