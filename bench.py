@@ -63,11 +63,13 @@ DOCS_HEAVY = [
     "dedup_jaccard_prefix_filter",
     "docs_chunk_dedup_stats",
     "corpus_prep_funnel3",
-    # r7 addition (VERDICT r6 item 9): the fast64 winnowing PRODUCTION
-    # tier, tracked alongside the md5 oracle-parity tier so the
-    # round-over-round signal is the number users would see (the md5
-    # tier's cost is the per-gram Python md5 loop the product never runs).
+    # r7 additions (VERDICT r6 item 9): the fast64 winnowing PRODUCTION
+    # tiers (fingerprints + pair join), tracked alongside the md5
+    # oracle-parity tiers so the round-over-round signal is the number
+    # users would see (the md5 tiers' cost is the per-gram Python md5
+    # loop the product never runs).
     "doc_winnowing_fingerprints_fast",
+    "dedup_winnowing_pairs_fast",
 ]
 
 

@@ -356,7 +356,20 @@ def dedup_winnowing_pairs(
     )
 
 
-__all__ += ["dedup_winnowing_pairs"]
+@query("dedup_winnowing_pairs_fast")
+def dedup_winnowing_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fast64 PRODUCTION tier of the winnowing pair join (rows-only
+    by design, like doc_winnowing_fingerprints_fast: blake2b+splitmix64
+    has no SQL twin; the md5 entry above is the oracle-parity twin).
+    Registered so the bench's round-over-round signal includes the pair
+    join users would actually run — at 500k docs the md5 tier's cost is
+    the per-gram Python digest loop, not the join. Pair semantics,
+    bucket caps, and the winnowing guarantee are hash-agnostic and
+    pinned by the fast-tier property tests."""
+    return dedup_winnowing_pairs(spark, sf_dir, hash_tier="fast64")
+
+
+__all__ += ["dedup_winnowing_pairs", "dedup_winnowing_pairs_fast"]
 
 
 @query("corpus_bpe_merges")  # iterative fit -> rows-only by design (judge-
