@@ -229,14 +229,23 @@ def char_class_counts(text: Column | str) -> Column:
 _WS_LUT = np.zeros(256, dtype=bool)
 _WS_LUT[[0x20, 0x09, 0x0A, 0x0B, 0x0C, 0x0D]] = True
 _WS_CLASS = r"[ \t\n\x0b\f\r]"
-_EN_STOP_PATTERN = (
-    rf"(?:^|{_WS_CLASS})(?:"
-    + "|".join(
-        sorted((__import__("re").escape(w) for w in LANG_STOPWORDS["en"]),
-               key=len, reverse=True)
-    )
-    + rf")(?={_WS_CLASS}|$)"
-)
+
+
+def _stop_pattern(words: tuple[str, ...]) -> str:
+    """Whole-token regex for stopword counting: consume start-or-one-
+    separator, the word (longest-first alternation), look ahead at
+    separator-or-end. Token boundaries are the explicit ASCII class
+    (Java regex \\s), so Python's Unicode \\s can't widen them. The ONE
+    construction every stopword-counting kernel uses — the English
+    quality-stats pattern and the 5-language lang_scores patterns must
+    never drift apart."""
+    import re as _re
+
+    alt = "|".join(sorted((_re.escape(w) for w in words), key=len, reverse=True))
+    return rf"(?:^|{_WS_CLASS})(?:{alt})(?={_WS_CLASS}|$)"
+
+
+_EN_STOP_PATTERN = _stop_pattern(LANG_STOPWORDS["en"])
 
 _QUALITY_STATS_TYPE = StructType(
     [
@@ -324,17 +333,6 @@ def quality_stats_counts(text: Column | str) -> Column:
     extractions of one call collapse to a single ArrowEvalPython."""
     c = F.col(text) if isinstance(text, str) else text
     return _quality_stats(c)
-
-
-def _stop_pattern(words: tuple[str, ...]) -> str:
-    """Whole-token regex for stopword counting: consume start-or-one-
-    separator, the word (longest-first alternation), look ahead at
-    separator-or-end. Token boundaries are the explicit ASCII class
-    (Java regex \\s), so Python's Unicode \\s can't widen them."""
-    import re as _re
-
-    alt = "|".join(sorted((_re.escape(w) for w in words), key=len, reverse=True))
-    return rf"(?:^|{_WS_CLASS})(?:{alt})(?={_WS_CLASS}|$)"
 
 
 _LANG_SCORES_UDF = None

@@ -673,6 +673,10 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = (
         parts.select(F.posexplode("p").alias("idx", "pv"))
+        # upper triangle BEFORE the groupBy: the kernel emits the full
+        # d x d per batch (symmetric), so half the exploded entries would
+        # otherwise shuffle and aggregate only to be dropped (review r7)
+        .filter(F.expr(f"idx % {d} >= idx DIV {d}"))
         .groupBy("idx")
         .agg(F.sum(F.col("pv").cast(dec)).alias("pp"))
         .select(
@@ -680,7 +684,6 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("idx") % d).alias("j0"),
             "pp",
         )
-        .filter(F.col("j0") >= F.col("i0"))
     )
     sa = s.select(F.col("i0"), F.col("s").alias("s_i"))
     sb = s.select(F.col("i0").alias("j0"), F.col("s").alias("s_j"))
@@ -1553,8 +1556,14 @@ _HV_ARRAY_SQL = rf"""
     FROM nrm ORDER BY doc_id
     """
 
+# registered-entry oracle quantizes the UNROUNDED normalized value —
+# floor((x/nn)*1e6 + 0.5) straight from the bit-stable division — never
+# micro-quantizing on top of a ROUND(double, 6), which is exactly the
+# Spark-BigDecimal-vs-DuckDB-float boundary class the r6 covariance red
+# taught (review r7): a round-6 boundary flip would shift the micro int.
 _HV_ORACLE = f"""
-    WITH hv AS ({_HV_ARRAY_SQL.replace("ORDER BY doc_id", "")})
+    WITH hv AS ({_HV_ARRAY_SQL.replace("ORDER BY doc_id", "").replace(
+        "ROUND(x / nn, 6)", "(x / nn)")})
     SELECT doc_id, n_tokens,
            array_to_string(list_transform(CAST(vec AS DOUBLE[]),
              x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)), ',') AS vec_micro
@@ -1562,7 +1571,9 @@ _HV_ORACLE = f"""
     """
 
 
-def _hashing_vectorizer_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hashing_vectorizer_frame(
+    spark: SparkSession, sf_dir: str, rounded: bool = True
+) -> DataFrame:
     """Hashing-vectorizer document embeddings (the feature-hashing /
     'hashing trick' sparse projection — Weinberger et al. 2009; sklearn's
     HashingVectorizer shape): each token hashes to one of 64 buckets with
@@ -1583,7 +1594,10 @@ def _hashing_vectorizer_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the INTERNAL array-valued frame (vec: array<double>) consumed
     by similarity_docs_topk; the registered entry wraps it with a
-    micro-unit stringification so the driver can hash it."""
+    micro-unit stringification so the driver can hash it.
+    ``rounded=False`` skips the round-6 (elements are the raw bit-stable
+    x/nn doubles) — the registered entry quantizes from THOSE, so no
+    cross-engine double-rounding sits under the micro conversion."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
     hs = F.transform(
@@ -1603,9 +1617,10 @@ def _hashing_vectorizer_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = F.sqrt(
         F.aggregate(F.transform(raw, lambda x: x * x), F.lit(0.0), lambda a, b: a + b)
     )
+    elem = (lambda x: F.round(x / nn, 6)) if rounded else (lambda x: x / nn)
     vec = F.when(
         nn == 0, F.transform(raw, lambda x: F.lit(0.0))
-    ).otherwise(F.transform(raw, lambda x: F.round(x / nn, 6)))
+    ).otherwise(F.transform(raw, elem))
     return (
         docs.select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") > 0)
@@ -1627,8 +1642,11 @@ def docs_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     array<double>, because the driver canonicalizer cannot hash
     list-typed cells (the corpus_inverted_index r6 driver ERR class,
     caught here by the round-7 registry schema sweep before the driver
-    ever sampled this entry)."""
-    hv = _hashing_vectorizer_frame(spark, sf_dir)
+    ever sampled this entry). Micro-units come from the UNROUNDED
+    normalized value — quantizing on top of a per-engine ROUND(double, 6)
+    would re-introduce the exact boundary class the covariance fix
+    removed (review r7)."""
+    hv = _hashing_vectorizer_frame(spark, sf_dir, rounded=False)
     micro = F.transform(
         F.col("vec"),
         lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long").cast("string"),

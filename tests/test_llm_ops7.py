@@ -841,8 +841,13 @@ def test_hashing_vectorizer_properties(spark, tmp_path):
     assert rows[0] != rows[2]
     for v in rows.values():
         assert abs(sum(x * x for x in v) - 1.0) < 1e-4  # unit norm (post round-6)
-    # the REGISTERED entry stringifies to integer micro-units of the same
-    # vector (driver-hashable) — same values, exact micro scaling
+    # the REGISTERED entry stringifies to integer micro-units quantized
+    # from the UNROUNDED normalized vector (driver-hashable; no round-6
+    # double under the quantization — review r7)
+    raw_rows = {
+        r["doc_id"]: list(r["vec"])
+        for r in _hashing_vectorizer_frame(spark, sf, rounded=False).collect()
+    }
     reg = {
         r["doc_id"]: r["vec_micro"]
         for r in QUERIES["docs_hashing_vectorizer"](spark, sf).collect()
@@ -850,7 +855,7 @@ def test_hashing_vectorizer_properties(spark, tmp_path):
     assert set(reg) == {0, 1, 2}
     import math
 
-    for did, v in rows.items():
+    for did, v in raw_rows.items():
         want = ",".join(str(int(math.floor(x * 1e6 + 0.5))) for x in v)
         assert reg[did] == want
     # cross-check one vector against the pure-Python reference

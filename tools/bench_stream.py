@@ -165,14 +165,21 @@ def run_recovery(
     committed(q2, n_after)
     q2.stop()
 
-    n_commits = len(
-        [f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")]
-    )
-    # ledger: final (max-epoch) row per window key, summed
+    commit_ids = {
+        int(f) for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    }
+    n_commits = len(commit_ids)
+    # ledger: final (max COMMITTED epoch) row per window key, summed.
+    # The final stop() can interrupt between the foreachBatch parquet
+    # write of epoch E and the commit-log write of E — that epoch's sink
+    # output exists but its offsets are NOT consumed, so counting it
+    # would double-read rows the source will replay; the commit log is
+    # the source of truth for what happened exactly once (review r7).
     import pandas as pd
     import pyarrow.dataset as ds
 
     tbl = ds.dataset(sink_dir, partitioning="hive").to_table().to_pandas()
+    tbl = tbl[tbl["epoch"].astype("int64").isin(sorted(commit_ids))]
     final = (
         tbl.sort_values("epoch")
         .groupby(["w_start", "event_type"], as_index=False)

@@ -69,20 +69,43 @@ def _cell_repr(v) -> str:
     return str(v)
 
 
-def value_hash(df: pd.DataFrame) -> str:
-    """Driver-faithful hard hash: sorted columns, sorted rows, exact cells."""
+def _canonical_rows(df: pd.DataFrame) -> list[str]:
     df = df.reindex(sorted(df.columns), axis=1)
     rows = [
         "\x1f".join(_cell_repr(v) for v in rec)
         for rec in df.itertuples(index=False, name=None)
     ]
     rows.sort()
+    return rows
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    """Driver-faithful hard hash: sorted columns, sorted rows, exact cells."""
     h = hashlib.md5()
     h.update("\x1e".join(sorted(df.columns)).encode())
-    for r in rows:
+    for r in _canonical_rows(df):
         h.update(b"\x1d")
         h.update(r.encode(errors="replace"))
     return h.hexdigest()
+
+
+def first_cell_diff(sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
+    """Human hint for a hash-tier mismatch: the first canonical row where
+    the two engines' exact cell representations diverge, with the
+    offending column named — without this, the hash gate's primary
+    failure mode (values within atol, bits different) carried no
+    diagnostics at all (review r7)."""
+    cols = sorted(sdf.columns)
+    s_rows, o_rows = _canonical_rows(sdf), _canonical_rows(odf)
+    for i, (a, b) in enumerate(zip(s_rows, o_rows)):
+        if a != b:
+            for col, av, bv in zip(cols, a.split("\x1f"), b.split("\x1f")):
+                if av != bv:
+                    return f"row {i} col {col!r}: spark={av!r} oracle={bv!r}"
+            return f"row {i}: {a!r} vs {b!r}"
+    if len(s_rows) != len(o_rows):
+        return f"row-multiset lengths {len(s_rows)} vs {len(o_rows)}"
+    return "hashes differ but canonical rows compare equal (encoding?)"
 
 
 def main() -> int:
@@ -158,6 +181,8 @@ def main() -> int:
             rec["value_match"] = False
             rec["err"] = f"value mismatch: {str(e)[:200]}"
         rec["hash_match"] = value_hash(sdf) == value_hash(odf)
+        if not rec["hash_match"] and rec["err"] is None:
+            rec["err"] = f"hash-tier mismatch: {first_cell_diff(sdf, odf)}"
         rec["secs"] = round(time.time() - t0, 2)
         if rec["value_match"] and rec["hash_match"]:
             print(f"OK    {name}: {len(s)} rows")
