@@ -1142,3 +1142,55 @@ def test_fused_lang_scores_match_expression_form(spark):
     for r in df.select(*sel).collect():
         for lang in sorted(LANG_STOPWORDS):
             assert r[f"k_{lang}"] == r[f"e_{lang}"], (r["i"], lang, texts[r["i"]])
+
+
+def test_covariance_single_vector_nulls_match_oracle(spark, tmp_path):
+    """n=1: ddof=1 covariance is undefined — D = n*(n-1)*1e18 = 0 and
+    BOTH engines define integer-division-by-zero as NULL (Spark DIV,
+    DuckDB //), so every upper-triangle cell is a NULL cov_micro on both
+    sides: hash-consistent, no crash. Pins the degenerate input the
+    empty-table guard does not cover."""
+    import duckdb
+
+    from etl_from_s3_to_postgresql_template_spark.plans.llm_ops7 import _COV_ORACLE
+
+    rng = np.random.default_rng(11)
+    sf = _planted_embeddings(spark, tmp_path, [rng.standard_normal(8)])
+    rows = QUERIES["embedding_covariance"](spark, sf).collect()
+    assert len(rows) == 8 * 9 // 2
+    assert all(r["cov_micro"] is None for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet/*.parquet')"
+    )
+    orows = con.execute(_COV_ORACLE).fetchall()
+    assert len(orows) == len(rows) and all(r[2] is None for r in orows)
+
+
+def test_kcenter_terminates_on_corpus_smaller_than_k(spark, tmp_path):
+    """ADVICE r6: 1-7 vectors used to IndexError once every vector was
+    chosen; now the loop breaks like the oracle's recursive CTE — the
+    result is ALL vectors, ranked, matching the oracle row-for-row."""
+    import duckdb
+
+    from etl_from_s3_to_postgresql_template_spark.plans.llm_ops7 import (
+        _KC_K,
+    )
+    import __spark_entry__ as entrymod
+
+    rng = np.random.default_rng(12)
+    n = 3
+    assert n < _KC_K
+    sf = _planted_embeddings(spark, tmp_path, [rng.standard_normal(8) for _ in range(n)])
+    rows = QUERIES["corpus_coreset_kcenter"](spark, sf).collect()
+    assert len(rows) == n and [r["rank"] for r in rows] == [1, 2, 3]
+    oracle = entrymod.oracle_sql()["corpus_coreset_kcenter"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet/*.parquet')"
+    )
+    want = con.execute(oracle).fetchall()
+    got = [(r["rank"], r["vec_id"], r["sel_dist"]) for r in rows]
+    assert got == [tuple(w) for w in want]
