@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 __all__ = [
     "tokens_col",
@@ -496,7 +496,10 @@ def _make_margin_udf(buckets: int, bias: float):
     fhalf = float(half)
     sep = re.compile(r"[ \t\n\x0b\f\r]+")
 
-    @pandas_udf("double")
+    # DataType INSTANCE, not a DDL string: string return types parse via
+    # the active SparkContext (the intquant.py/_CLASS_COUNTS_TYPE rule),
+    # which would make building this udf require a live session
+    @pandas_udf(DoubleType())
     def margin(s: pd.Series) -> pd.Series:
         mask = s.isna().to_numpy()
         toks = [
