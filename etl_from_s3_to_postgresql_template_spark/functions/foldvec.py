@@ -1,0 +1,179 @@
+"""Arrow-kernel twins of the sequential-fold vector expressions in
+:mod:`..functions.vectors` — bit-exact by construction, pinned by tests.
+
+The fold expressions (``F.aggregate`` / ``zip_with``) are the repo's
+cross-engine exactness contract for cosine scores: a sequential left fold
+over double-cast floats reproduces DuckDB's ``list_dot_product`` bit for
+bit, so threshold decisions cannot diverge.  But Spark executes those
+higher-order functions INTERPRETED (no whole-stage codegen), which made
+them the dominant per-row constant of ``similarity_range_query``'s exact
+verify (142 s executor time at 500k docs, SCALING.md round-7
+decomposition).  This module re-expresses the same folds as vectorized
+Arrow kernels with the margin-kernel discipline (functions/text.py
+``_make_margin_udf``): every double add happens in the SAME IEEE order as
+the expression form — a column sweep adds element ``j`` of every row on
+iteration ``j`` — so results are bit-identical, not merely close.
+
+Why a separate module instead of extending vectors.py: plan verified
+status is fingerprinted over module+dependency text
+(plans/provenance.py), and vectors.py is a dependency of already
+driver-verified plans (multimodal_ops).  Adding kernels HERE lets the
+range-query plan adopt them without re-queueing unrelated verified
+entries for driver re-ratification.
+
+IEEE bit-exactness argument, step by step (same as the margin kernel):
+- float32 -> float64 cast is exact (every float32 is a float64);
+- ``a64[j] * b64[j]`` is one IEEE double multiply — identical on JVM and
+  numpy;
+- the fold ``((0.0 + p0) + p1) + ...`` is replicated by initializing an
+  accumulator to 0.0 and adding the j-th product column per iteration —
+  same adds, same order;
+- ``sqrt`` is correctly rounded in both (java.lang.Math.sqrt / np.sqrt);
+- the final ``dot / (norm_a * norm_b)`` is one multiply and one divide,
+  both exact IEEE ops.
+
+Null semantics: the expression form yields NULL for a NULL array or
+length-mismatched pair (zip_with pads with NULL); the kernels mirror
+that.  NULL *elements* inside an array are out of contract (the
+embeddings tables have none): the expression would yield NULL, the
+kernel yields NaN.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["fold_cosine_col", "make_fold_cosine_udf", "make_cell_best_udf"]
+
+
+def _seq_fold_matrix(p: np.ndarray) -> np.ndarray:
+    """Sequential left fold along axis 1: ``((0.0 + p[:,0]) + p[:,1]) + ...``
+    — one vectorized add per column, so the per-row add ORDER is exactly
+    the expression fold's while the work is batch-vectorized."""
+    acc = np.zeros(p.shape[0])
+    for j in range(p.shape[1]):
+        acc = acc + p[:, j]
+    return acc
+
+
+def make_fold_cosine_udf():
+    """pandas_udf twin of ``cosine_col(as_double_vec(a), as_double_vec(b))``:
+    ``fold(a*b) / (sqrt(fold(a*a)) * sqrt(fold(b*b)))`` with the identical
+    IEEE add order (parity-pinned in tests/test_foldvec.py).  NULL for a
+    NULL array or a length mismatch, like the zip_with form."""
+
+    @pandas_udf(DoubleType())
+    def fold_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+        n = len(a)
+        out = np.full(n, np.nan)
+        bad = np.zeros(n, dtype=bool)
+        la = np.empty(n, dtype=np.int64)
+        lb = np.empty(n, dtype=np.int64)
+        av = a.to_numpy()
+        bv = b.to_numpy()
+        for i in range(n):
+            if av[i] is None or bv[i] is None:
+                bad[i] = True
+                la[i] = lb[i] = -1
+            else:
+                la[i] = len(av[i])
+                lb[i] = len(bv[i])
+        bad |= la != lb
+        # group rows by dimension so each group folds as one matrix sweep
+        for d in np.unique(la[~bad]):
+            idx = np.nonzero(~bad & (la == d))[0]
+            if d == 0:
+                out[idx] = np.nan  # 0/(0*0) = NaN in both engines
+                continue
+            am = np.stack([np.asarray(av[i], dtype=np.float64) for i in idx])
+            bm = np.stack([np.asarray(bv[i], dtype=np.float64) for i in idx])
+            dot = _seq_fold_matrix(am * bm)
+            na = np.sqrt(_seq_fold_matrix(am * am))
+            nb = np.sqrt(_seq_fold_matrix(bm * bm))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[idx] = dot / (na * nb)
+        res = pd.Series(out)
+        res[bad] = None
+        return res
+
+    return fold_cosine
+
+
+def fold_cosine_col(a: Column | str, b: Column | str) -> Column:
+    """Column form of the fold-cosine kernel (what plans call)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return make_fold_cosine_udf()(ca, cb)
+
+
+def make_cell_best_udf(unit_centroids: Sequence[Sequence[float]]):
+    """pandas_udf twin of the range-query assignment expression: for each
+    vector x, ``cos_i = fold(x * u_i) / sqrt(fold(x * x))`` against every
+    unit centroid, returning struct(cell, cos) of the ``array_max`` best —
+    ties on cos break to the LARGER cell index, exactly like array_max
+    over (cos, cell) structs.  The cos field is bit-exact (pure fold
+    arithmetic, no transcendentals); callers keep acos/clamp JVM-side so
+    the downstream theta is computed by the same java.lang.Math as the
+    expression form.
+
+    Zero-norm vectors give cos = NaN against every centroid; array_max
+    then picks the largest cell index and the JVM clamp maps NaN -> 1.0
+    (Spark least/greatest treat NaN as largest).  The kernel mirrors the
+    cell choice and emits NaN, leaving the clamp to the JVM."""
+    u = np.asarray([[float(x) for x in c] for c in unit_centroids], dtype=np.float64)
+    n_cells, dim = u.shape
+
+    @pandas_udf(
+        StructType(
+            [
+                StructField("cell", IntegerType()),
+                StructField("cos", DoubleType()),
+            ]
+        )
+    )
+    def cell_best(xs: pd.Series) -> pd.DataFrame:
+        n = len(xs)
+        cells = np.zeros(n, dtype=np.int32)
+        best = np.full(n, np.nan)
+        xv = xs.to_numpy()
+        ok = np.fromiter(
+            (xv[i] is not None and len(xv[i]) == dim for i in range(n)),
+            dtype=bool,
+            count=n,
+        )
+        idx = np.nonzero(ok)[0]
+        if len(idx):
+            xm = np.stack([np.asarray(xv[i], dtype=np.float64) for i in idx])
+            xn = np.sqrt(_seq_fold_matrix(xm * xm))
+            bcos = np.full(len(idx), -np.inf)
+            bcell = np.zeros(len(idx), dtype=np.int32)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for i in range(n_cells):
+                    ci = _seq_fold_matrix(xm * u[i]) / xn
+                    upd = ci >= bcos  # >= : later (larger) cell wins ties
+                    bcos[upd] = ci[upd]
+                    bcell[upd] = i
+            # all-NaN rows never update: array_max picks the largest cell
+            nanrow = np.isinf(bcos) & (bcos < 0)
+            bcos[nanrow] = np.nan
+            bcell[nanrow] = n_cells - 1
+            best[idx] = bcos
+            cells[idx] = bcell
+        df = pd.DataFrame({"cell": cells, "cos": best})
+        df.loc[~ok, "cell"] = None
+        df.loc[~ok, "cos"] = None
+        return df
+
+    return cell_best

@@ -333,10 +333,23 @@ def similarity_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection; queries and centroids broadcast; the only aggregation is
     the 16-row cell summary. Per-candidate cost after pruning is one
     sequential-fold dot; eps (1e-9) keeps floating-point acos error from
-    ever turning the exact bound into a lossy one."""
+    ever turning the exact bound into a lossy one.
+
+    Round 8: the per-row folds (candidate assignment: 1 norm + 16 dots;
+    exact verify: 3 folds per surviving pair) run as the bit-exact Arrow
+    fold kernels (functions/foldvec.py) instead of interpreted
+    F.aggregate/zip_with — same IEEE add order, parity-pinned in
+    tests/test_foldvec.py, so the brute-force-equality contract is
+    unchanged while the dominant per-row constant (142 s executor time at
+    500k docs, SCALING.md r7 decomposition) leaves the interpreted path.
+    acos/clamp stay JVM-side on the kernel's cos output; the 1e-9 eps
+    budget never depended on acos bit-parity."""
+    from etl_from_s3_to_postgresql_template_spark.functions.foldvec import (
+        fold_cosine_col,
+        make_cell_best_udf,
+    )
     from etl_from_s3_to_postgresql_template_spark.functions.vectors import (
         as_double_vec,
-        cosine_col,
         dot_col,
         norm_col,
     )
@@ -360,26 +373,16 @@ def similarity_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _clamp(col: F.Column) -> F.Column:
         return F.least(F.greatest(col, F.lit(-1.0)), F.lit(1.0))
 
-    # nearest cell by max cosine: array_max over (cos, idx) structs
-    nv = as_double_vec(F.col("nv"))
-    xnorm = norm_col(nv)
-    cell_structs = F.array(
-        *[
-            F.struct(
-                (dot_col(nv, F.array(*[F.lit(float(x)) for x in cu])) / F.col("_xn")).alias("cos"),
-                F.lit(i).alias("cell"),
-            )
-            for i, cu in enumerate(unit)
-        ]
-    )
-    best = F.array_max(cell_structs)
+    # nearest cell by max cosine: the Arrow fold kernel's (cell, cos)
+    # struct is the bit-exact twin of array_max over (cos, idx) structs
+    # (1 norm + 16 dots per row, vectorized); acos/clamp stay JVM-side
     assigned = (
-        cand.withColumn("_xn", xnorm)
+        cand.withColumn("_cb", make_cell_best_udf(unit)(F.col("nv")))
         .select(
             "n_id",
             "nv",
-            best["cell"].alias("cell"),
-            F.acos(_clamp(best["cos"])).alias("theta_cx"),
+            F.col("_cb.cell").alias("cell"),
+            F.acos(_clamp(F.col("_cb.cos"))).alias("theta_cx"),
         )
         .localCheckpoint(eager=False)  # one assignment pass feeds summary + members
     )
@@ -421,15 +424,15 @@ def similarity_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving_cells = q_cells.join(F.broadcast(cell_summary), "cell").filter(
         F.col("max_theta") >= F.col("theta_qc") - F.lit(acos_tau + _RANGE_EPS)
     )
-    cos = cosine_col(as_double_vec(F.col("qv")), as_double_vec(F.col("nv")))
     return (
         assigned.join(F.broadcast(surviving_cells), "cell")
         .filter(
             (F.col("q_id") != F.col("n_id"))
             & (F.col("theta_cx") >= F.col("theta_qc") - F.lit(acos_tau + _RANGE_EPS))
         )
-        .filter(cos >= _RANGE_TAU)
-        .select("q_id", "n_id", F.round(cos, 6).alias("cosine"))
+        .withColumn("_cos", fold_cosine_col("qv", "nv"))
+        .filter(F.col("_cos") >= _RANGE_TAU)
+        .select("q_id", "n_id", F.round("_cos", 6).alias("cosine"))
         .orderBy("q_id", "n_id")
     )
 
