@@ -219,12 +219,18 @@ def char_class_counts(text: Column | str) -> Column:
 #   artifacts, so the count is (#non-separator runs) + 1 per
 #   leading/trailing separator, and 1 for the empty string.
 # - n_stop == size(filter(transform(tokens, lower), isin(stopwords))):
-#   counted with one C-level regex over the lowercased trimmed text —
-#   a match must be a WHOLE token, so the pattern consumes start-or-one-
-#   separator, the word, and looks ahead at separator-or-end. Python
-#   re.ASCII pins \s-free byte classes to the same ASCII set as Java.
-#   ('' artifacts can never match; membership-relevant lowercasing of
-#   ASCII stopword candidates agrees between str.lower() and F.lower.)
+#   counted with one C-level regex over the JVM-lowered trimmed text,
+#   which arrives as the kernel's SECOND input (F.lower(F.trim(c)) stays
+#   in the JVM — the lang_scores rule: Unicode lowercasing semantics are
+#   Spark's, not Python's, so exotic case-mapping table skew between the
+#   two runtimes can never flip a stopword cell). A match must be a
+#   WHOLE token, so the pattern consumes start-or-one-separator, the
+#   word, and looks ahead at separator-or-end. Python re.ASCII pins
+#   \s-free byte classes to the same ASCII set as Java. ('' artifacts
+#   can never match. Lowering the whole text vs per token is equivalent
+#   here: token boundaries are ASCII whitespace, which every Unicode
+#   lowercase mapping preserves, and context-sensitive mappings like
+#   final sigma key off the same neighbors either way.)
 
 _WS_LUT = np.zeros(256, dtype=bool)
 _WS_LUT[[0x20, 0x09, 0x0A, 0x0B, 0x0C, 0x0D]] = True
@@ -259,7 +265,10 @@ _QUALITY_STATS_TYPE = StructType(
 
 
 @pandas_udf(_QUALITY_STATS_TYPE)
-def _quality_stats(s: pd.Series) -> pd.DataFrame:
+def _quality_stats(s: pd.Series, low: pd.Series) -> pd.DataFrame:
+    """``s`` is the raw text (class counts + token runs are byte-exact
+    over it); ``low`` is the ALREADY JVM-lowered trimmed text
+    (F.lower(F.trim(c))) the stopword regex runs over."""
     import re
 
     mask = s.isna().to_numpy()
@@ -300,9 +309,9 @@ def _quality_stats(s: pd.Series) -> pd.DataFrame:
     lead[nz] = ws[starts[nz]]
     trail[nz] = ws[ends[nz] - 1]
     n_tokens = np.where(nz, n_runs + lead + trail, 1)
-    # stopword hits: one C regex over the lowercased text
+    # stopword hits: one C regex over the JVM-lowered trimmed text
     n_stop = (
-        trimmed.str.lower()
+        low.fillna("")
         .str.count(_EN_STOP_PATTERN, flags=re.ASCII)
         .to_numpy()
         .astype(np.int64)
@@ -330,9 +339,11 @@ def _quality_stats(s: pd.Series) -> pd.DataFrame:
 def quality_stats_counts(text: Column | str) -> Column:
     """Struct ``(n_alpha, n_digit, n_punct, n_tokens, n_stop)`` in ONE
     Arrow pass — the fused kernel quality_columns consumes. Field
-    extractions of one call collapse to a single ArrowEvalPython."""
+    extractions of one call collapse to a single ArrowEvalPython. The
+    lowering for the stopword count happens HERE, JVM-side, so the
+    kernel never depends on Python's Unicode case tables."""
     c = F.col(text) if isinstance(text, str) else text
-    return _quality_stats(c)
+    return _quality_stats(c, F.lower(F.trim(c)))
 
 
 _LANG_SCORES_UDF = None

@@ -77,7 +77,12 @@ def doc(draw):
 @given(st.lists(doc(), min_size=1, max_size=30))
 @settings(max_examples=300, deadline=None)
 def test_quality_stats_kernel_matches_expression_reference(texts):
-    out = _quality_stats.func(pd.Series(texts, dtype=object))
+    # second input is the JVM-lowered trimmed text (quality_stats_counts
+    # passes F.lower(F.trim(c))); emulate with .lower() like lang_scores
+    lowered = pd.Series(
+        [None if t is None else _trim(t).lower() for t in texts], dtype=object
+    )
+    out = _quality_stats.func(pd.Series(texts, dtype=object), lowered)
     alpha = set("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz")
     digit = set("0123456789")
     punct = set(".,!?;:")

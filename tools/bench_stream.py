@@ -179,7 +179,12 @@ def run_recovery(
     import pyarrow.dataset as ds
 
     tbl = ds.dataset(sink_dir, partitioning="hive").to_table().to_pandas()
-    tbl = tbl[tbl["epoch"].astype("int64").isin(sorted(commit_ids))]
+    # coerce ONCE up front: hive-partition inference may type epoch as
+    # string, and a lexicographic sort ('9' > '12') would make
+    # groupby().last() pick the wrong final epoch past 10 commits,
+    # silently corrupting the exactly-once check (review r7)
+    tbl["epoch"] = tbl["epoch"].astype("int64")
+    tbl = tbl[tbl["epoch"].isin(sorted(commit_ids))]
     final = (
         tbl.sort_values("epoch")
         .groupby(["w_start", "event_type"], as_index=False)

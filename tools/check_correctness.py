@@ -70,9 +70,13 @@ def _cell_repr(v) -> str:
 
 
 def _canonical_rows(df: pd.DataFrame) -> list[str]:
+    # length-prefix every cell repr so the encoding is INJECTIVE: the
+    # join separators can legitimately appear inside text cells, and
+    # without the prefix two different row multisets could hash equal
+    # (and the per-column diff could misalign) — review r7
     df = df.reindex(sorted(df.columns), axis=1)
     rows = [
-        "\x1f".join(_cell_repr(v) for v in rec)
+        "\x1f".join(f"{len(c)}:{c}" for c in map(_cell_repr, rec))
         for rec in df.itertuples(index=False, name=None)
     ]
     rows.sort()

@@ -62,20 +62,38 @@ def main() -> None:
     print(f"== {name}: small={small} ({len(s_stages)} stages), big={big} ({len(b_stages)} stages)")
     print(json.dumps({"small": s_stages}, indent=1))
     print(json.dumps({"big": b_stages}, indent=1))
-    # align by order (same plan -> same stage sequence; AQE can split
-    # retries, so fall back to name match when counts differ)
+    # align by order (same plan -> same stage sequence); when AQE makes
+    # the counts differ, fall back to uniquely-named stage alignment and
+    # say what was skipped rather than silently dropping the table
     if len(s_stages) == len(b_stages):
+        pairs = list(zip(s_stages, b_stages))
         print("stage-by-stage ratios (big/small):")
-        for s, b in zip(s_stages, b_stages):
-            er = round(b["exec_ms"] / max(s["exec_ms"], 1), 1)
-            br = round(
-                (b["sh_write_mb"] or 0.001) / max(s["sh_write_mb"] or 0.001, 0.001), 1
-            )
-            print(
-                f"  exec x{er:<7} shuffle-write x{br:<7} "
-                f"[{s['exec_ms']}ms -> {b['exec_ms']}ms; "
-                f"{s['sh_write_mb']}MB -> {b['sh_write_mb']}MB]  {s['name']}"
-            )
+    else:
+        from collections import Counter
+
+        sc = Counter(s["name"] for s in s_stages)
+        bc = Counter(b["name"] for b in b_stages)
+        smap = {s["name"]: s for s in s_stages}
+        bmap = {b["name"]: b for b in b_stages}
+        uniq = [
+            s["name"] for s in s_stages if sc[s["name"]] == 1 and bc.get(s["name"]) == 1
+        ]
+        pairs = [(smap[n], bmap[n]) for n in uniq]
+        print(
+            f"stage counts differ ({len(s_stages)} vs {len(b_stages)}; AQE "
+            f"re-plan) — aligned {len(pairs)} uniquely-named stages, "
+            f"skipped {len(s_stages) - len(pairs)} small-side stages:"
+        )
+    for s, b in pairs:
+        er = round(b["exec_ms"] / max(s["exec_ms"], 1), 1)
+        br = round(
+            (b["sh_write_mb"] or 0.001) / max(s["sh_write_mb"] or 0.001, 0.001), 1
+        )
+        print(
+            f"  exec x{er:<7} shuffle-write x{br:<7} "
+            f"[{s['exec_ms']}ms -> {b['exec_ms']}ms; "
+            f"{s['sh_write_mb']}MB -> {b['sh_write_mb']}MB]  {s['name']}"
+        )
 
 
 if __name__ == "__main__":
