@@ -920,31 +920,51 @@ def _bm25_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every dl>0 doc scored: (doc_id, dl, bm25, tfidf) — bm25 as in
     text_bm25_topk; tfidf is the classic normalized-tf * idf sum
     ``sum_t (tf_t/dl) * ln((N+1)/(df_t+1))``, the second lexical ranker
-    the RRF entry fuses. Both rounded to 6 BEFORE any ranking."""
+    the RRF entry fuses. Both rounded to 6 BEFORE any ranking.
+
+    Round 8 restructure: the old form tokenized the corpus TWICE (the
+    per-doc counts projection and the corpus-stats aggregate each
+    re-derived the token array from text). Now ONE scan computes the
+    per-doc integer counts (dl + per-term tf) and materializes that
+    frame (doc_id + k+1 longs, ~40 bytes/doc — the llm_ops5/llm_ops6
+    multi-consumer rule); both consumers read it. An Arrow-kernel twin
+    of the counts was built and MEASURED against this during round 8
+    and lost (4.4 s vs 3.1 s at 500k docs: the kernel pays 700 MB of
+    text transfer plus a Python split, while the JVM HOFs — interpreted
+    but scan-local — are paid only once here; SCALING.md r8 note), so
+    the counts stay JVM-side by evidence, not default."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
-    base = docs.select("doc_id", toks.alias("toks"))
-    g = base.agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size("toks")).cast("long").alias("sum_dl"),
-        *[
-            F.sum(F.array_contains("toks", t).cast("int"))
-            .cast("long")
-            .alias(f"df{i + 1}")
-            for i, t in enumerate(_BM25_TERMS)
-        ],
-    )
 
     def _tf(term: str):
         # NB: a two-parameter lambda would make F.filter pass (element,
         # index) — bind the term via a closure, never a default arg
         return F.size(F.filter("toks", lambda x: x == term)).cast("long")
 
-    s = base.filter(F.size("toks") > 0).select(
-        "doc_id",
-        F.size("toks").cast("long").alias("dl"),
-        *[_tf(t).alias(f"tf{i + 1}") for i, t in enumerate(_BM25_TERMS)],
+    base = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            *[_tf(t).alias(f"tf{i + 1}") for i, t in enumerate(_BM25_TERMS)],
+        )
+        .localCheckpoint(eager=False)
     )
+    # null-text parity: dl carries the -1 size(null) sentinel, so
+    # sum(dl) matches the old sum(size(toks)) exactly; the df sums guard
+    # with when(dl >= 0, ...) to reproduce array_contains(null) -> null
+    # being SKIPPED by sum
+    g = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col("dl") >= 0, (F.col(f"tf{i + 1}") > 0).cast("int")))
+            .cast("long")
+            .alias(f"df{i + 1}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    s = base.filter(F.col("dl") > 0)
     sc = s.crossJoin(F.broadcast(g))
     contrib = None
     tfidf = None
