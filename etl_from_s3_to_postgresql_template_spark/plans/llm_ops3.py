@@ -293,10 +293,12 @@ def tokens_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     n_tok = uni.agg(F.sum("c").cast("double").alias("n_tok"))
     n = F.size("t")
-    bigrams = F.zip_with(
-        F.slice("t", 1, n - 1),
-        F.slice("t", 2, n - 1),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    # arrays_zip (built-in, codegen) instead of a zip_with lambda — the
+    # lambda runs interpreted per bigram; measured 11.9 -> 7.3 s on the
+    # identical bigram-LM plan shape (r8 HOF sweep, SCALING.md)
+    bigrams = F.arrays_zip(
+        F.slice("t", 1, n - 1).alias("w1"),
+        F.slice("t", 2, n - 1).alias("w2"),
     )
     bcnt = (
         toks.where(n >= 2)
