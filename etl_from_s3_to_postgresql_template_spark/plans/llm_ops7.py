@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -67,6 +68,7 @@ __all__ = [
     "similarity_mmr_rerank",
     "embedding_covariance",
     "embedding_pca_project",
+    "embedding_pca_variance_gate",
     "corpus_inverted_index",
     "text_bm25_topk",
     "text_rrf_fusion",
@@ -749,6 +751,117 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias(f"pc{i + 1}") for i in range(model.q, 8)
     ]
     return proj.select("vec_id", "label", *cols).orderBy("vec_id")
+
+
+#: PCA gate tolerances. The identities are exact in real arithmetic; the
+#: tolerances only need to absorb (a) the covariance entry's 1e-6
+#: micro-unit quantization (<= 0.5e-6 per diagonal entry, so d * 2e-6 is
+#: a 4x margin on the trace) and (b) float64 summation-order noise
+#: between eigh/var_samp (~1e-12 relative, given six orders of margin).
+#: A real defect (wrong centering, non-orthonormal components, projection
+#: against the wrong matrix) lands orders of magnitude outside them.
+_PCA_GATE_Q = 8
+
+_PCA_GATE_ORACLE = """
+    WITH x AS (
+      SELECT vec_id, UNNEST(CAST(embedding AS DOUBLE[])) AS v,
+             UNNEST(range(1, len(embedding) + 1)) AS i
+      FROM embeddings
+    ), m AS (
+      SELECT i, SUM(CAST(floor(v * 1e9 + 0.5) AS HUGEINT)) AS s,
+             SUM(CAST(floor(v * v * 1e9 + 0.5) AS HUGEINT)) AS pp,
+             COUNT(*) AS n
+      FROM x GROUP BY 1
+    ), nd AS (
+      SELECT i, pp * n * CAST(1000000000 AS HUGEINT) - s * s AS nn,
+             n * (n - 1) * CAST(1000000000000000000 AS HUGEINT) AS dd
+      FROM m
+    ), c AS (
+      SELECT CASE WHEN nn >= 0 THEN (2 * nn * 1000000 + dd) // (2 * dd)
+                  ELSE -((2 * (-nn) * 1000000 + dd) // (2 * dd)) END AS cm
+      FROM nd
+    )
+    SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vecs,
+           CAST(SUM(cm) AS BIGINT) AS trace_micro,
+           TRUE AS eig_trace_ok, TRUE AS proj_var_ok, TRUE AS orthonormal_ok
+    FROM c
+    """
+
+
+@query("embedding_pca_variance_gate", oracle=_PCA_GATE_ORACLE)
+def embedding_pca_variance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-paired correctness gate for the PCA fit/projection (VERDICT
+    r7 item 6): pins the eigh-based pieces — which have no SQL twin — to
+    the integer-EXACT covariance the oracle can and does recompute.
+
+    - ``trace_micro``: sum of the diagonal of the micro-unit sample
+      covariance, via the same integer pipeline as embedding_covariance —
+      the oracle recomputes it independently (diagonal-only form of the
+      covariance oracle), so this cell is a HARD cross-engine equality on
+      real data, not a constant.
+    - ``eig_trace_ok``: sum of ALL eigenvalues of the fitted covariance
+      equals the exact trace (within quantization margin) — ties eigh's
+      spectrum to the oracle-pinned statistic.
+    - ``proj_var_ok``: the per-component sample variance of the ACTUAL
+      top-q projection equals the top-q eigenvalues — ties the broadcast
+      linear map (centering + loadings) to the spectrum; a wrong mean or
+      a transposed/garbled component matrix lands far outside tolerance.
+    - ``orthonormal_ok``: max |C C^T - I| < 1e-9 over the full component
+      matrix (driver-side numpy; d x d)."""
+    from etl_from_s3_to_postgresql_template_spark.operators.pca import (
+        PcaModel,
+        fit_pca,
+        project_pca,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    schema = (
+        "n_vecs long, trace_micro long, eig_trace_ok boolean, "
+        "proj_var_ok boolean, orthonormal_ok boolean"
+    )
+    head = emb.select(F.size("embedding").alias("d")).head(1)
+    if not head or emb.limit(2).count() < 2:
+        return spark.createDataFrame([], schema)
+    d = int(head[0]["d"])
+    model = fit_pca(emb, "embedding", q=d)  # full spectrum for the trace tie
+    comps = np.asarray(model.components)
+    orthonormal = bool(
+        np.max(np.abs(comps @ comps.T - np.eye(d))) < 1e-9
+    )
+    q = min(_PCA_GATE_Q, d)
+    top = PcaModel(
+        mean=model.mean,
+        components=model.components[:q],
+        explained_variance=model.explained_variance[:q],
+    )
+    proj = project_pca(emb, top, "embedding", out_col="pc")
+    pvars = proj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        *[F.var_samp(F.col("pc")[k]).alias(f"v{k}") for k in range(q)],
+    )
+    trace = (
+        embedding_covariance(spark, sf_dir)
+        .filter(F.col("i") == F.col("j"))
+        .agg(F.sum("cov_micro").cast("long").alias("trace_micro"))
+    )
+    ev_sum = float(sum(model.explained_variance))
+    lam1 = max(1.0, float(model.explained_variance[0]))
+    var_err = F.greatest(
+        *[
+            F.abs(F.col(f"v{k}") - F.lit(float(model.explained_variance[k])))
+            for k in range(q)
+        ]
+    )
+    return pvars.crossJoin(F.broadcast(trace)).select(
+        "n_vecs",
+        "trace_micro",
+        (
+            F.abs(F.col("trace_micro") / F.lit(1e6) - F.lit(ev_sum))
+            <= F.lit(2e-6 * d)
+        ).alias("eig_trace_ok"),
+        (var_err <= F.lit(1e-6 * lam1)).alias("proj_var_ok"),
+        F.lit(orthonormal).alias("orthonormal_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1194,3 +1194,66 @@ def test_kcenter_terminates_on_corpus_smaller_than_k(spark, tmp_path):
     want = con.execute(oracle).fetchall()
     got = [(r["rank"], r["vec_id"], r["sel_dist"]) for r in rows]
     assert got == [tuple(w) for w in want]
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca_variance_gate
+# ---------------------------------------------------------------------------
+
+
+def test_pca_variance_gate_all_green_on_testdata(spark):
+    row = QUERIES["embedding_pca_variance_gate"](spark, SF001).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["n_vecs"] > 0 and r["trace_micro"] > 0
+    assert r["eig_trace_ok"] and r["proj_var_ok"] and r["orthonormal_ok"]
+
+
+def test_pca_variance_gate_tolerances_catch_planted_defects(spark, tmp_path):
+    """The gate's identities must FAIL on a garbled projection: scaling
+    one component by 1% moves that component's projected variance by ~2%
+    of its eigenvalue — four orders above the 1e-6 tolerance — and breaks
+    orthonormality."""
+    import numpy as np
+
+    from etl_from_s3_to_postgresql_template_spark.operators.pca import (
+        PcaModel,
+        fit_pca,
+        project_pca,
+    )
+
+    rng = np.random.default_rng(7)
+    sf = _planted_embeddings(
+        spark, tmp_path, [rng.standard_normal(6) for _ in range(40)]
+    )
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    model = fit_pca(emb, "embedding", q=6)
+    comps = np.asarray(model.components)
+    assert np.max(np.abs(comps @ comps.T - np.eye(6))) < 1e-9
+    bad = PcaModel(
+        mean=model.mean,
+        components=[[1.01 * x for x in model.components[0]]]
+        + model.components[1:2],
+        explained_variance=model.explained_variance[:2],
+    )
+    badc = np.asarray(bad.components)
+    assert not np.max(np.abs(badc @ badc.T - np.eye(2))) < 1e-9
+    proj = project_pca(emb, bad, "embedding", out_col="pc")
+    from pyspark.sql import functions as F
+
+    v0 = proj.agg(F.var_samp(F.col("pc")[0])).collect()[0][0]
+    lam0 = bad.explained_variance[0]
+    assert abs(v0 - lam0) > 1e-6 * max(1.0, lam0) * 100
+
+
+def test_pca_variance_gate_degenerate_input_empty_frame(spark, tmp_path):
+    sf = _planted_embeddings(spark, tmp_path, [[1.0, 2.0, 3.0]])
+    out = QUERIES["embedding_pca_variance_gate"](spark, sf)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "n_vecs",
+        "trace_micro",
+        "eig_trace_ok",
+        "proj_var_ok",
+        "orthonormal_ok",
+    ]
