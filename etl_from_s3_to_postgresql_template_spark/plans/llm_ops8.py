@@ -1,0 +1,182 @@
+"""Round-8 north-star addition: ExactSubstr corpus CLEANING (Lee et al.
+2022, "Deduplicating Training Data Makes Language Models Better") — not
+just detecting repeated spans but emitting the deduplicated corpus.
+
+``docs_exactsubstr_clean`` upgrades ``docs_repeated_spans`` (llm_ops4) in
+the two ways that separate a detector from the paper's operator:
+
+1. **Within-document repeats count.** Lee et al. remove any substring of
+   length >= L that occurs >= 2 times ANYWHERE in the corpus — including
+   twice inside one document (boilerplate headers, chorus lines, looped
+   scrape artifacts). docs_repeated_spans requires >= 2 distinct docs;
+   this entry gates on total occurrence count.
+2. **The output IS the cleaned text.** Every token covered by at least
+   one duplicated L-gram window is removed and the surviving tokens are
+   re-joined — the union-of-duplicated-L-windows position set is exactly
+   the byte set ExactSubstr removes (any duplicated substring of length
+   >= L is a union of duplicated L-windows, and every duplicated
+   L-window is itself a duplicated substring), so hash-keyed L-gram
+   grouping computes the same removal set the paper's suffix array does.
+   The suffix array is their SINGLE-NODE means of finding duplicated
+   L-grams; a shuffle engine's native means is hashing them — same set,
+   engine-appropriate machinery.
+
+Granularity note: L is 8 TOKENS (the repo's repeated-spans convention,
+~50 chars at the corpus' ~6-char mean token) rather than the paper's 50
+bytes — token windows keep the gram count at one per token instead of
+one per byte (~6x), which is what makes the stress scale tractable; the
+operator is granularity-parametric (the SQL twin and plan share n).
+
+Scale stance: one positioned-gram pass (the anchored-lookahead regex —
+codegen, no HOF), one gram-key shuffle for the >= 2 occurrence test, and
+two token-level shuffles (anti-join against covered positions, then the
+per-doc regroup). Everything is linear in corpus tokens; per-doc state
+is bounded by document length (the output row is the document); no
+unbounded collect anywhere. Documents never shuffle whole except as
+their own output rows.
+
+Reference scope note: the reference pipeline has no dedup beyond pandas
+drop_duplicates on exact rows (etl_pipeline.py ~line 430); this is
+north-star E1 surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from etl_from_s3_to_postgresql_template_spark.plans.registry import query
+from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+__all__ = ["docs_exactsubstr_clean"]
+
+_ESS_N = 8  # gram length in tokens
+
+_ESS_ORACLE = rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, len(t) AS n_tokens, t FROM t WHERE len(t) >= 1
+    ), g AS (
+      SELECT doc_id, j AS pos, md5(array_to_string(t[j:j+{_ESS_N - 1}], ' ')) AS gm
+      FROM base, LATERAL (SELECT UNNEST(generate_series(1, len(t) - {_ESS_N - 1})) AS j)
+      WHERE len(t) >= {_ESS_N}
+    ), dup AS (
+      SELECT gm FROM g GROUP BY gm HAVING COUNT(*) >= 2
+    ), cov AS (
+      SELECT DISTINCT doc_id, pos + k AS rpos
+      FROM g, LATERAL (SELECT UNNEST(range(0, {_ESS_N})) AS k)
+      WHERE gm IN (SELECT gm FROM dup)
+    ), tok AS (
+      SELECT doc_id, i AS pos, t[i] AS tok
+      FROM base, LATERAL (SELECT UNNEST(generate_series(1, len(t))) AS i)
+    ), kept AS (
+      SELECT tok.doc_id, pos, tok
+      FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.rpos
+      WHERE cov.doc_id IS NULL
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(b.n_tokens - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(cleaned, '') AS cleaned_text
+    FROM base b LEFT JOIN agg USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@query("docs_exactsubstr_clean", oracle=_ESS_ORACLE)
+def docs_exactsubstr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal (module docstring): per document, the text
+    with every token covered by a corpus-duplicated {n}-token window
+    removed (>= 2 occurrences ANYWHERE, same-document repeats included),
+    plus token counts. Case-SENSITIVE raw tokens — the paper operates on
+    raw bytes; whitespace is normalized to single spaces (that is the
+    only lossy step, shared by both engines' tokenization).
+
+    Plan: positioned grams via the anchored-lookahead regexp (array
+    index == token position — the docs_repeated_spans trick), 8-byte
+    xxhash64 gram keys, occurrence test as count >= 2 over one gram-key
+    window (the oracle keys grams by md5 string — same sets barring a
+    64-bit collision). Removal NEVER shuffles tokens: hit windows merge
+    into disjoint per-doc intervals (two windows over the HIT rows
+    only), the bounded interval array joins back at DOC level, and the
+    cleaned text is rebuilt doc-locally by slicing the token array
+    between intervals. Untouched documents take the fast path — their
+    normalized text passes through without even re-tokenizing. (The
+    first form of this plan anti-joined a corpus-token table against
+    exploded covered positions: 143 s / ratio 26.6 at 500k docs on the
+    duplication-heavy stress corpus, where covered ~ all positions. The
+    interval form shuffles only grams and hits — SCALING.md r8.)
+    n_removed counts covered tokens, so n_removed/sum(n_tokens) is the
+    paper's removed-fraction statistic for free."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = _ESS_N
+    # edge-trim AFTER collapsing: "\tfoo" must tokenize as ['foo'], not
+    # ['', 'foo'] — F.trim strips 0x20 only, so collapse first, then trim
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    base = docs.select("doc_id", norm.alias("norm")).where(F.length("norm") > 0)
+    pat = r"(?:^| )(?=(\S+" + r" \S+" * (n - 1) + r"))"
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("norm"), F.lit(pat), F.lit(1))
+        ).alias("pos0", "gs"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.xxhash64("gs").alias("gm"),
+    )
+    hits = (
+        grams.withColumn("occ", F.count(F.lit(1)).over(W.partitionBy("gm")))
+        .where(F.col("occ") >= 2)
+        .select("doc_id", "pos", (F.col("pos") + (n - 1)).alias("end"))
+    )
+    # interval merge (gaps of 0 between hit windows merge; result is
+    # sorted + disjoint, so reconstruction needs no distinct/explode):
+    # new island when pos > 1 + running max of prior ends
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("end").over(wd.rowsBetween(W.unboundedPreceding, -1))
+    isl = (
+        hits.withColumn(
+            "new_isl",
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+        )
+        .withColumn("isl", F.sum("new_isl").over(wd))
+        .groupBy("doc_id", "isl")
+        .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+    )
+    ivs = isl.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("iv"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("n_removed"),
+    )
+    out = base.join(ivs, "doc_id", "left")
+    toks = F.split("norm", " ")
+    n_tok = F.size(toks)
+    # kept ranges are the gaps between intervals: starts = [1, e_i + 1],
+    # ends = [s_i - 1, n_tokens]; zero-length gaps slice to []
+    gap_starts = F.concat(
+        F.array(F.lit(1)), F.transform("iv", lambda x: x["e"] + 1)
+    )
+    gap_ends = F.concat(F.transform("iv", lambda x: x["s"] - 1), F.array(n_tok))
+    kept = F.flatten(
+        F.zip_with(
+            gap_starts,
+            gap_ends,
+            lambda a, b: F.slice(toks, a, F.greatest(b - a + F.lit(1), F.lit(0))),
+        )
+    )
+    return out.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_removed"), F.lit(0).cast("long")).alias("n_removed"),
+        # fast path: no intervals -> the normalized text verbatim
+        F.when(F.col("iv").isNull(), F.col("norm"))
+        .otherwise(F.array_join(kept, " "))
+        .alias("cleaned_text"),
+    ).orderBy("doc_id")

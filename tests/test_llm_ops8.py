@@ -1,0 +1,106 @@
+"""docs_exactsubstr_clean: planted-corpus semantics (the two upgrades
+over docs_repeated_spans — within-doc repeats and actual removal), edge
+whitespace, sub-L immunity, case sensitivity, and DuckDB oracle parity
+on the planted fixture."""
+
+from __future__ import annotations
+
+import duckdb
+
+from etl_from_s3_to_postgresql_template_spark.plans import QUERIES
+
+A = "a b c d e f g h"  # the duplicated 8-token phrase
+
+
+def _planted(spark, tmp_path, texts):
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def _run(spark, sf):
+    return {r["doc_id"]: r for r in QUERIES["docs_exactsubstr_clean"](spark, sf).collect()}
+
+
+def test_within_doc_repeat_is_removed(spark, tmp_path):
+    """The Lee-et-al semantics docs_repeated_spans lacks: a phrase
+    repeated twice INSIDE one document is a duplicate."""
+    sf = _planted(spark, tmp_path, [f"{A} q w {A}", "u1 u2 u3 u4 u5 u6 u7 u8 u9"])
+    out = _run(spark, sf)
+    assert out[0]["n_tokens"] == 18
+    assert out[0]["n_removed"] == 16
+    assert out[0]["cleaned_text"] == "q w"
+    assert out[1]["n_removed"] == 0
+    assert out[1]["cleaned_text"] == "u1 u2 u3 u4 u5 u6 u7 u8 u9"
+
+
+def test_cross_doc_phrase_removed_from_both_copies(spark, tmp_path):
+    sf = _planted(
+        spark,
+        tmp_path,
+        [f"x1 x2 {A} x3", f"y1 {A} y2 y3 y4", "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"],
+    )
+    out = _run(spark, sf)
+    assert out[0]["cleaned_text"] == "x1 x2 x3"
+    assert out[1]["cleaned_text"] == "y1 y2 y3 y4"
+    assert out[2]["n_removed"] == 0
+
+
+def test_sub_length_duplicates_survive(spark, tmp_path):
+    """Identical 7-token docs produce no 8-gram: nothing to remove —
+    the length floor is the operator's contract, not an accident."""
+    seven = "s1 s2 s3 s4 s5 s6 s7"
+    sf = _planted(spark, tmp_path, [seven, seven])
+    out = _run(spark, sf)
+    assert out[0]["n_removed"] == 0 and out[1]["n_removed"] == 0
+    assert out[0]["cleaned_text"] == seven
+
+
+def test_case_sensitive_and_whitespace_normalized(spark, tmp_path):
+    upper = A.upper()
+    sf = _planted(
+        spark,
+        tmp_path,
+        [f"\t{A}\n\nk1  k2 ", f"{upper} k3 k4", f"{A} k5 k6"],
+    )
+    out = _run(spark, sf)
+    # doc0/doc2 share the lowercase phrase; doc1's uppercase copy is NOT
+    # a duplicate of it (raw bytes, per the paper)
+    assert out[0]["cleaned_text"] == "k1 k2"
+    assert out[1]["n_removed"] == 0
+    assert out[1]["cleaned_text"] == f"{upper} k3 k4"
+    assert out[2]["cleaned_text"] == "k5 k6"
+    # whitespace collapse + edge trim: tokens counted post-normalization
+    assert out[0]["n_tokens"] == 10
+
+
+def test_fully_covered_doc_cleans_to_empty_string(spark, tmp_path):
+    sf = _planted(spark, tmp_path, [A, A, "w1 w2 w3 w4 w5 w6 w7 w8 w9"])
+    out = _run(spark, sf)
+    assert out[0]["cleaned_text"] == "" and out[0]["n_removed"] == 8
+    assert out[1]["cleaned_text"] == ""
+
+
+def test_oracle_parity_on_planted_fixture(spark, tmp_path):
+    import __spark_entry__ as entrymod
+
+    texts = [
+        f"{A} q w {A}",
+        f"x1 x2 {A} x3",
+        "u1 u2 u3 u4 u5 u6 u7 u8 u9",
+        "\t v1\nv2  v3 v4 v5 v6 v7 v8 v9 ",
+    ]
+    sf = _planted(spark, tmp_path, texts)
+    got = [
+        (r["doc_id"], r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in QUERIES["docs_exactsubstr_clean"](spark, sf).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = con.execute(entrymod.oracle_sql()["docs_exactsubstr_clean"]).fetchall()
+    assert got == [tuple(w) for w in want]
