@@ -38,6 +38,9 @@ K_INDEPENDENT = [
     "text_quality",
     "doc_winnowing_fingerprints",
     "dedup_winnowing_pairs",
+    # round-8 addition (interval-form ExactSubstr cleaning; gram shuffle
+    # measured 98.4x records at 100x data)
+    "docs_exactsubstr_clean",
     # round-6 additions (all blocking adapts to n by construction)
     "docs_quality_classifier",
     "dedup_jaccard_prefix_filter",
@@ -59,11 +62,61 @@ def _time(df) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _calib() -> float:
+    """Single-thread Python work loop — the house co-tenant-load marker."""
+    import time as _t
+
+    t0 = _t.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x ^= hash((i, i * 31))
+    return round(_t.perf_counter() - t0, 3)
+
+
 def main() -> None:
-    small = sys.argv[1] if len(sys.argv) > 1 else "/tmp/docs_scale/small"
-    big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/docs_scale/big"
-    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    # --only NAME runs a single registry plan and exits: the r8 sweep
+    # discovered that measuring many plans in ONE session contaminates
+    # later readings (accumulated checkpoint RDD blocks + GC: 51 s vs
+    # 7.4 s on the same plan — SCALING.md r8 methodology note), so the
+    # round-of-record sweep drives this tool once per plan in fresh
+    # subprocesses.
+    argv = list(sys.argv[1:])
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = argv[i + 1]
+        del argv[i : i + 2]
+    small = argv[0] if len(argv) > 0 else "/tmp/docs_scale/small"
+    big = argv[1] if len(argv) > 1 else "/tmp/docs_scale/big"
+    factor = int(argv[2]) if len(argv) > 2 else 100
     spark = get_spark("bench-docs")
+    if only is not None:
+        if only in ("dedup_semantic_clusters", "split_leakage_scan"):
+            from etl_from_s3_to_postgresql_template_spark.operators.intquant import int8_centroids
+            from etl_from_s3_to_postgresql_template_spark.plans.llm_ops4 import _leak_blocked_pairs
+            from etl_from_s3_to_postgresql_template_spark.plans.llm_ops5 import semantic_dedup_frame
+
+            fn = (
+                semantic_dedup_frame
+                if only == "dedup_semantic_clusters"
+                else _leak_blocked_pairs
+            )
+            t = {
+                "calib": _calib(),
+                "small": _time(fn(spark, small, centroids=int8_centroids(16))),
+                "big": _time(fn(spark, big, centroids=int8_centroids(16 * factor))),
+            }
+            label = f"{only} (k 16->{16 * factor})"
+        else:
+            t = {
+                "calib": _calib(),
+                "small": _time(QUERIES[only](spark, small)),
+                "big": _time(QUERIES[only](spark, big)),
+            }
+            label = only
+        t["ratio"] = round(t["big"] / t["small"], 2)
+        print(json.dumps({label: t}), flush=True)
+        return
     out = {}
     for name in K_INDEPENDENT:
         t = {
