@@ -31,7 +31,10 @@ _PKG = "etl_from_s3_to_postgresql_template_spark"
 _IMPORT_RE = re.compile(
     rf"from {_PKG}\.(\w+)(?:\.(\w+))? import|import {_PKG}\.(\w+)\.(\w+)"
 )
-# @query("name", ...) registration sites (the only registration mechanism).
+# Matches @query registration sites (the only registration mechanism).
+# NB: this module lives in plans/ and is scanned by query_module_map too,
+# so no text here may look like a real registration call — a literal
+# example in this comment once produced a phantom registry entry.
 _QUERY_RE = re.compile(r"@query\(\s*\n?\s*[\"']([A-Za-z0-9_]+)[\"']")
 
 STAMPS_FILE = Path(__file__).with_name("_verified_stamps.json")
