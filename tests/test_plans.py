@@ -312,8 +312,13 @@ def test_r6_classifier_and_bm25_plan_shapes(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "partial_count" in bm25 or "partial_sum" in bm25  # map-side combine
-    plan2 = _plan(spark, "text_bm25_topk")
-    assert "doc_id:bigint,text:string" in plan2  # column pruning held
+    # r8 single-scan restructure: both consumers read the materialized
+    # per-doc counts frame (doc_id + dl + per-term tf, no text column) —
+    # the corpus text is tokenized exactly once, behind the checkpoint
+    assert "Scan ExistingRDD[doc_id" in bm25
+    for ln in bm25.splitlines():
+        if "Scan ExistingRDD" in ln:
+            assert "text" not in ln and "dl" in ln and "tf1" in ln, ln
 
 
 def test_r6_range_query_corpus_never_shuffles(spark):
