@@ -55,8 +55,9 @@ K_INDEPENDENT = [
 ]
 
 
-def _time(df) -> float:
-    df.write.format("noop").mode("overwrite").save()  # warm
+def _time(df, warms: int = 1) -> float:
+    for _ in range(warms):
+        df.write.format("noop").mode("overwrite").save()
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - t0, 3)
@@ -103,15 +104,17 @@ def main() -> None:
             )
             t = {
                 "calib": _calib(),
-                "small": _time(fn(spark, small, centroids=int8_centroids(16))),
-                "big": _time(fn(spark, big, centroids=int8_centroids(16 * factor))),
+                "small": _time(fn(spark, small, centroids=int8_centroids(16)), warms=2),
+                "big": _time(fn(spark, big, centroids=int8_centroids(16 * factor)), warms=2),
             }
             label = f"{only} (k 16->{16 * factor})"
         else:
+            # fresh-session steady state needs TWO warm passes (JIT +
+            # Python-worker ramp; one warm measured 2.3x the steady wall)
             t = {
                 "calib": _calib(),
-                "small": _time(QUERIES[only](spark, small)),
-                "big": _time(QUERIES[only](spark, big)),
+                "small": _time(QUERIES[only](spark, small), warms=2),
+                "big": _time(QUERIES[only](spark, big), warms=2),
             }
             label = only
         t["ratio"] = round(t["big"] / t["small"], 2)
