@@ -70,6 +70,9 @@ DOCS_HEAVY = [
     # loop the product never runs).
     "doc_winnowing_fingerprints_fast",
     "dedup_winnowing_pairs_fast",
+    # r8 addition: ExactSubstr corpus cleaning (interval form) — the new
+    # north-star operator, tracked from its first round.
+    "docs_exactsubstr_clean",
 ]
 
 
