@@ -49,7 +49,7 @@ from pyspark.sql.window import Window as W
 from etl_from_s3_to_postgresql_template_spark.plans.registry import query
 from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
 
-__all__ = ["docs_exactsubstr_clean"]
+__all__ = ["docs_exactsubstr_clean", "text_token_count_cjk"]
 
 _ESS_N = 8  # gram length in tokens
 
@@ -180,3 +180,68 @@ def docs_exactsubstr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array_join(kept, " "))
         .alias("cleaned_text"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# text_token_count_cjk — Unicode-aware token counting (VERDICT r7 item 8b)
+# ---------------------------------------------------------------------------
+#
+# The repo's tokenizers are deliberately ASCII-whitespace-pinned, which
+# under-counts unsegmented CJK text (a 500-character Chinese document is
+# ONE whitespace token). This entry adds the standard no-segmenter
+# fallback used by CCNet/mC4-shaped pipelines: every Han / Hiragana /
+# Katakana codepoint counts as its own token, and the remaining text
+# tokenizes by whitespace after the CJK codepoints are replaced with
+# spaces. Both engines evaluate the SAME Unicode script properties
+# (Java regex \p{IsHan} == RE2 \p{Han} — verified byte-identical on
+# mixed zh/ja/en text before this entry landed), and every output is an
+# exact integer, so cross-engine parity is unconditional.
+#
+# The synthetic documents fixture is ASCII (n_cjk = 0 corpus-wide), so
+# the registry pair proves the ASCII half; the planted zh/ja fixture
+# parity test in tests/test_llm_ops8.py proves the CJK half against
+# DuckDB on real mixed-script text.
+
+_CJK_JAVA = r"[\p{IsHan}\p{IsHiragana}\p{IsKatakana}]"
+_CJK_RE2 = r"[\p{Han}\p{Hiragana}\p{Katakana}]"
+
+_CJK_ORACLE = rf"""
+    WITH t AS (
+      SELECT doc_id,
+             length(text) - length(regexp_replace(text, '{_CJK_RE2}', '', 'g'))
+               AS n_cjk,
+             len(list_filter(
+                 string_split_regex(regexp_replace(text, '{_CJK_RE2}', ' ', 'g'),
+                                    '\s+'),
+                 x -> x <> '')) AS n_ws
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_cjk AS BIGINT) AS n_cjk, CAST(n_ws AS BIGINT) AS n_ws,
+           CAST(n_cjk + n_ws AS BIGINT) AS n_tokens_unicode
+    FROM t ORDER BY doc_id
+    """
+
+
+@query("text_token_count_cjk", oracle=_CJK_ORACLE)
+def text_token_count_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-aware token count (module comment above): per doc,
+    ``n_cjk`` (Han/Hiragana/Katakana codepoints — each its own token),
+    ``n_ws`` (whitespace tokens of the text with CJK replaced by
+    spaces), and their sum. Pure codegen expressions — two regex passes
+    and a split per doc, one scan, no shuffle beyond the output sort; at
+    100 TB this is a projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_cjk = (
+        F.length("text") - F.length(F.regexp_replace("text", _CJK_JAVA, ""))
+    ).cast("long")
+    repl = F.regexp_replace("text", _CJK_JAVA, " ")
+    n_ws = F.size(F.filter(F.split(repl, r"\s+"), lambda x: x != "")).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            n_cjk.alias("n_cjk"),
+            n_ws.alias("n_ws"),
+            (n_cjk + n_ws).alias("n_tokens_unicode"),
+        )
+        .orderBy("doc_id")
+    )

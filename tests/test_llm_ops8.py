@@ -104,3 +104,66 @@ def test_oracle_parity_on_planted_fixture(spark, tmp_path):
     )
     want = con.execute(entrymod.oracle_sql()["docs_exactsubstr_clean"]).fetchall()
     assert got == [tuple(w) for w in want]
+
+
+# ---------------------------------------------------------------------------
+# text_token_count_cjk
+# ---------------------------------------------------------------------------
+
+
+def test_cjk_token_count_planted_semantics(spark, tmp_path):
+    """The no-segmenter CJK fallback: each Han/Hiragana/Katakana
+    codepoint is its own token; the remainder tokenizes by whitespace."""
+    sf = _planted(
+        spark,
+        tmp_path,
+        [
+            "hello world",                # 0: pure ASCII
+            "中文处理很重要",              # 1: pure Han, no whitespace
+            "学习 spark 很有趣",           # 2: mixed with spaces
+            "abc中def",                   # 3: CJK splits an ASCII run
+            "日本語のテキストとカナです",    # 4: Han+Hiragana+Katakana mix
+            "  \t mixed 空白 \n ",         # 5: messy whitespace
+            "",                           # 6: empty
+        ],
+    )
+    out = {
+        r["doc_id"]: r for r in QUERIES["text_token_count_cjk"](spark, sf).collect()
+    }
+    assert (out[0]["n_cjk"], out[0]["n_ws"]) == (0, 2)
+    assert (out[1]["n_cjk"], out[1]["n_ws"]) == (7, 0)
+    assert (out[2]["n_cjk"], out[2]["n_ws"]) == (5, 1)  # spark only
+    # "abc中def": the CJK char becomes a separator -> abc, def
+    assert (out[3]["n_cjk"], out[3]["n_ws"], out[3]["n_tokens_unicode"]) == (1, 2, 3)
+    # 日本語 (Han x3) + のテキストとカナです: の/と/です hiragana (4),
+    # テキスト katakana (4), カナ katakana (2) -> 3 + 10 = 13 cjk
+    assert (out[4]["n_cjk"], out[4]["n_ws"]) == (13, 0)
+    assert (out[5]["n_cjk"], out[5]["n_ws"]) == (2, 1)
+    assert (out[6]["n_cjk"], out[6]["n_ws"], out[6]["n_tokens_unicode"]) == (0, 0, 0)
+
+
+def test_cjk_token_count_duckdb_parity_on_mixed_script(spark, tmp_path):
+    """The cross-engine half the ASCII fixtures can't prove: Java
+    \\p{IsHan} and RE2 \\p{Han} must classify identical codepoint sets
+    on real mixed zh/ja/en text."""
+    import __spark_entry__ as entrymod
+
+    texts = [
+        "深度学习模型需要大量训练数据 machine learning 数据清洗",
+        "データパイプラインを構築する tokenizer の評価",
+        "pure ascii text only",
+        "句読点、テスト。中英 mixed 123 数字",
+        "ひらがなだけのぶんしょう",
+    ]
+    sf = _planted(spark, tmp_path, texts)
+    got = [
+        (r["doc_id"], r["n_cjk"], r["n_ws"], r["n_tokens_unicode"])
+        for r in QUERIES["text_token_count_cjk"](spark, sf).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = con.execute(entrymod.oracle_sql()["text_token_count_cjk"]).fetchall()
+    assert got == [tuple(w) for w in want]
