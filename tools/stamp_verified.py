@@ -7,7 +7,26 @@ driver actually verified), NOT the working tree. Queries edited since the
 snapshot therefore mismatch on load and rotate back into the driver's
 checked prefix.
 
-Usage: python tools/stamp_verified.py <git-ref> [CORRECTNESS.json ...]
+Two usage forms:
+
+  python tools/stamp_verified.py <git-ref> [CORRECTNESS.json ...]
+      Single-snapshot form (historical): stamp every green name across the
+      given files at ONE tree. Safe only when every green name is known
+      untouched since its verifying round — otherwise an entry green in an
+      old round but edited since gets a falsely-current stamp.
+
+  python tools/stamp_verified.py <ref>=<file> [<ref>=<file> ...]
+      Per-round form (preferred): each CORRECTNESS file is stamped at the
+      tree its driver run actually verified; later pairs override earlier
+      ones for the same name. An entry green in round N but edited in round
+      M>N keeps its round-N fingerprint, mismatches the current tree, and
+      correctly rotates back into the checked prefix.
+
+Greenness: rows+schema+hash all matched, OR the entry is rows-only by
+design (err == "no_oracle") and the driver ran it clean with spark_rows > 0
+— that weaker check is still a driver ratification of the plan as-built,
+and stamping it stops rows-only entries from permanently occupying the
+driver's bounded prefix (they'd re-queue on any source edit regardless).
 """
 
 from __future__ import annotations
@@ -27,7 +46,13 @@ def green_names(path: Path) -> set[str]:
     data = json.loads(path.read_text())
     out = set()
     for name, rec in data.items():
-        if not isinstance(rec, dict) or rec.get("err"):
+        if not isinstance(rec, dict):
+            continue
+        err = rec.get("err")
+        if err == "no_oracle" and (rec.get("spark_rows") or 0) > 0:
+            out.add(name)  # rows-only by design; driver ran it clean
+            continue
+        if err:
             continue
         if rec.get("rows_match") and rec.get("hash_match", True) and rec.get(
             "schema_match", True
@@ -36,27 +61,53 @@ def green_names(path: Path) -> set[str]:
     return out
 
 
-def main() -> int:
-    ref = sys.argv[1] if len(sys.argv) > 1 else "HEAD"
-    files = [Path(p) for p in sys.argv[2:]] or sorted(
-        Path("/root/repo").glob("CORRECTNESS_r*.json")
-    )
-    verified: set[str] = set()
-    for f in files:
-        verified |= green_names(f)
-
+def snapshot_fingerprints(ref: str) -> dict[str, str]:
     with tempfile.TemporaryDirectory() as td:
         tar = subprocess.run(
             ["git", "-C", "/root/repo", "archive", ref], capture_output=True, check=True
         )
         subprocess.run(["tar", "-x", "-C", td], input=tar.stdout, check=True)
-        snap_fp = provenance.fingerprint_all(td)
+        return provenance.fingerprint_all(td)
 
-    stamps = {n: snap_fp[n] for n in sorted(verified) if n in snap_fp}
-    provenance.STAMPS_FILE.write_text(json.dumps(stamps, indent=1, sort_keys=True) + "\n")
-    missing = sorted(verified - set(snap_fp))
-    print(f"stamped {len(stamps)} queries from {ref}; {len(missing)} green names "
-          f"not in snapshot registry: {missing}")
+
+def main() -> int:
+    argv = sys.argv[1:]
+    stamps: dict[str, str] = {}
+    missing: set[str] = set()
+
+    if argv and all("=" in a for a in argv):
+        for pair in argv:  # per-round form, later rounds override
+            ref, _, fname = pair.partition("=")
+            snap_fp = snapshot_fingerprints(ref)
+            names = green_names(Path(fname))
+            for n in sorted(names):
+                if n in snap_fp:
+                    stamps[n] = snap_fp[n]
+                else:
+                    missing.add(n)
+            print(f"  {fname} @ {ref}: {len(names)} green")
+    else:
+        ref = argv[0] if argv else "HEAD"
+        files = [Path(p) for p in argv[1:]] or sorted(
+            Path("/root/repo").glob("CORRECTNESS_r*.json")
+        )
+        verified: set[str] = set()
+        for f in files:
+            verified |= green_names(f)
+        snap_fp = snapshot_fingerprints(ref)
+        stamps = {n: snap_fp[n] for n in sorted(verified) if n in snap_fp}
+        missing = verified - set(snap_fp)
+
+    provenance.STAMPS_FILE.write_text(
+        json.dumps(stamps, indent=1, sort_keys=True) + "\n"
+    )
+    current = provenance.fingerprint_all()
+    valid = sum(1 for n, fp in stamps.items() if current.get(n) == fp)
+    print(
+        f"stamped {len(stamps)} queries ({valid} valid against working tree, "
+        f"{len(current) - valid} of {len(current)} registered unstamped); "
+        f"{len(missing)} green names not in any snapshot registry: {sorted(missing)}"
+    )
     return 0
 
 
