@@ -37,6 +37,38 @@ length-mismatched pair (zip_with pads with NULL); the kernels mirror
 that.  NULL *elements* inside an array are out of contract (the
 embeddings tables have none): the expression would yield NULL, the
 kernel yields NaN.
+
+NaN at the Arrow boundary (ADVICE r8, medium): the kernels COMPUTE NaN
+for zero-norm / zero-dim rows — the IEEE 0/0 the DuckDB oracle also
+computes (``list_dot_product`` twins divide through; DuckDB keeps NaN
+and treats it as the largest double, so ``NaN >= tau`` retains the
+row).  But Spark's pandas_udf serializer (pa.Array.from_pandas,
+from-pandas semantics) masks float64 NaN to SQL NULL on the way back to
+the JVM, so left alone a zero-norm row silently flips to NULL semantics
+and filters drop it.  NOTE the expression twin is NOT the arbiter here:
+Spark's non-ANSI ``Divide`` returns NULL on a zero divisor even for
+doubles (verified: ``lit(0.0)/lit(0.0)`` is NULL, not NaN), so the
+interpreted fold expressions ALSO dropped zero-norm rows — a
+pre-existing, fixture-invisible divergence from the oracle that the
+ADVICE finding surfaced.  The contract is IEEE/oracle semantics, and
+the Column wrappers below RESTORE NaN JVM-side: a kernel NULL on a
+well-formed input (non-null array / matching lengths — recomputed as
+cheap codegen predicates) can only be a masked NaN, so ``coalesce(
+kernel, when(well_formed, NaN))`` is exact — genuine input NULLs stay
+NULL, masked NaNs come back.  Plans must call :func:`fold_cosine_col` /
+:func:`cell_best_cos` rather than the raw udfs; the full-plan zero-norm
+path (candidate AND query side) is session-tested in
+tests/test_foldvec.py.
+
+Partial-NaN impossibility (ADVICE r8, low): inside ``make_cell_best_udf``
+a NaN cosine never updates the running best, which would diverge from
+``array_max`` (NaN sorts largest) if only SOME centroids produced NaN.
+For float32 inputs that cannot happen: |x_j| <= 3.4e38 so each product
+<= 1.2e77 and a 64-term sum <= 7.5e78 — far below the 1.8e308 float64
+overflow, so no inf and no inf/inf NaN.  The only NaN source is 0/0,
+i.e. a zero-norm x, which makes EVERY centroid cosine NaN at once; the
+all-NaN branch reproduces array_max's choice (largest cell index, NaN
+cos) exactly.
 """
 
 from __future__ import annotations
@@ -55,7 +87,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["fold_cosine_col", "make_fold_cosine_udf", "make_cell_best_udf"]
+__all__ = [
+    "cell_best_cos",
+    "fold_cosine_col",
+    "make_fold_cosine_udf",
+    "make_cell_best_udf",
+]
+
+_NAN = float("nan")
 
 
 def _seq_fold_matrix(p: np.ndarray) -> np.ndarray:
@@ -112,10 +151,31 @@ def make_fold_cosine_udf():
 
 
 def fold_cosine_col(a: Column | str, b: Column | str) -> Column:
-    """Column form of the fold-cosine kernel (what plans call)."""
+    """Column form of the fold-cosine kernel (what plans call), with the
+    Arrow NaN->NULL masking undone JVM-side: the kernel yields NULL for
+    a null/length-mismatched input OR a masked NaN (zero-norm/zero-dim
+    row); the two are separated by re-testing well-formedness as codegen
+    predicates.  Bit-identical to the expression twin ``cosine_col(
+    as_double_vec(a), as_double_vec(b))`` wherever the twin is defined;
+    on zero-norm/zero-dim rows this column is NaN (IEEE 0/0 — what the
+    DuckDB oracle computes) where the twin is NULL (Spark's non-ANSI
+    divide-by-zero) — see the module docstring."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
-    return make_fold_cosine_udf()(ca, cb)
+    raw = make_fold_cosine_udf()(ca, cb)
+    well_formed = ca.isNotNull() & cb.isNotNull() & (F.size(ca) == F.size(cb))
+    return F.coalesce(raw, F.when(well_formed, F.lit(_NAN)))
+
+
+def cell_best_cos(cb: Column) -> Column:
+    """Restore the ``cos`` field of a :func:`make_cell_best_udf` output
+    struct: the kernel emits (cell, NaN) for a zero-norm vector, Arrow
+    masks the NaN to NULL, and a struct with a non-null ``cell`` but a
+    NULL ``cos`` can ONLY be that masked NaN (ill-formed inputs null
+    both fields).  Callers must treat the restored NaN as "angle
+    unknown" and keep the row on the conservative side of any prune
+    (similarity_range_query maps it to theta = pi)."""
+    return F.coalesce(cb["cos"], F.when(cb["cell"].isNotNull(), F.lit(_NAN)))
 
 
 def make_cell_best_udf(unit_centroids: Sequence[Sequence[float]]):
@@ -128,10 +188,14 @@ def make_cell_best_udf(unit_centroids: Sequence[Sequence[float]]):
     the downstream theta is computed by the same java.lang.Math as the
     expression form.
 
-    Zero-norm vectors give cos = NaN against every centroid; array_max
-    then picks the largest cell index and the JVM clamp maps NaN -> 1.0
-    (Spark least/greatest treat NaN as largest).  The kernel mirrors the
-    cell choice and emits NaN, leaving the clamp to the JVM."""
+    Zero-norm vectors give cos = NaN against every centroid (and ONLY
+    zero-norm vectors — see the partial-NaN impossibility note in the
+    module docstring); the kernel assigns them the largest cell index
+    (the array_max tie rule) and computes NaN for cos, but the Arrow
+    return boundary masks that NaN to NULL — callers MUST read the cos
+    field through :func:`cell_best_cos`, which restores the NaN, and
+    then handle it conservatively (the cell choice is meaningless for a
+    zero-norm vector; only never-pruning it is correct)."""
     u = np.asarray([[float(x) for x in c] for c in unit_centroids], dtype=np.float64)
     n_cells, dim = u.shape
 

@@ -345,8 +345,25 @@ def similarity_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged while the dominant per-row constant (142 s executor time at
     500k docs, SCALING.md r7 decomposition) leaves the interpreted path.
     acos/clamp stay JVM-side on the kernel's cos output; the 1e-9 eps
-    budget never depended on acos bit-parity."""
+    budget never depended on acos bit-parity.
+
+    Zero-norm rows (round 9, closing ADVICE r8 medium): the oracle's
+    IEEE arithmetic gives a zero-norm vector cosine NaN against
+    everything, and NaN >= tau holds in both engines — so a zero-norm
+    query matches every candidate and a zero-norm candidate matches
+    every query, cosine NaN.  The kernel path now reproduces that
+    exactly: fold_cosine_col restores the Arrow-masked NaN (the verify
+    filter then keeps the row), a zero-norm CANDIDATE takes theta_cx =
+    pi ("angle unknown" — never prunable, and it keeps its cell's
+    max_theta conservative), and a zero-norm QUERY takes theta_qc = 0
+    (prunes no cell, no candidate).  Both Spark forms previously
+    diverged from the oracle here — the expression twin because Spark's
+    non-ANSI divide yields NULL (not NaN) on a zero divisor, the raw
+    kernel because Arrow masks NaN to NULL — invisible on the fixtures
+    (no zero vectors) but a real contract hole; session-tested through
+    the full plan in tests/test_foldvec.py."""
     from etl_from_s3_to_postgresql_template_spark.functions.foldvec import (
+        cell_best_cos,
         fold_cosine_col,
         make_cell_best_udf,
     )
@@ -377,14 +394,20 @@ def similarity_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # nearest cell by max cosine: the Arrow fold kernel's (cell, cos)
     # struct is the bit-exact twin of array_max over (cos, idx) structs
-    # (1 norm + 16 dots per row, vectorized); acos/clamp stay JVM-side
+    # (1 norm + 16 dots per row, vectorized); acos/clamp stay JVM-side,
+    # reading cos through cell_best_cos so a zero-norm row's NaN (masked
+    # to NULL at the Arrow boundary) is visible — it takes theta_cx = pi
+    # ("angle unknown"), which no prune can ever drop
+    _cbcos = cell_best_cos(F.col("_cb"))
     assigned = (
         cand.withColumn("_cb", make_cell_best_udf(unit)(F.col("nv")))
         .select(
             "n_id",
             "nv",
             F.col("_cb.cell").alias("cell"),
-            F.acos(_clamp(F.col("_cb.cos"))).alias("theta_cx"),
+            F.when(F.isnan(_cbcos), F.lit(math.pi))
+            .otherwise(F.acos(_clamp(_cbcos)))
+            .alias("theta_cx"),
         )
         .localCheckpoint(eager=False)  # one assignment pass feeds summary + members
     )
@@ -405,12 +428,25 @@ def similarity_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                     *[
                         F.struct(
                             F.lit(i).alias("cell"),
-                            F.acos(
-                                _clamp(
-                                    dot_col(qv, F.array(*[F.lit(float(x)) for x in cu]))
-                                    / F.col("_qn")
+                            # zero-norm query: Spark's divide yields NULL
+                            # (not IEEE NaN) on _qn = 0; take theta_qc = 0
+                            # ("at the centroid") so NO cell and NO
+                            # candidate is pruned — the exact verify then
+                            # emits every pair with cosine NaN, like the
+                            # oracle's 0/0
+                            F.when(F.col("_qn") == 0.0, F.lit(0.0))
+                            .otherwise(
+                                F.acos(
+                                    _clamp(
+                                        dot_col(
+                                            qv,
+                                            F.array(*[F.lit(float(x)) for x in cu]),
+                                        )
+                                        / F.col("_qn")
+                                    )
                                 )
-                            ).alias("theta_qc"),
+                            )
+                            .alias("theta_qc"),
                         )
                         for i, cu in enumerate(unit)
                     ]
@@ -785,6 +821,12 @@ _PCA_GATE_ORACLE = """
            CAST(SUM(cm) AS BIGINT) AS trace_micro,
            TRUE AS eig_trace_ok, TRUE AS proj_var_ok, TRUE AS orthonormal_ok
     FROM c
+    -- degenerate-input guard, mirroring the plan's < 2 early return: with
+    -- n = 1 the var_samp denominator dd = 0 and HUGEINT // 0 is NULL, so
+    -- without this the oracle would emit a (1, NULL, TRUE, ...) row the
+    -- plan (correctly) never produces (ADVICE r8).  HAVING, not WHERE: the
+    -- scalar aggregate would still emit its one row past a WHERE filter
+    HAVING (SELECT COUNT(*) FROM embeddings) >= 2
     """
 
 
@@ -807,7 +849,24 @@ def embedding_pca_variance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
       linear map (centering + loadings) to the spectrum; a wrong mean or
       a transposed/garbled component matrix lands far outside tolerance.
     - ``orthonormal_ok``: max |C C^T - I| < 1e-9 over the full component
-      matrix (driver-side numpy; d x d)."""
+      matrix (driver-side numpy; d x d).
+
+    Oracle semantics, stated plainly so the green row is not over-read
+    (VERDICT r8 item 4): ``trace_micro`` is the HARD cross-engine cell —
+    the DuckDB twin recomputes it independently through the same integer
+    micro-unit pipeline, so a hash match pins Spark's covariance diagonal
+    to an exact statistic a second engine derived from the raw parquet.
+    The three ``*_ok`` flags are TRUE literals in the oracle: eigh has no
+    SQL twin, so those identities are computed Spark-side and
+    SELF-ATTESTED — their evidentiary weight comes from (a) being tied to
+    the oracle-pinned trace (eig_trace_ok compares the spectrum's sum to
+    trace_micro, so a wrong spectrum cannot attest itself against a
+    correct trace) and (b) the planted-defect test in
+    tests/test_llm_ops7.py, which rescales one fitted component by 1% and
+    verifies the identities land orders of magnitude outside tolerance
+    (breaking both the projected-variance tie and orthonormality) — the
+    oracle hash alone would not catch a defect that perturbs only an
+    ``*_ok`` flag."""
     from etl_from_s3_to_postgresql_template_spark.operators.pca import (
         PcaModel,
         fit_pca,

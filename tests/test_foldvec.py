@@ -160,3 +160,90 @@ def test_fold_cosine_matches_expression_on_real_embeddings(spark):
     assert len(rows) > 100
     for r in rows:
         assert _bits(r["k"]) == _bits(r["e"])
+
+
+def test_fold_cosine_nan_restored_through_arrow_boundary(spark):
+    """ADVICE r8 (medium): the kernel computes NaN for zero-norm rows but
+    Spark's Arrow serializer masks float NaN to SQL NULL — fold_cosine_col
+    must restore it JVM-side so filters see NaN (kept: NaN >= tau, the
+    DuckDB oracle's IEEE semantics), while genuine input NULLs stay NULL.
+    This runs through a REAL session (the boundary the pure-Python fuzz
+    layer cannot exercise).  NB the expression twin is NOT the arbiter on
+    zero-norm rows: Spark's non-ANSI divide yields NULL (not NaN) on a
+    zero divisor, so the twin diverges from the oracle there — asserted
+    below so the divergence stays documented."""
+    from pyspark.sql import functions as F
+
+    from etl_from_s3_to_postgresql_template_spark.functions.foldvec import (
+        fold_cosine_col,
+    )
+    from etl_from_s3_to_postgresql_template_spark.functions.vectors import (
+        as_double_vec,
+        cosine_col,
+    )
+
+    rows = [
+        ([0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),   # zero-norm -> kernel NaN
+        ([1.0, 2.0, 3.0], [1.0, 2.0, 3.0]),   # ordinary -> finite
+        (None, [1.0, 2.0, 3.0]),              # NULL array -> NULL
+        ([1.0, 2.0], [1.0, 2.0, 3.0]),        # length mismatch -> NULL
+        ([], []),                             # zero-dim -> 0/0 = kernel NaN
+    ]
+    df = spark.createDataFrame(rows, "a array<float>, b array<float>")
+    got = df.select(
+        fold_cosine_col("a", "b").alias("k"),
+        cosine_col(as_double_vec(F.col("a")), as_double_vec(F.col("b"))).alias("e"),
+        F.col("k").isNull().alias("k_null"),
+        F.isnan(F.coalesce(F.col("k"), F.lit(0.0))).alias("k_nan"),
+    ).collect()
+    # kernel: NULL only for ill-formed input; NaN restored through Arrow
+    assert [r["k_null"] for r in got] == [False, False, True, True, False]
+    assert [r["k_nan"] for r in got] == [True, False, False, False, True]
+    # bit-parity with the expression twin wherever the twin is defined
+    for r in got:
+        if r["e"] is not None:
+            assert _bits(r["k"]) == _bits(r["e"]), r
+    # the documented twin divergence: Spark divide-by-zero -> NULL on the
+    # zero-norm and zero-dim rows (the kernel's NaN is the oracle's value)
+    assert got[0]["e"] is None and got[4]["e"] is None
+    assert got[1]["e"] is not None
+
+
+def test_range_query_zero_norm_vector_full_plan(spark, tmp_path):
+    """A planted zero-norm embedding through the FULL similarity_range_query
+    plan: under the NaN contract (Spark and DuckDB both treat NaN as the
+    largest double, so NaN >= tau keeps the row) the zero vector must
+    appear as a match with NaN cosine for every query — the pre-fix kernel
+    path silently dropped it (NaN masked to NULL at the Arrow boundary)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_from_s3_to_postgresql_template_spark.plans import QUERIES
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal(64)
+    vecs = [base + rng.standard_normal(64) * 0.05 for _ in range(30)]
+    vecs.append(np.zeros(64))  # vec_id 30: the planted zero-norm candidate
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], i % 3) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    out = QUERIES["similarity_range_query"](spark, sf)
+    rows = out.withColumn("is_nan", F.isnan("cosine")).collect()
+    nan_pairs = {(r["q_id"], r["n_id"]) for r in rows if r["is_nan"]}
+    # every query (vec_id < 16) matches the zero vector, cosine NaN
+    assert nan_pairs == {(q, 30) for q in range(16)}
+    # and the finite part still equals brute force over the real vectors
+    x = np.stack([np.asarray(v, dtype=np.float32).astype(np.float64) for v in vecs[:30]])
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = xn @ xn.T
+    brute = {
+        (q, n)
+        for q in range(16)
+        for n in range(30)
+        if q != n and sims[q, n] >= 0.3
+    }
+    finite_pairs = {(r["q_id"], r["n_id"]) for r in rows if not r["is_nan"]}
+    assert finite_pairs == brute and len(brute) > 0

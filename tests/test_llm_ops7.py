@@ -1257,3 +1257,31 @@ def test_pca_variance_gate_degenerate_input_empty_frame(spark, tmp_path):
         "proj_var_ok",
         "orthonormal_ok",
     ]
+
+
+def test_pca_variance_gate_oracle_degenerate_parity(spark, tmp_path):
+    """ADVICE r8 (low): on a single-vector corpus the plan returns an
+    empty frame; the oracle must too (its var_samp denominator is 0 and
+    HUGEINT // 0 is NULL, so without the cardinality guard it emitted a
+    spurious (1, NULL, TRUE, ...) row)."""
+    import duckdb
+
+    from etl_from_s3_to_postgresql_template_spark.plans import ORACLE
+
+    sf = _planted_embeddings(spark, tmp_path, [[1.0, 2.0, 3.0]])
+    con = duckdb.connect()
+    con.execute(
+        # Spark writes a directory of part files; glob inside it
+        f"CREATE VIEW embeddings AS SELECT * "
+        f"FROM read_parquet('{sf}/embeddings.parquet/*.parquet')"
+    )
+    rows = con.execute(ORACLE["embedding_pca_variance_gate"]).fetchall()
+    assert rows == []  # matches the plan's < 2-vector empty-frame contract
+    # and the guard must not fire on a healthy corpus
+    con2 = duckdb.connect()
+    con2.execute(
+        "CREATE VIEW embeddings AS SELECT * "
+        "FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    healthy = con2.execute(ORACLE["embedding_pca_variance_gate"]).fetchall()
+    assert len(healthy) == 1 and healthy[0][1] is not None
