@@ -53,10 +53,26 @@ __all__ = ["docs_exactsubstr_clean", "text_token_count_cjk"]
 
 _ESS_N = 8  # gram length in tokens
 
+#: per-doc hit-window cap (VERDICT r8 item 7): bounds the interval-merge
+#: input for pathological near-fully-duplicated long documents. A doc with
+#: more duplicated windows than this is treated as FULLY duplicated
+#: (cleaned to '', n_removed = n_tokens — conservative over-removal, in
+#: the cleaning direction) and reported via return_capped. Hits per doc
+#: are bounded by doc length, so at this default the cap can only fire on
+#: a >100k-token document that is also massively duplicated; the fixtures
+#: and the 500k-doc stress corpus never reach it (oracle unchanged).
+_ESS_MAX_HITS_PER_DOC = 100_000
+
+#: ASCII whitespace, pinned EXPLICITLY on the oracle side (ADVICE r8):
+#: Java's \s is [ \t\n\x0B\f\r] but RE2's \s omits \x0B (vertical tab),
+#: so a bare '\s+' in the DuckDB twin silently diverges on \x0B-bearing
+#: text. Both engines now split on the identical byte set.
+_WS_RE2 = r"[ \t\n\x0B\f\r]+"
+
 _ESS_ORACLE = rf"""
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+             list_filter(string_split_regex(trim(text), '{_WS_RE2}'), x -> x <> '') AS t
       FROM documents
     ), base AS (
       SELECT doc_id, len(t) AS n_tokens, t FROM t WHERE len(t) >= 1
@@ -91,7 +107,13 @@ _ESS_ORACLE = rf"""
 
 
 @query("docs_exactsubstr_clean", oracle=_ESS_ORACLE)
-def docs_exactsubstr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+def docs_exactsubstr_clean(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_hits_per_doc: int = _ESS_MAX_HITS_PER_DOC,
+    return_capped: bool = False,
+) -> DataFrame:
     """ExactSubstr removal (module docstring): per document, the text
     with every token covered by a corpus-duplicated {n}-token window
     removed (>= 2 occurrences ANYWHERE, same-document repeats included),
@@ -114,7 +136,21 @@ def docs_exactsubstr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplication-heavy stress corpus, where covered ~ all positions. The
     interval form shuffles only grams and hits — SCALING.md r8.)
     n_removed counts covered tokens, so n_removed/sum(n_tokens) is the
-    paper's removed-fraction statistic for free."""
+    paper's removed-fraction statistic for free.
+
+    Worst-case guard (VERDICT r8 item 7, the minhash cap-and-report
+    convention): the hits shuffle and the per-doc interval sort are
+    proportional to duplicated positions, so a pathological
+    near-fully-duplicated LONG document could funnel an unbounded hit
+    stream through one doc partition. Per-doc hit-window counts above
+    ``max_hits_per_doc`` short-circuit: the doc is treated as fully
+    duplicated (cleaned_text = '', n_removed = n_tokens — over-removal
+    only ever in the cleaning direction, never under-removal) and its
+    hits skip the interval machinery, bounding every doc partition at
+    the cap. Pass ``return_capped=True`` for the (doc_id, hit_cnt)
+    report of what was capped — no silent caps. At the 100k default the
+    fixtures and the 500k stress corpus never trigger it (oracle
+    unchanged); planted pathological test in tests/test_llm_ops8.py."""
     docs = load_table(spark, sf_dir, "documents")
     n = _ESS_N
     # edge-trim AFTER collapsing: "\tfoo" must tokenize as ['foo'], not
@@ -136,14 +172,26 @@ def docs_exactsubstr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.withColumn("occ", F.count(F.lit(1)).over(W.partitionBy("gm")))
         .where(F.col("occ") >= 2)
         .select("doc_id", "pos", (F.col("pos") + (n - 1)).alias("end"))
+        # per-doc hit count for the cap guard: same doc_id partitioning
+        # the interval windows below need, so this costs no extra
+        # exchange; the lazy checkpoint materializes the windowed frame
+        # ONCE for its two consumers (interval path + capped report)
+        .withColumn("hit_cnt", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+        .localCheckpoint(eager=False)
     )
+    capped = (
+        hits.where(F.col("hit_cnt") > max_hits_per_doc)
+        .groupBy("doc_id")
+        .agg(F.max("hit_cnt").alias("hit_cnt"))
+    )
+    ok_hits = hits.where(F.col("hit_cnt") <= max_hits_per_doc)
     # interval merge (gaps of 0 between hit windows merge; result is
     # sorted + disjoint, so reconstruction needs no distinct/explode):
     # new island when pos > 1 + running max of prior ends
     wd = W.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max("end").over(wd.rowsBetween(W.unboundedPreceding, -1))
     isl = (
-        hits.withColumn(
+        ok_hits.withColumn(
             "new_isl",
             F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
         )
@@ -155,7 +203,9 @@ def docs_exactsubstr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_list(F.struct("s", "e"))).alias("iv"),
         F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("n_removed"),
     )
-    out = base.join(ivs, "doc_id", "left")
+    out = base.join(ivs, "doc_id", "left").join(
+        capped.select("doc_id", F.lit(True).alias("_capped")), "doc_id", "left"
+    )
     toks = F.split("norm", " ")
     n_tok = F.size(toks)
     # kept ranges are the gaps between intervals: starts = [1, e_i + 1],
@@ -171,15 +221,22 @@ def docs_exactsubstr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: F.slice(toks, a, F.greatest(b - a + F.lit(1), F.lit(0))),
         )
     )
-    return out.select(
+    cleaned = out.select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
-        F.coalesce(F.col("n_removed"), F.lit(0).cast("long")).alias("n_removed"),
-        # fast path: no intervals -> the normalized text verbatim
-        F.when(F.col("iv").isNull(), F.col("norm"))
+        F.when(F.col("_capped"), n_tok.cast("long"))
+        .otherwise(F.coalesce(F.col("n_removed"), F.lit(0).cast("long")))
+        .alias("n_removed"),
+        # capped doc: treated as fully duplicated; fast path: no
+        # intervals -> the normalized text verbatim
+        F.when(F.col("_capped"), F.lit(""))
+        .when(F.col("iv").isNull(), F.col("norm"))
         .otherwise(F.array_join(kept, " "))
         .alias("cleaned_text"),
     ).orderBy("doc_id")
+    if return_capped:
+        return cleaned, capped.orderBy("doc_id")
+    return cleaned
 
 
 # ---------------------------------------------------------------------------
@@ -212,7 +269,7 @@ _CJK_ORACLE = rf"""
                AS n_cjk,
              len(list_filter(
                  string_split_regex(regexp_replace(text, '{_CJK_RE2}', ' ', 'g'),
-                                    '\s+'),
+                                    '{_WS_RE2}'),
                  x -> x <> '')) AS n_ws
       FROM documents
     )

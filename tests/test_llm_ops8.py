@@ -167,3 +167,68 @@ def test_cjk_token_count_duckdb_parity_on_mixed_script(spark, tmp_path):
     )
     want = con.execute(entrymod.oracle_sql()["text_token_count_cjk"]).fetchall()
     assert got == [tuple(w) for w in want]
+
+
+# ---------------------------------------------------------------------------
+# round 9: whitespace pinning + the per-doc hit cap guard
+# ---------------------------------------------------------------------------
+
+
+def test_vertical_tab_whitespace_oracle_parity(spark, tmp_path):
+    """ADVICE r8 (low): Java \\s matches \\x0B, RE2 \\s does not — the
+    oracles now pin the explicit ASCII class [ \\t\\n\\x0B\\f\\r]+ so text
+    containing a vertical tab tokenizes identically in both engines (it
+    used to keep 'a\\x0Bb' as ONE DuckDB token while Spark split it)."""
+    import __spark_entry__ as entrymod
+
+    texts = [
+        f"{A}\x0bq w {A}",                  # \x0B adjacent to the dup phrase
+        "a\x0bb c\x0b\x0bd e f g h i j",    # bare + doubled vertical tabs
+        "u1 u2 u3 u4 u5 u6 u7 u8 u9",
+    ]
+    sf = _planted(spark, tmp_path, texts)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    for name in ("docs_exactsubstr_clean", "text_token_count_cjk"):
+        got = [tuple(r) for r in QUERIES[name](spark, sf).collect()]
+        want = [tuple(w) for w in con.execute(entrymod.oracle_sql()[name]).fetchall()]
+        assert got == want, name
+    # and the Spark side did treat \x0B as whitespace (doc 1: 10 tokens)
+    row1 = _run(spark, sf)[1]
+    assert row1["n_tokens"] == 10
+
+
+def test_exactsubstr_cap_guard_pathological(spark, tmp_path):
+    """VERDICT r8 item 7: per-doc hit-window cap. A pathological
+    massively-duplicated doc above the cap is treated as fully duplicated
+    (cleaned to '', n_removed = n_tokens) and REPORTED; docs under the
+    cap keep their exact interval-form result; the default cap never
+    fires on ordinary corpora."""
+    from etl_from_s3_to_postgresql_template_spark.plans.llm_ops8 import (
+        docs_exactsubstr_clean,
+    )
+
+    # doc 0: the phrase repeated 6x + a unique tail -> many duplicated
+    # windows but NOT fully covered (the exact result keeps the tail)
+    patho = " ".join([A] * 6) + " z1 z2 z3 z4 z5 z6 z7 z8 z9"
+    texts = [patho, f"{A} q w {A}", "u1 u2 u3 u4 u5 u6 u7 u8 u9"]
+    sf = _planted(spark, tmp_path, texts)
+
+    exact = {r["doc_id"]: r for r in docs_exactsubstr_clean(spark, sf).collect()}
+    assert exact[0]["cleaned_text"] != ""  # default cap: exact result, tail kept
+    assert exact[0]["n_removed"] == 48
+
+    got, report = docs_exactsubstr_clean(
+        spark, sf, max_hits_per_doc=10, return_capped=True
+    )
+    got = {r["doc_id"]: r for r in got.collect()}
+    rep = {r["doc_id"]: r["hit_cnt"] for r in report.collect()}
+    # doc 0 capped: fully removed + reported with its true hit count
+    assert got[0]["cleaned_text"] == "" and got[0]["n_removed"] == got[0]["n_tokens"]
+    assert list(rep) == [0] and rep[0] > 10
+    # under-cap docs keep the EXACT result bit-for-bit
+    for d in (1, 2):
+        assert tuple(got[d]) == tuple(exact[d])
