@@ -73,6 +73,9 @@ DOCS_HEAVY = [
     # r8 addition: ExactSubstr corpus cleaning (interval form) — the new
     # north-star operator, tracked from its first round.
     "docs_exactsubstr_clean",
+    # r9 addition: DSIR importance weighting (hashed-bigram log-ratio in
+    # exact integer micro-units) — the data-selection north-star.
+    "dsir_importance_weights",
 ]
 
 

@@ -1,0 +1,290 @@
+"""Round-9 north-star addition: DSIR-style data selection (Xie et al.
+2023, "Data Selection for Language Models via Importance Resampling") —
+the remaining white space in the LLM-pipeline surface (VERDICT r8 item 5):
+choosing WHICH raw documents to train on so the selected subset's
+distribution matches a target domain.
+
+Three oracle-paired entries compose the pipeline:
+
+1. ``dsir_importance_weights`` — hashed n-gram bag-of-features importance
+   weights: unigrams + adjacent bigrams hash into ``_DSIR_B`` buckets;
+   a target model p (docs with ``lang = 'en'``, the target domain) and a
+   raw model q (the whole pool) are Laplace-smoothed bucket multinomials;
+   each doc scores ``log w(x) = sum_f [log p(b(f)) - log q(b(f))]`` over
+   its feature OCCURRENCES — the paper's bag-of-hashed-ngrams importance
+   estimator.
+2. ``dsir_select_topk`` — the deterministic top-k selection variant
+   (take the k highest-weight docs).
+3. ``dsir_resample_gumbel`` — the paper's importance RESAMPLING, made
+   deterministic: Gumbel-top-k with the Gumbel noise derived from an
+   md5 content hash of the doc_id (u = (h+1)/(2^32+1), g = -ln(-ln(u))),
+   so the sample is reproducible and oracle-checkable while remaining a
+   faithful draw from the importance distribution.
+
+Exact-arithmetic discipline (the thing that makes all three hash-exact
+cross-engine rather than tolerance-compared): every per-bucket log ratio
+is quantized ONCE to integer micro-units — ``lam_micro(b) = floor(1e6 *
+(ln(cp_b + 1) - ln(cq_b + 1)) + 0.5)`` — and everything downstream (the
+per-doc sum ``sum_b c_b * lam_micro_b``, the volume-shift term, the
+Gumbel keys, the top-k ordering) is pure int64 arithmetic. Doubles and
+libm ln appear only in the <= 4097 bucket-table cells and one hash-u
+Gumbel per doc, each consumed through the same floor(x*1e6 + 0.5)
+quantizer on both engines; per-doc scores never accumulate floats, so
+summation ORDER cannot flip a value and selection ties break on exact
+integers + doc_id. (Same boundary-risk profile as the PCA gate's
+micro-unit trace, orders of magnitude tighter than a ROUND(sum, 4).)
+
+Scale stance: one tokenize+explode pass builds the (doc, lang, bucket,
+count) frame, lazily checkpointed for its two consumers (the 4096-row
+bucket fit and the per-doc score); the fitted lambda table broadcasts
+back; scoring is one broadcast join + one map-side-combinable groupBy on
+doc_id; selection is TakeOrdered (no global sort materializes). At
+100 TB: the only corpus-sized shuffle is the (doc, bucket) combine —
+bounded by min(features, _DSIR_B) rows per doc at ~40 B each.
+
+Reference scope note: the reference pipeline (etl_pipeline.py ~430) has
+no selection machinery at all — this is north-star surface, the
+training-data analogue of its date-based file filter (etl_pipeline.py
+43-76): choose the slice of raw data worth loading.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from etl_from_s3_to_postgresql_template_spark.plans.registry import query
+from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+__all__ = [
+    "dsir_importance_weights",
+    "dsir_select_topk",
+    "dsir_resample_gumbel",
+]
+
+_DSIR_B = 4096        # hashed feature buckets (paper: 10k; fixture-sized here)
+_DSIR_TARGET = "en"   # target-domain predicate: lang = 'en'
+_DSIR_K = 64          # selection size for the top-k / resample entries
+
+#: ASCII whitespace pinned explicitly (the llm_ops8 convention): Java \s
+#: is [ \t\n\x0B\f\r]; RE2's \s omits \x0B, so the oracle spells the class.
+_WS_RE2 = r"[ \t\n\x0B\f\r]+"
+
+# Shared oracle CTE: per-doc (n_feats, logw_micro) for EVERY doc.
+# cp <= cq always (target is a subset of the pool), so lam <= 0 and the
+# floor(x + 0.5) half-up quantizer is applied identically on both sides.
+_DSIR_WEIGHTS_CTE = rf"""
+    t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(trim(text)), '{_WS_RE2}'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), f AS (
+      SELECT doc_id, lang,
+             UNNEST(toks || list_transform(range(1, len(toks)),
+                                           i -> toks[i] || ' ' || toks[i + 1]))
+               AS feat
+      FROM t
+    ), dc AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(feat), 1, 8))::BIGINT % {_DSIR_B} AS b,
+             COUNT(*) AS c
+      FROM f GROUP BY 1, 2, 3
+    ), bc AS (
+      SELECT b, COALESCE(SUM(c) FILTER (WHERE lang = '{_DSIR_TARGET}'), 0) AS cp,
+             SUM(c) AS cq
+      FROM dc GROUP BY b
+    ), lam AS (
+      SELECT b, CAST(floor((ln(cp + 1) - ln(cq + 1)) * 1e6 + 0.5) AS BIGINT) AS lam
+      FROM bc
+    ), tot AS (
+      SELECT CAST(floor((ln(SUM(cq) + {_DSIR_B}) - ln(SUM(cp) + {_DSIR_B}))
+                  * 1e6 + 0.5) AS BIGINT) AS shift
+      FROM bc
+    ), sc AS (
+      SELECT doc_id, SUM(c * lam) AS s, SUM(c) AS nf
+      FROM dc JOIN lam USING (b) GROUP BY doc_id
+    ), wts AS (
+      SELECT t.doc_id,
+             CAST(COALESCE(nf, 0) AS BIGINT) AS n_feats,
+             CAST(COALESCE(s + nf * tot.shift, 0) AS BIGINT) AS logw_micro
+      FROM t LEFT JOIN sc USING (doc_id) CROSS JOIN tot
+    )
+    """
+
+_DSIR_WEIGHTS_ORACLE = f"""
+    WITH {_DSIR_WEIGHTS_CTE}
+    SELECT doc_id, n_feats, logw_micro FROM wts ORDER BY doc_id
+    """
+
+
+def _dsir_weights_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (doc_id, n_feats, logw_micro) — the shared DSIR core."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "lang", F.lower(F.trim("text")).alias("norm"))
+    toks = base.where(F.length("norm") > 0).select(
+        "doc_id", "lang", F.split("norm", r"\s+").alias("t")
+    )
+    n = F.size("t")
+    # unigram + adjacent-bigram features from ONE tokenize pass: zip each
+    # token with its successor (arrays_zip — built-in, codegen; the
+    # zip_with lambda form runs interpreted, r8 HOF sweep), explode, then
+    # emit the token and (when a successor exists) the "w next" bigram
+    z = F.arrays_zip(
+        F.col("t").alias("w"),
+        F.concat(
+            F.slice("t", 2, n - 1), F.array(F.lit(None).cast("string"))
+        ).alias("nx"),
+    )
+    feats = (
+        toks.select("doc_id", "lang", F.explode(z).alias("s"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.array(
+                    F.col("s.w"),
+                    F.when(
+                        F.col("s.nx").isNotNull(),
+                        F.concat(F.col("s.w"), F.lit(" "), F.col("s.nx")),
+                    ),
+                )
+            ).alias("feat"),
+        )
+        .where(F.col("feat").isNotNull())
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("long") % _DSIR_B
+    )
+    # (doc, lang, bucket, count): the sufficient statistic for BOTH the
+    # bucket fit and the per-doc score — materialized once (lazy
+    # checkpoint), ~40 B/row, bounded by min(features, B) rows per doc
+    docfeat = (
+        feats.select("doc_id", "lang", bucket.alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    bc = docfeat.groupBy("b").agg(
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET, F.col("c")).otherwise(F.lit(0))
+        ).alias("cp"),
+        F.sum("c").alias("cq"),
+    )
+    lam = bc.select(
+        "b",
+        F.floor((F.log(F.col("cp") + 1) - F.log(F.col("cq") + 1)) * 1e6 + 0.5)
+        .cast("long")
+        .alias("lam"),
+    )
+    tot = bc.agg(
+        F.floor(
+            (F.log(F.sum("cq") + _DSIR_B) - F.log(F.sum("cp") + _DSIR_B)) * 1e6
+            + 0.5
+        )
+        .cast("long")
+        .alias("shift")
+    )
+    sc = (
+        docfeat.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("lam")).alias("s"),
+            F.sum("c").alias("nf"),
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(sc, "doc_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("nf"), F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce(F.col("s") + F.col("nf") * F.col("shift"), F.lit(0))
+            .cast("long")
+            .alias("logw_micro"),
+        )
+    )
+
+
+@query("dsir_importance_weights", oracle=_DSIR_WEIGHTS_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight in exact integer micro-units
+    (module docstring): ``logw_micro = sum_b c_b * lam_micro_b +
+    n_feats * shift_micro`` with ``lam_micro_b = floor(1e6 * (ln(cp_b+1)
+    - ln(cq_b+1)) + 0.5)`` and ``shift_micro = floor(1e6 * (ln(Nq+B) -
+    ln(Np+B)) + 0.5)`` — the Laplace-smoothed hashed-bigram
+    log-likelihood ratio, quantized per BUCKET so per-doc aggregation is
+    order-free int64 arithmetic. A doc with no features (empty text) has
+    weight 0 (the empty product). Higher = more target-like."""
+    return _dsir_weights_df(spark, sf_dir).orderBy("doc_id")
+
+
+_DSIR_TOPK_ORACLE = f"""
+    WITH {_DSIR_WEIGHTS_CTE}
+    SELECT CAST(row_number() OVER (ORDER BY logw_micro DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id, logw_micro
+    FROM wts ORDER BY logw_micro DESC, doc_id LIMIT {_DSIR_K}
+    """
+
+
+@query("dsir_select_topk", oracle=_DSIR_TOPK_ORACLE)
+def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DSIR selection: the {k} highest-importance docs,
+    ties broken by doc_id — exact integer ordering, so the selected SET
+    is engine-independent. orderBy + limit compiles to TakeOrdered
+    (per-partition top-k then a k-row driver merge; no global sort, no
+    single-partition window over the corpus); the k-row result then
+    ranks locally."""
+    wts = _dsir_weights_df(spark, sf_dir)
+    top = wts.orderBy(F.desc("logw_micro"), "doc_id").limit(_DSIR_K)
+    rank = F.row_number().over(W.orderBy(F.desc("logw_micro"), "doc_id"))
+    return top.select(
+        rank.cast("long").alias("rank"), "doc_id", "logw_micro"
+    ).orderBy("rank")
+
+
+_DSIR_GUMBEL_ORACLE = f"""
+    WITH {_DSIR_WEIGHTS_CTE},
+    keyed AS (
+      SELECT doc_id, logw_micro,
+             logw_micro + CAST(floor(-ln(-ln(
+                 (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  + 1) / 4294967297.0)) * 1e6 + 0.5) AS BIGINT) AS key_micro
+      FROM wts
+    )
+    SELECT doc_id, logw_micro, key_micro
+    FROM keyed ORDER BY key_micro DESC, doc_id LIMIT {_DSIR_K}
+    """
+
+
+@query("dsir_resample_gumbel", oracle=_DSIR_GUMBEL_ORACLE)
+def dsir_resample_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING via deterministic Gumbel-top-k: taking
+    the k largest ``log w_i + g_i`` draws k docs without replacement with
+    probability proportional to w_i (the Gumbel-max trick; the shared
+    normalizer shifts every key equally, so unnormalized log-weights
+    suffice). The noise is derived, not random: u_i = (h_i + 1) /
+    (2^32 + 1) from the md5 prefix of the doc_id — u in (0,1) by
+    construction, one exact IEEE division — then g = -ln(-ln(u)),
+    quantized with the same floor(x*1e6 + 0.5) as the bucket table so
+    keys stay exact int64. Reproducible, seedable (swap the hashed
+    string), and oracle-checkable — the paper's sampler made
+    deterministic."""
+    wts = _dsir_weights_df(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + 1).cast("double") / F.lit(4294967297.0)
+    g = F.floor(-F.log(-F.log(u)) * 1e6 + 0.5).cast("long")
+    return (
+        wts.select(
+            "doc_id",
+            "logw_micro",
+            (F.col("logw_micro") + g).alias("key_micro"),
+        )
+        .orderBy(F.desc("key_micro"), "doc_id")
+        .limit(_DSIR_K)
+    )

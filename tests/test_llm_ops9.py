@@ -1,0 +1,117 @@
+"""DSIR data selection (plans/llm_ops9.py): planted distribution-shift
+detection, exact-integer determinism, degenerate inputs, and DuckDB
+oracle parity on a planted mixed-domain fixture."""
+
+from __future__ import annotations
+
+import duckdb
+
+from etl_from_s3_to_postgresql_template_spark.plans import QUERIES
+
+# two disjoint vocabularies = two "domains" with a hard distribution shift
+_VOCAB_A = "alpha beta gamma delta epsilon zeta eta theta"
+_VOCAB_B = "one two three four five six seven eight"
+
+
+def _planted(spark, tmp_path, rows):
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def _shift_fixture(spark, tmp_path):
+    """Target ('en') docs use vocab A. The raw pool's 'de' docs split:
+    doc_ids 100-109 are vocab A (target-LIKE content, mislabeled domain),
+    doc_ids 200-209 are vocab B (genuinely off-target)."""
+    rows = [(i, _VOCAB_A, "en") for i in range(10)]
+    rows += [(100 + i, _VOCAB_A, "de") for i in range(10)]
+    rows += [(200 + i, _VOCAB_B, "de") for i in range(10)]
+    return _planted(spark, tmp_path, rows)
+
+
+def test_shift_detection_ranks_target_like_content(spark, tmp_path):
+    """The DSIR property: importance weights rank by CONTENT similarity
+    to the target domain, not by the domain label — every vocab-A doc
+    (including the 'de'-labeled ones) outweighs every vocab-B doc."""
+    sf = _shift_fixture(spark, tmp_path)
+    w = {
+        r["doc_id"]: r["logw_micro"]
+        for r in QUERIES["dsir_importance_weights"](spark, sf).collect()
+    }
+    a_like = [w[i] for i in list(range(10)) + list(range(100, 110))]
+    b_like = [w[i] for i in range(200, 210)]
+    assert min(a_like) > max(b_like)
+    # identical content -> identical weight (pure function of features)
+    assert len(set(a_like)) == 1 and len(set(b_like)) == 1
+    # the gap is structural, not a tie-break: >= 1.0 in log units (1e6
+    # micro). (Absolute signs are smoothing-dependent at toy scale: with
+    # B = 4096 >> corpus features the Laplace prior drags ALL weights
+    # negative; only the ORDERING is the DSIR contract.)
+    assert min(a_like) - max(b_like) > 1_000_000
+
+
+def test_topk_selects_all_target_like_before_any_off_target(spark, tmp_path):
+    sf = _shift_fixture(spark, tmp_path)
+    top = QUERIES["dsir_select_topk"](spark, sf).collect()
+    ids = [r["doc_id"] for r in top]
+    # 30-doc pool, K = 64 -> everything selected, but ORDERED: all 20
+    # vocab-A docs strictly before the 10 vocab-B docs
+    assert len(ids) == 30
+    assert set(ids[:20]) == set(range(10)) | set(range(100, 110))
+    assert ids[20:] == list(range(200, 210))
+    # ranks are 1..n with the exact (logw desc, doc_id) order
+    assert [r["rank"] for r in top] == list(range(1, 31))
+
+
+def test_weights_empty_and_single_token_docs(spark, tmp_path):
+    sf = _planted(
+        spark,
+        tmp_path,
+        [(0, "", "en"), (1, "   ", "de"), (2, "solo", "en"), (3, "solo", "de")],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["dsir_importance_weights"](spark, sf).collect()
+    }
+    # empty/whitespace docs: no features, weight 0 (the empty product)
+    for d in (0, 1):
+        assert rows[d]["n_feats"] == 0 and rows[d]["logw_micro"] == 0
+    # one token -> one unigram feature, no bigram
+    assert rows[2]["n_feats"] == 1 and rows[3]["n_feats"] == 1
+    assert rows[2]["logw_micro"] == rows[3]["logw_micro"]
+
+
+def test_gumbel_resample_deterministic_and_weight_biased(spark, tmp_path):
+    sf = _shift_fixture(spark, tmp_path)
+    run1 = [tuple(r) for r in QUERIES["dsir_resample_gumbel"](spark, sf).collect()]
+    run2 = [tuple(r) for r in QUERIES["dsir_resample_gumbel"](spark, sf).collect()]
+    assert run1 == run2  # derived noise: reproducible draw
+    # keys = logw + gumbel: with this fixture's weight gap (vocab-B sits
+    # far below), the top of the sample must still be vocab-A heavy —
+    # check the top-10 keys are all vocab-A docs
+    top10 = [t[0] for t in run1[:10]]
+    assert all(d < 200 for d in top10)
+
+
+def test_oracle_parity_on_planted_mixed_fixture(spark, tmp_path):
+    """Cross-engine hash parity on a fixture with a REAL shift (the sf
+    tables' synthetic text is domain-flat, so this is the pair that
+    exercises distinguishable lam values)."""
+    import __spark_entry__ as entrymod
+
+    rows = [(i, _VOCAB_A if i % 3 else _VOCAB_B, "en" if i % 2 else "de")
+            for i in range(40)]
+    rows += [(100, _VOCAB_A + " " + _VOCAB_B, "en"), (101, "", "de")]
+    sf = _planted(spark, tmp_path, rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    for name in ("dsir_importance_weights", "dsir_select_topk",
+                 "dsir_resample_gumbel"):
+        got = [tuple(r) for r in QUERIES[name](spark, sf).collect()]
+        want = [tuple(w) for w in con.execute(entrymod.oracle_sql()[name]).fetchall()]
+        assert got == want, name
