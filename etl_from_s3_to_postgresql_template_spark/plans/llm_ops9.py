@@ -61,6 +61,7 @@ __all__ = [
     "dsir_importance_weights",
     "dsir_select_topk",
     "dsir_resample_gumbel",
+    "scan_arrow_dataset_pushdown",
 ]
 
 _DSIR_B = 4096        # hashed feature buckets (paper: 10k; fixture-sized here)
@@ -287,4 +288,48 @@ def dsir_resample_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("key_micro"), "doc_id")
         .limit(_DSIR_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# scan_arrow_dataset_pushdown — the pyarrow-dataset integration rung
+# ---------------------------------------------------------------------------
+
+_ARROW_SCAN_ORACLE = """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE n_chars >= 200 AND lang = 'en'
+    ORDER BY doc_id
+    """
+
+
+@query("scan_arrow_dataset_pushdown", oracle=_ARROW_SCAN_ORACLE)
+def scan_arrow_dataset_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scanned through the Arrow-native Python DataSource
+    (sources/arrowds.py) with a WHERE clause Spark PUSHES into the
+    pyarrow scanner via DataSourceReader.pushFilters (Spark 4.1): both
+    predicates below decompose to GreaterThanOrEqual/EqualTo, translate
+    to pyarrow.dataset expressions, and evaluate inside Arrow (row-group
+    stats pruning + vectorized filter) — Spark re-applies only the
+    residual (none here). Projection is pushed via the columns option
+    (the Python DataSource API has no pruning callback — documented
+    boundary, not a gap). The oracle reads the same parquet directly, so
+    a pushdown bug that drops or duplicates rows is a hash mismatch."""
+    from etl_from_s3_to_postgresql_template_spark.sources.arrowds import (
+        ArrowParquetDataSource,
+    )
+
+    spark.dataSource.register(ArrowParquetDataSource)
+    # runtime-settable gate for the 4.1 pushFilters API (defaults false);
+    # set here, not in registry._REQUIRED_CONFS — that module is a
+    # dependency of every plan and must stay fingerprint-stable
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return (
+        spark.read.format("arrowparquet")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("columns", "doc_id,lang,n_chars")
+        .load()
+        .where((F.col("n_chars") >= 200) & (F.col("lang") == "en"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
     )

@@ -210,14 +210,33 @@ def build_matrix() -> list[dict]:
         lambda: _run_pytest(["tests/test_streaming.py", "-k", "transform_with_state"]),
     )
 
+    # r9: the one external-scan-engine rung whose dependency IS in the
+    # container — pyarrow.dataset fronted as a Spark Python DataSource
+    # with real pushFilters pushdown (sources/arrowds.py). Runs for real.
+    rung(
+        "pyarrow-dataset-scan",
+        _importable("pyarrow.dataset"),
+        "pyarrow.dataset import (always present in this container)",
+        "pytest tests/test_arrowds.py",
+        lambda: _run_pytest(["tests/test_arrowds.py"]),
+    )
+
     return rows
 
 
 def main() -> int:
     rows = build_matrix()
     out = os.path.join(REPO, "INTEGRATION_MATRIX.json")
+    # generation stamp: the matrix looked fresh while being a round stale
+    # (r8 verdict item 9) because detection results are byte-stable when
+    # the container doesn't change — record the tree it ran against
+    rev = subprocess.run(
+        ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
     with open(out, "w") as f:
-        json.dump({"rungs": rows}, f, indent=2)
+        json.dump({"generated_at_commit": rev, "rungs": rows}, f, indent=2)
     if "--json" not in sys.argv:
         for r in rows:
             mark = "RAN " if r["detected"] else "SKIP"
