@@ -34,13 +34,17 @@ summation ORDER cannot flip a value and selection ties break on exact
 integers + doc_id. (Same boundary-risk profile as the PCA gate's
 micro-unit trace, orders of magnitude tighter than a ROUND(sum, 4).)
 
-Scale stance: one tokenize+explode pass builds the (doc, lang, bucket,
-count) frame, lazily checkpointed for its two consumers (the 4096-row
-bucket fit and the per-doc score); the fitted lambda table broadcasts
-back; scoring is one broadcast join + one map-side-combinable groupBy on
-doc_id; selection is TakeOrdered (no global sort materializes). At
-100 TB: the only corpus-sized shuffle is the (doc, bucket) combine —
-bounded by min(features, _DSIR_B) rows per doc at ~40 B each.
+Scale stance: TWO tokenize+explode passes over the corpus — a fit pass
+(groupBy bucket: map-side combine to <= 4096 rows per task) and a score
+pass (broadcast the fitted lambda table, groupBy doc_id: map-side
+combine to one row per doc per task); selection is TakeOrdered (no
+global sort materializes). The feature stream itself NEVER shuffles.
+The single-pass alternative — materializing per-doc bucket counts as a
+shared sufficient statistic — was built first and measured WORSE at
+500k docs (73 s for its groupBy alone): at ~190 tokens/doc almost every
+(doc, bucket) pair is unique, so that shuffle moves the whole feature
+stream to combine ~nothing (SCALING.md r9). Two scans + near-zero
+shuffle is the 100 TB-correct trade.
 
 Reference scope note: the reference pipeline (etl_pipeline.py ~430) has
 no selection machinery at all — this is north-star surface, the
@@ -158,20 +162,28 @@ def _dsir_weights_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (
         F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("long") % _DSIR_B
     )
-    # (doc, lang, bucket, count): the sufficient statistic for BOTH the
-    # bucket fit and the per-doc score — materialized once (lazy
-    # checkpoint), ~40 B/row, bounded by min(features, B) rows per doc
-    docfeat = (
-        feats.select("doc_id", "lang", bucket.alias("b"))
-        .groupBy("doc_id", "lang", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # Two-pass shape, chosen on measurement (500k-doc decomposition,
+    # SCALING.md r9): the "obvious" shared sufficient statistic — per-doc
+    # bucket counts, checkpointed for the fit and the score — is a trap
+    # on real text: at ~190 tokens/doc nearly every (doc, bucket) pair is
+    # unique (combine factor ~1.15), so its groupBy shuffles the ENTIRE
+    # feature stream for nothing (measured 73 s at 500k docs, hidden in
+    # the checkpoint's warmup). Evaluating feats twice instead costs one
+    # extra tokenize+md5 scan (~14 s) and keeps BOTH aggregations
+    # map-side-combining with tiny shuffles: the fit emits <= 4096 rows
+    # per task, the score one row per doc per task. At 100 TB this is
+    # two corpus scans and near-zero shuffle — the plan you'd want.
+    fb = feats.select("doc_id", "lang", bucket.alias("b"))
+    # the fit result is <= 4096 rows but its subtree is a full corpus
+    # scan — materialize it once (lazy checkpoint) so its three readers
+    # (lam, the Np/Nq totals, and nothing else) don't re-scan the corpus
+    bc = (
+        fb.groupBy("b")
+        .agg(
+            F.count(F.when(F.col("lang") == _DSIR_TARGET, F.lit(1))).alias("cp"),
+            F.count(F.lit(1)).alias("cq"),
+        )
         .localCheckpoint(eager=False)
-    )
-    bc = docfeat.groupBy("b").agg(
-        F.sum(
-            F.when(F.col("lang") == _DSIR_TARGET, F.col("c")).otherwise(F.lit(0))
-        ).alias("cp"),
-        F.sum("c").alias("cq"),
     )
     lam = bc.select(
         "b",
@@ -188,11 +200,11 @@ def _dsir_weights_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("shift")
     )
     sc = (
-        docfeat.join(F.broadcast(lam), "b")
+        fb.join(F.broadcast(lam), "b")
         .groupBy("doc_id")
         .agg(
-            F.sum(F.col("c") * F.col("lam")).alias("s"),
-            F.sum("c").alias("nf"),
+            F.sum("lam").alias("s"),
+            F.count(F.lit(1)).alias("nf"),
         )
     )
     return (
