@@ -49,7 +49,11 @@ from pyspark.sql.window import Window as W
 from etl_from_s3_to_postgresql_template_spark.plans.registry import query
 from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
 
-__all__ = ["docs_exactsubstr_clean", "text_token_count_cjk"]
+__all__ = [
+    "docs_exactsubstr_clean",
+    "text_token_count_cjk",
+    "docs_gopher_quality_cjk",
+]
 
 _ESS_N = 8  # gram length in tokens
 
@@ -302,3 +306,128 @@ def text_token_count_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# docs_gopher_quality_cjk — the quality gate the CJK tier unlocks (round 9)
+# ---------------------------------------------------------------------------
+#
+# The ASCII Gopher gate (llm_ops2.docs_gopher_quality) fails STRUCTURALLY
+# on unsegmented CJK text: a 300-character Chinese document whitespace-
+# tokenizes to ~1 "token" (fails the >= 50 bound), that token's length
+# explodes the mean-word-length bound, and English stopword evidence is
+# zero — three false rejections from one tokenizer assumption. This gate
+# re-expresses each rule with the no-segmenter fallback
+# (text_token_count_cjk's convention):
+#
+# - token count    -> n_cjk + n_ws (each Han/Hiragana/Katakana codepoint
+#                     is its own token);
+# - mean word len  -> over the WHITESPACE tokens of the CJK-replaced text
+#                     only (CJK "words" are single codepoints by the
+#                     fallback; the bound is waived when n_ws = 0);
+# - stopword rule  -> EN stopword tokens PLUS ZH stopword CODEPOINTS
+#                     (LANG_STOPWORDS['zh'] are single chars — countable
+#                     exactly as character occurrences on both engines);
+# - alpha rule     -> (ascii-alpha + CJK) chars >= 60% of non-whitespace
+#                     chars, compared as exact integers (10*a >= 6*n).
+#
+# Every compared cell is an exact integer or a single IEEE division
+# rounded once (mean len) — no float accumulation. lower() is applied
+# doc-wide; the U+0130 cross-engine lower() boundary (pinned in
+# tests/test_llm_ops7.py) is out of scope for the ASCII+CJK fixtures as
+# documented there.
+
+_GQC_EN_STOPS = ("the", "and", "of", "to", "in", "is", "a", "that")
+_GQC_ZH_STOPS = "的是在了和有我不"
+
+_GQC_ORACLE = rf"""
+    WITH t AS (
+      SELECT doc_id, lower(trim(text)) AS lo FROM documents
+    ), m AS (
+      SELECT doc_id, lo,
+             length(lo) - length(regexp_replace(lo, '{_CJK_RE2}', '', 'g'))
+               AS n_cjk,
+             list_filter(string_split_regex(
+                 regexp_replace(lo, '{_CJK_RE2}', ' ', 'g'), '{_WS_RE2}'),
+                 x -> x <> '') AS ws_toks,
+             length(lo) - length(regexp_replace(lo, '[a-z]', '', 'g'))
+               AS n_alpha,
+             length(regexp_replace(lo, '{_WS_RE2}', '', 'g')) AS n_nonspace
+      FROM t
+    ), s AS (
+      SELECT doc_id, n_cjk, n_alpha, n_nonspace,
+             CAST(len(ws_toks) AS BIGINT) AS n_ws,
+             COALESCE(list_sum(list_transform(ws_toks,
+                 x -> CAST(len(x) AS BIGINT))), 0) AS ws_chars,
+             CAST(len(list_filter(ws_toks, x -> x IN {_GQC_EN_STOPS!r})) AS BIGINT)
+               + (length(lo) - length(regexp_replace(lo, '[{_GQC_ZH_STOPS}]', '', 'g')))
+               AS n_stop
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(n_cjk + n_ws AS BIGINT) AS n_tokens_unicode,
+           CAST(n_cjk AS BIGINT) AS n_cjk, n_ws,
+           CASE WHEN n_ws = 0 THEN NULL
+                ELSE ROUND(CAST(ws_chars AS DOUBLE) / n_ws, 4) END
+             AS mean_ws_token_len,
+           n_stop,
+           ((n_cjk + n_ws) BETWEEN 50 AND 100000
+            AND (n_ws = 0 OR CAST(ws_chars AS DOUBLE) / n_ws BETWEEN 2.0 AND 10.0)
+            AND n_stop >= 2
+            AND 10 * (n_alpha + n_cjk) >= 6 * n_nonspace) AS passes
+    FROM s
+    ORDER BY doc_id
+    """
+
+
+@query("docs_gopher_quality_cjk", oracle=_GQC_ORACLE)
+def docs_gopher_quality_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CJK-aware Gopher-style quality gate (module comment above): the
+    ASCII gate's three rules re-expressed over the no-segmenter Unicode
+    tokenization, plus the alpha-fraction rule the ASCII fixture never
+    needed — all gate comparisons on exact integers or a raw IEEE
+    division (one op, bit-identical cross-engine); the one REPORTED
+    ratio is that division rounded once. Pure codegen projection: five
+    regex passes + one split per doc, one scan, no shuffle beyond the
+    output sort — at 100 TB this is a scan, same as the ASCII gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    lo = F.lower(F.trim("text"))
+    n_cjk = (F.length(lo) - F.length(F.regexp_replace(lo, _CJK_JAVA, ""))).cast(
+        "long"
+    )
+    ws_toks = F.filter(
+        F.split(F.regexp_replace(lo, _CJK_JAVA, " "), r"\s+"), lambda x: x != ""
+    )
+    n_ws = F.size(ws_toks).cast("long")
+    ws_chars = F.aggregate(
+        F.transform(ws_toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = (F.length(lo) - F.length(F.regexp_replace(lo, "[a-z]", ""))).cast(
+        "long"
+    )
+    n_nonspace = F.length(F.regexp_replace(lo, r"\s", "")).cast("long")
+    n_stop = (
+        F.size(F.filter(ws_toks, lambda x: x.isin(*_GQC_EN_STOPS))).cast("long")
+        + (
+            F.length(lo)
+            - F.length(F.regexp_replace(lo, f"[{_GQC_ZH_STOPS}]", ""))
+        ).cast("long")
+    )
+    mean_len = F.when(n_ws > 0, F.round(ws_chars.cast("double") / n_ws, 4))
+    passes = (
+        (n_cjk + n_ws).between(50, 100000)
+        & ((n_ws == 0) | (ws_chars.cast("double") / n_ws).between(2.0, 10.0))
+        & (n_stop >= 2)
+        & (10 * (n_alpha + n_cjk) >= 6 * n_nonspace)
+    )
+    return docs.select(
+        "doc_id",
+        (n_cjk + n_ws).alias("n_tokens_unicode"),
+        n_cjk.alias("n_cjk"),
+        n_ws.alias("n_ws"),
+        mean_len.alias("mean_ws_token_len"),
+        n_stop.alias("n_stop"),
+        passes.alias("passes"),
+    ).orderBy("doc_id")

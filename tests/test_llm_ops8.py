@@ -232,3 +232,65 @@ def test_exactsubstr_cap_guard_pathological(spark, tmp_path):
     # under-cap docs keep the EXACT result bit-for-bit
     for d in (1, 2):
         assert tuple(got[d]) == tuple(exact[d])
+
+
+# ---------------------------------------------------------------------------
+# docs_gopher_quality_cjk
+# ---------------------------------------------------------------------------
+
+_ZH_SENT = "的是在了和有我不"  # 8 zh stopword codepoints
+
+
+def test_cjk_gopher_gate_passes_unsegmented_chinese(spark, tmp_path):
+    """The structural fix: a healthy unsegmented Chinese document FAILS
+    the ASCII gate (1 whitespace token, mean length off the chart, zero
+    EN stopwords) but PASSES the CJK-aware gate."""
+    zh_doc = ("春眠不覺曉處處聞啼鳥" * 6) + _ZH_SENT  # 68 CJK chars, no spaces
+    en_doc = ("the cat sat on the mat and that is a fine mat to sit on "
+              * 5)  # healthy EN
+    bad_doc = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( ))) " * 8  # symbol soup
+    sf = _planted(spark, tmp_path, [zh_doc, en_doc, bad_doc])
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["docs_gopher_quality_cjk"](spark, sf).collect()
+    }
+    # zh doc: every codepoint a token, stopword evidence from zh chars,
+    # no whitespace tokens -> mean bound waived, all chars CJK
+    assert rows[0]["n_ws"] == 0 and rows[0]["n_cjk"] == 68
+    assert rows[0]["mean_ws_token_len"] is None
+    assert rows[0]["n_stop"] >= 2 and rows[0]["passes"]
+    # the ASCII gate rejects the same doc (the documented false negative)
+    ascii_rows = {
+        r["doc_id"]: r for r in QUERIES["docs_gopher_quality"](spark, sf).collect()
+    }
+    assert not ascii_rows[0]["passes"] and ascii_rows[0]["n_tokens"] == 1
+    # healthy EN doc passes both
+    assert rows[1]["passes"] and ascii_rows[1]["passes"]
+    # symbol soup fails the alpha rule here regardless of token counts
+    assert not rows[2]["passes"]
+
+
+def test_cjk_gopher_gate_duckdb_parity_mixed_script(spark, tmp_path):
+    import __spark_entry__ as entrymod
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 3,
+        ("春眠不覺曉" * 15) + " the end is that a test",
+        "",
+        "mixed 今日はいい天気です with latin words in between that the",
+        "\tweird\x0bwhitespace the and of to in is a that " * 4,
+    ]
+    sf = _planted(spark, tmp_path, texts)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    got = [tuple(r) for r in QUERIES["docs_gopher_quality_cjk"](spark, sf).collect()]
+    want = [
+        tuple(w)
+        for w in con.execute(
+            entrymod.oracle_sql()["docs_gopher_quality_cjk"]
+        ).fetchall()
+    ]
+    assert got == want
