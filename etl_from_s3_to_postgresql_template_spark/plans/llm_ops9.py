@@ -66,6 +66,7 @@ __all__ = [
     "dsir_select_topk",
     "dsir_resample_gumbel",
     "scan_arrow_dataset_pushdown",
+    "docs_decontaminate_ngram",
 ]
 
 _DSIR_B = 4096        # hashed feature buckets (paper: 10k; fixture-sized here)
@@ -343,5 +344,106 @@ def scan_arrow_dataset_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .where((F.col("n_chars") >= 200) & (F.col("lang") == "en"))
         .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_decontaminate_ngram — benchmark decontamination (round 9)
+# ---------------------------------------------------------------------------
+#
+# The GPT-3/PaLM-style TEXTUAL decontamination pass, distinct from the
+# embedding-based split_leakage family (llm_ops4): a training document is
+# contaminated if it shares any length-L token n-gram with the held-out
+# evaluation split. Here the holdout is the deterministic 1/8 doc_id-hash
+# split (the corpus_pack_sequences bucket convention), so both engines
+# agree on membership exactly; production swaps in the real benchmark
+# corpus on the holdout leg with no plan change.
+#
+# Plan shape: holdout grams reduce to a DISTINCT gram-key set; train
+# grams LEFT SEMI join it on the 64-bit gram hash (one linear gram-key
+# shuffle — the holdout side is NOT broadcast: it grows with the corpus,
+# so the strategy belongs to AQE); per-doc contaminated-gram counts are
+# a count(distinct) over the semi-join survivors; every train doc comes
+# back via a doc-level left join (clean docs report 0, FALSE). Spark
+# keys grams by xxhash64, the oracle by md5 — same sets barring a 64-bit
+# collision (the docs_exactsubstr_clean convention).
+
+_DCN_N = 8      # gram length in tokens (the repo's repeated-spans convention)
+_DCN_MOD = 8    # holdout = doc_id-hash % 8 == 0 (~1/8 of the corpus)
+
+_DCN_ORACLE = rf"""
+    WITH d AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_DCN_MOD} = 0 AS is_holdout,
+             list_filter(string_split_regex(trim(text), '{_WS_RE2}'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, is_holdout,
+             md5(array_to_string(t[j:j+{_DCN_N - 1}], ' ')) AS gm
+      FROM d, LATERAL (SELECT UNNEST(generate_series(1, len(t) - {_DCN_N - 1})) AS j)
+      WHERE len(t) >= {_DCN_N}
+    ), hold AS (
+      SELECT DISTINCT gm FROM g WHERE is_holdout
+    ), hits AS (
+      SELECT g.doc_id, COUNT(DISTINCT g.gm) AS n_shared
+      FROM g JOIN hold USING (gm)
+      WHERE NOT g.is_holdout
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_contaminated_grams,
+           COALESCE(n_shared, 0) > 0 AS contaminated
+    FROM d LEFT JOIN hits USING (doc_id)
+    WHERE NOT is_holdout
+    ORDER BY doc_id
+    """
+
+
+@query("docs_decontaminate_ngram", oracle=_DCN_ORACLE)
+def docs_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per TRAIN document: how many distinct {n}-token grams it shares
+    with the holdout split, and the contaminated flag (any overlap —
+    the GPT-3 appendix-C rule). Gram extraction is the anchored-
+    lookahead regex (codegen, one pass); the only corpus-sized shuffle
+    is the gram-key semi-join. Downstream training reads
+    ``WHERE NOT contaminated``."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = _DCN_N
+    is_holdout = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _DCN_MOD
+        == 0
+    )
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    base = docs.select("doc_id", is_holdout.alias("is_holdout"), norm.alias("norm"))
+    pat = r"(?:^| )(?=(\S+" + r" \S+" * (n - 1) + r"))"
+    grams = base.where(F.length("norm") > 0).select(
+        "doc_id",
+        "is_holdout",
+        F.explode(F.regexp_extract_all(F.col("norm"), F.lit(pat), F.lit(1))).alias(
+            "gs"
+        ),
+    ).select("doc_id", "is_holdout", F.xxhash64("gs").alias("gm"))
+    hold = grams.where("is_holdout").select("gm").distinct()
+    hits = (
+        grams.where(~F.col("is_holdout"))
+        .join(hold, "gm", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gm").alias("n_shared"))
+    )
+    return (
+        base.where(~F.col("is_holdout"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_grams"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+        )
         .orderBy("doc_id")
     )

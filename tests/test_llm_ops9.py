@@ -115,3 +115,43 @@ def test_oracle_parity_on_planted_mixed_fixture(spark, tmp_path):
         got = [tuple(r) for r in QUERIES[name](spark, sf).collect()]
         want = [tuple(w) for w in con.execute(entrymod.oracle_sql()[name]).fetchall()]
         assert got == want, name
+
+
+# ---------------------------------------------------------------------------
+# docs_decontaminate_ngram
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_benchmark_overlap(spark, tmp_path):
+    """Planted contamination: find doc_ids on each side of the hash
+    split, give one train doc an 8-gram from a holdout doc — it must be
+    flagged with the right distinct-gram count while clean docs pass."""
+    import hashlib
+
+    from etl_from_s3_to_postgresql_template_spark.plans.llm_ops9 import _DCN_MOD
+
+    def is_holdout(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % _DCN_MOD == 0
+
+    hold_id = next(i for i in range(100) if is_holdout(i))
+    train = [i for i in range(100) if not is_holdout(i)][:3]
+    bench = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (hold_id, bench, "en"),                                   # the "benchmark"
+        # train doc 0: contains an 8-gram of the benchmark -> contaminated
+        (train[0], "intro words " + " ".join(bench.split()[:8]) + " outro", "en"),
+        # train doc 1: 7-token overlap only -> clean (sub-L immunity)
+        (train[1], " ".join(bench.split()[:7]) + " tail words here", "en"),
+        # train doc 2: fully disjoint vocabulary -> clean
+        (train[2], "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "en"),
+    ]
+    sf = _planted(spark, tmp_path, rows)
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["docs_decontaminate_ngram"](spark, sf).collect()
+    }
+    assert hold_id not in got  # holdout docs are not scored
+    assert got[train[0]]["contaminated"] and got[train[0]]["n_contaminated_grams"] == 1
+    assert not got[train[1]]["contaminated"]
+    assert not got[train[2]]["contaminated"]
+    assert set(got) == set(train)
