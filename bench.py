@@ -73,9 +73,11 @@ DOCS_HEAVY = [
     # r8 addition: ExactSubstr corpus cleaning (interval form) — the new
     # north-star operator, tracked from its first round.
     "docs_exactsubstr_clean",
-    # r9 addition: DSIR importance weighting (hashed-bigram log-ratio in
-    # exact integer micro-units) — the data-selection north-star.
+    # r9 additions: DSIR importance weighting (hashed-bigram log-ratio in
+    # exact integer micro-units) — the data-selection north-star — and
+    # n-gram benchmark decontamination (gram-key semi-join).
     "dsir_importance_weights",
+    "docs_decontaminate_ngram",
 ]
 
 

@@ -41,6 +41,11 @@ K_INDEPENDENT = [
     # round-8 addition (interval-form ExactSubstr cleaning; gram shuffle
     # measured 98.4x records at 100x data)
     "docs_exactsubstr_clean",
+    # round-9 additions: DSIR two-pass importance weights, n-gram
+    # benchmark decontamination, the CJK-aware Gopher gate
+    "dsir_importance_weights",
+    "docs_decontaminate_ngram",
+    "docs_gopher_quality_cjk",
     # round-6 additions (all blocking adapts to n by construction)
     "docs_quality_classifier",
     "dedup_jaccard_prefix_filter",
