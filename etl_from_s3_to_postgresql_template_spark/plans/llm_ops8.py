@@ -387,9 +387,19 @@ def docs_gopher_quality_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenization, plus the alpha-fraction rule the ASCII fixture never
     needed — all gate comparisons on exact integers or a raw IEEE
     division (one op, bit-identical cross-engine); the one REPORTED
-    ratio is that division rounded once. Pure codegen projection: five
-    regex passes + one split per doc, one scan, no shuffle beyond the
-    output sort — at 100 TB this is a scan, same as the ASCII gate."""
+    ratio is that division rounded once. One scan, no shuffle beyond
+    the output sort — at 100 TB this is a scan, same as the ASCII gate.
+
+    Cost shape, measured at 500k docs (SCALING.md r9): the per-doc cost
+    is dominated by the full-text REGEX passes (~3-5 s each at 500k),
+    not by the two interpreted list HOFs over the split tokens (~0.5-1 s
+    over their split) — a codegen collapse-and-recount rewrite was built
+    and measured SLOWER (its extra regex pass outweighed the HOF it
+    removed). The one derivation that does pay: every CJK codepoint
+    becomes a space in the replaced text, so the whitespace-token char
+    total is EXACTLY n_nonspace - n_cjk — no transform+aggregate fold
+    and one fewer regex pass (38.5 -> measured again after the change,
+    see the sweep table)."""
     docs = load_table(spark, sf_dir, "documents")
     lo = F.lower(F.trim("text"))
     n_cjk = (F.length(lo) - F.length(F.regexp_replace(lo, _CJK_JAVA, ""))).cast(
@@ -399,15 +409,14 @@ def docs_gopher_quality_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.regexp_replace(lo, _CJK_JAVA, " "), r"\s+"), lambda x: x != ""
     )
     n_ws = F.size(ws_toks).cast("long")
-    ws_chars = F.aggregate(
-        F.transform(ws_toks, lambda x: F.length(x).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
     n_alpha = (F.length(lo) - F.length(F.regexp_replace(lo, "[a-z]", ""))).cast(
         "long"
     )
     n_nonspace = F.length(F.regexp_replace(lo, r"\s", "")).cast("long")
+    # nonspace chars of the CJK-replaced text == n_nonspace - n_cjk
+    # (each replaced codepoint contributes one space): the exact value
+    # the oracle's list_sum over ws-token lengths computes
+    ws_chars = n_nonspace - n_cjk
     n_stop = (
         F.size(F.filter(ws_toks, lambda x: x.isin(*_GQC_EN_STOPS))).cast("long")
         + (
