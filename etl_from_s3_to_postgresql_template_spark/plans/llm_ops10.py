@@ -1,5 +1,8 @@
-"""Round-9 extension module: the two remaining cleaning-family gaps in
-the LLM-pipeline surface, each oracle-paired and hash-exact.
+"""Round-9 extension module: the remaining cleaning/tokenizer gaps in
+the LLM-pipeline surface — line-wise corpus dedup, SoftDeDup
+reweighting (exact + hashed production tiers), and the corpus-scale
+BPE ENCODER — all but the full-merge encode oracle-paired and
+hash-exact.
 
 1. ``docs_line_dedup`` — corpus-wide LINE-WISE deduplication (the
    RefinedWeb/Falcon cleaning step, Penedo et al. 2023 §"line-wise
@@ -45,6 +48,9 @@ from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
 __all__ = [
     "docs_line_dedup",
     "docs_softdedup_weights",
+    "corpus_bpe_encode",
+    "corpus_bpe_encode_step1",
+    "docs_softdedup_weights_hashed",
 ]
 
 #: a trimmed line occurring in at least this many DISTINCT documents is
@@ -105,17 +111,20 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (still a real corpus-wide join); the multi-line semantics are
     pinned by planted fixtures in tests/test_llm_ops10.py.
 
-    Scale stance: documents never shuffle. The line stream ships only
-    (line_hash, doc_id, pos) — ~20 B/line; the duplicate test is one
-    groupBy on the 64-bit line hash (count_distinct partial-aggregates
-    map-side), and the removed-position join-back REUSES that exchange
-    (both consumers hash-partition by lh — ReusedExchange in the plan).
-    Removed positions regroup per doc (positions only, no text) and the
-    cleaned text is rebuilt doc-locally: array_except over the index
-    sequence (JVM builtin, no lambda scan), element_at slicing, '\\n'
-    re-join. Untouched documents take the fast path — their raw text
-    passes through verbatim. Per-doc work is bounded by line count.
-    The oracle keys lines by content, the plan by xxhash64 — same sets
+    Scale stance (the docs_exactsubstr_clean convention): documents
+    never shuffle whole except as their own output rows. The line
+    stream ships only (line_hash, doc_id, pos) — ~20 B/line; the
+    duplicate test is one groupBy on the 64-bit line hash
+    (count_distinct partial-aggregates map-side); removed positions
+    regroup per doc (positions only, no text) and join back at DOC
+    level — the one text-bearing exchange besides the final sort, both
+    linear in corpus bytes (stage-measured: the 500k stress corpus
+    shuffles the 350 MB text once for the join, once for the orderBy;
+    every other stage ships hashes). Reconstruction is doc-local:
+    array_except over the index sequence (JVM builtin), element_at
+    slicing, '\\n' re-join; untouched documents pass their raw text
+    through verbatim. Per-doc work is bounded by line count. The
+    oracle keys lines by content, the plan by xxhash64 — same sets
     barring a 64-bit collision (the repo-wide gram-hash convention)."""
     docs = load_table(spark, sf_dir, "documents")
     parts = F.split(F.col("text"), "\n", -1)
@@ -255,6 +264,279 @@ def docs_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sc = (
         grams.join(lam, "gh")
+        .groupBy("doc_id")
+        .agg(F.sum("lam").alias("s"), F.count(F.lit(1)).alias("nf"))
+    )
+    return (
+        base.select("doc_id")
+        .join(sc, "doc_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("nf"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("s") - F.col("nf") * F.col("logn"), F.lit(0))
+            .cast("long")
+            .alias("logp_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_bpe_encode — the ENCODER side of the tokenizer story
+# ---------------------------------------------------------------------------
+#
+# operators/bpe.py fits merges (corpus_bpe_merges) and encodes one word
+# driver-side (encode_word); what was missing is applying the fitted
+# tokenizer to the CORPUS — the job every training pipeline runs after
+# the fit. The Spark-first realization: a BPE merge pass is a string
+# rewrite, so the whole encode compiles to JVM codegen with ZERO
+# Python in the hot path and ZERO shuffle:
+#
+#   1. normalize:   lower + collapse whitespace (the fit's tokenization);
+#   2. symbolize:   insert \x1F between every two adjacent non-space
+#                   chars — words become single-char symbols separated
+#                   by \x1F, word boundaries stay ' ';
+#   3. one regexp_replace PER MERGE, in merge order:
+#         (?<![^ \x1F]) \Q left \E \x1F \Q right \E (?![^ \x1F])  ->  leftright
+#      The lookarounds pin SYMBOL boundaries (a merge ("a","b") must
+#      not fire inside symbol "xa"), and Java's matcher scans
+#      left-to-right non-overlapping and resumes AFTER each match —
+#      exactly _merge_word's semantics ("aaa" merges once to ("aa","a")).
+#
+# Token count per doc = remaining \x1F separators + word count. The
+# merge table is a driver artifact bounded by the language (the
+# fit_ivf_centroids fitted-artifact split, operators/bpe.py docstring);
+# the encode itself is a map — at 100 TB it is one scan.
+
+_BPE_SEP = "\x1f"
+
+
+def _bpe_sym_col(text_col: str):
+    """Normalized, symbolized text: one-char symbols joined by \\x1F
+    within words, ' ' between words. Raw \\x1F in the input is stripped
+    first — it is the symbol-boundary alphabet."""
+    norm = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col(text_col), _BPE_SEP, ""), r"\s+", " "
+            )
+        )
+    )
+    return F.regexp_replace(norm, r"(?<=\S)(?=\S)", _BPE_SEP)
+
+
+def _bpe_apply_merges(col, merges):
+    """Chain one boundary-aware regexp_replace per fitted merge, in
+    merge order. \\Q...\\E quoting keeps regex metacharacters in symbols
+    literal (symbols containing the literal sequence '\\E' are outside
+    the contract — impossible for whitespace-tokenized text)."""
+    for left, right, _ in merges:
+        pat = (
+            f"(?<![^ {_BPE_SEP}])"
+            + "\\Q" + left + "\\E" + _BPE_SEP + "\\Q" + right + "\\E"
+            + f"(?![^ {_BPE_SEP}])"
+        )
+        repl = (left + right).replace("\\", "\\\\").replace("$", r"\$")
+        col = F.regexp_replace(col, F.lit(pat), F.lit(repl))
+    return col
+
+
+def _bpe_count_frame(docs: DataFrame, merges) -> DataFrame:
+    """(doc_id, n_words, n_symbols, n_tokens) after applying merges."""
+    sym = _bpe_sym_col("text")
+    enc = _bpe_apply_merges(sym, merges)
+    seps = F.length(enc) - F.length(F.replace(enc, F.lit(_BPE_SEP), F.lit("")))
+    n_words = F.when(
+        F.length(enc) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(enc, " ", -1)))
+    n_sym0 = F.length(sym) - F.length(F.replace(sym, F.lit(_BPE_SEP), F.lit("")))
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.when(F.length(sym) == 0, F.lit(0))
+        .otherwise(n_sym0 + n_words)
+        .cast("long")
+        .alias("n_symbols"),
+        F.when(F.length(enc) == 0, F.lit(0))
+        .otherwise(seps + n_words)
+        .cast("long")
+        .alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+@query("corpus_bpe_encode")  # full fitted merge table -> rows-only by
+# design (the corpus_bpe_merges class: an iterative fit has no SQL twin;
+# step 1 is oracle-gated below and full-encode equality vs the
+# pure-Python encoder is pinned by pytest)
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the registered BPE fit (corpus_bpe_merges' n_merges=20,
+    min_count=2 artifact) to the corpus: per document the word count,
+    pre-merge symbol (character) count, and post-merge TOKEN count —
+    the corpus-level tokenizer-fertility statistic (tokens/word,
+    chars/token) training pipelines budget with. Encode semantics equal
+    operators/bpe.py::encode_word applied to every word (pytest-pinned);
+    the plan is the chained codegen rewrite above — no UDF, no shuffle,
+    one scan."""
+    from etl_from_s3_to_postgresql_template_spark.operators.bpe import fit_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = fit_bpe_merges(docs, n_merges=20, min_count=2)
+    return _bpe_count_frame(docs, merges)
+
+
+_BPE_ENC1_ORACLE = rf"""
+    WITH w AS (
+      SELECT UNNEST(string_split_regex(lower(trim(text)), '{_WS_RE2}')) AS word
+      FROM documents
+    ), ch AS (
+      SELECT word, len(word) AS n FROM w WHERE len(word) >= 2
+    ), pr AS (
+      SELECT UNNEST(list_transform(range(n - 1),
+                    i -> substr(word, CAST(i + 1 AS BIGINT), 2))) AS pair
+      FROM ch
+    ), top1 AS (
+      SELECT pair FROM pr GROUP BY pair
+      ORDER BY COUNT(*) DESC, pair
+      LIMIT 1
+    ), d AS (
+      -- COALESCE: DuckDB array_to_string([]) is NULL, not '' (empty doc)
+      SELECT doc_id,
+             COALESCE(array_to_string(list_filter(
+               string_split_regex(lower(trim(text)), '{_WS_RE2}'),
+               x -> x <> ''), ' '), '') AS norm
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN norm = '' THEN 0
+                ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_words,
+           CAST(len(replace(norm, ' ', '')) AS BIGINT) AS n_symbols,
+           CAST(len(replace(norm, ' ', ''))
+                - (len(norm) - len(replace(norm, pair, ''))) / 2
+                AS BIGINT) AS n_tokens
+    FROM d CROSS JOIN top1
+    ORDER BY doc_id
+    """
+
+
+@query("corpus_bpe_encode_step1", oracle=_BPE_ENC1_ORACLE)
+def corpus_bpe_encode_step1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate for the distributed encode machinery: encode with
+    exactly the FIRST fitted merge (n_merges=1, min_count=1,
+    max_vocab=None — the corpus_bpe_first_merge_gate configuration,
+    whose argmax pair IS SQL-expressible). The oracle recomputes the
+    pair and counts its non-overlapping left-to-right occurrences per
+    document via the replace-shrinkage identity — for single-character
+    symbols, substring scanning over the space-joined text equals
+    symbol scanning, and each application removes exactly one
+    separator, so ``n_tokens = n_symbols - applications`` on both
+    engines. A boundary bug in the lookaround pattern, a scan-order
+    divergence, or an off-by-one in the separator counting is a hash
+    mismatch here; merges 2..M (multi-char symbols) are pinned by the
+    pure-Python equality test in tests/test_llm_ops10.py."""
+    from etl_from_s3_to_postgresql_template_spark.operators.bpe import fit_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = fit_bpe_merges(docs, n_merges=1, min_count=1, max_vocab=None)
+    if not merges:
+        return _bpe_count_frame(docs, []).limit(0)
+    return _bpe_count_frame(docs, merges)
+
+
+# ---------------------------------------------------------------------------
+# docs_softdedup_weights_hashed — the broadcastable production tier
+# ---------------------------------------------------------------------------
+#
+# The exact tier above is measured compute-bound at stress scale (500k
+# docs: ~110M gram instances meet an ~80M-entry frequency table — two
+# ~1.1-1.4 GB gram shuffles plus the join; 38-42 s across two windows,
+# SCALING.md r9 extension). That is the honest cost of per-occurrence
+# EXACT commonness, in the same cost family as docs_decontaminate_ngram.
+# The scale path is the hashing trick (the docs_hashing_vectorizer /
+# DSIR convention): fold grams into _SDH_B md5-derived buckets, so the
+# count table is <= B rows — broadcastable — and the score pass joins
+# WITHOUT shuffling the gram stream at all. Commonness becomes a
+# count-min-style estimator (collisions merge counts: rare grams in a
+# loaded bucket read as more common — bias is upward only, load factor
+# ~ distinct_grams/B and reported nowhere silently: B is the dial).
+# Both engines bucket with the identical md5 prefix, so the tier is
+# hash-exact oracle-paired like the exact one.
+
+_SDH_B = 1_048_576  # 2^20 buckets: ~16 MB broadcast table
+
+
+_SDH_ORACLE = rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '{_WS_RE2}'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(array_to_string(t[j:j+{_SD_N - 1}], ' ')), 1, 8))::BIGINT
+               % {_SDH_B} AS b
+      FROM t, LATERAL (SELECT UNNEST(generate_series(1, len(t) - {_SD_N - 1})) AS j)
+      WHERE len(t) >= {_SD_N}
+    ), c AS (
+      SELECT b, COUNT(*) AS c FROM g GROUP BY b
+    ), tot AS (
+      SELECT CAST(floor(ln(SUM(c)) * 1e6 + 0.5) AS BIGINT) AS logn FROM c
+    ), lam AS (
+      SELECT b, CAST(floor(ln(c) * 1e6 + 0.5) AS BIGINT) AS lam FROM c
+    ), sc AS (
+      SELECT doc_id, SUM(lam) AS s, COUNT(*) AS nf
+      FROM g JOIN lam USING (b) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(nf, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(s - nf * tot.logn, 0) AS BIGINT) AS logp_micro
+    FROM t LEFT JOIN sc USING (doc_id) CROSS JOIN tot
+    ORDER BY doc_id
+    """
+
+
+@query("docs_softdedup_weights_hashed", oracle=_SDH_ORACLE)
+def docs_softdedup_weights_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup commonness, hashed-bucket production tier (module
+    section note): identical output contract to docs_softdedup_weights
+    but with gram counts folded into {B} md5 buckets. Scale stance =
+    the DSIR two-pass shape exactly: the fit groupBy emits <= B rows
+    per task (map-side combine versus the exact tier's near-uncombined
+    98M-record shuffle), the <= B-row table materializes once and
+    BROADCASTS, and the score pass is a broadcast join + one
+    map-side-combining per-doc int64 sum — the gram stream never
+    shuffles. Estimator property: collisions only ever INCREASE a
+    gram's apparent count (count-min bias direction), shrinking as B
+    grows; the exact tier is the semantics reference."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = _SD_N
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    base = docs.select("doc_id", norm.alias("norm"))
+    pat = r"(?:^| )(?=(\S+" + r" \S+" * (n - 1) + r"))"
+    grams = base.where(F.length("norm") > 0).select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("norm"), F.lit(pat), F.lit(1))
+        ).alias("gs"),
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("gs"), 1, 8), 16, 10).cast("long") % _SDH_B
+        ).alias("b"),
+    )
+    freq = (
+        grams.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    lam = freq.select(
+        "b", F.floor(F.log("c") * 1e6 + 0.5).cast("long").alias("lam")
+    )
+    tot = freq.agg(
+        F.floor(F.log(F.sum("c")) * 1e6 + 0.5).cast("long").alias("logn")
+    )
+    sc = (
+        grams.join(F.broadcast(lam), "b")
         .groupBy("doc_id")
         .agg(F.sum("lam").alias("s"), F.count(F.lit(1)).alias("nf"))
     )

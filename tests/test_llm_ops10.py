@@ -214,3 +214,117 @@ def test_softdedup_oracle_parity_on_planted_fixture(spark, tmp_path):
         for w in _oracle(sf, entrymod.oracle_sql()["docs_softdedup_weights"])
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# corpus_bpe_encode / corpus_bpe_encode_step1
+# ---------------------------------------------------------------------------
+
+
+def _bpe_expected(sf_texts, merges):
+    """Pure-Python reference: encode every word with encode_word."""
+    from etl_from_s3_to_postgresql_template_spark.operators.bpe import encode_word
+
+    out = []
+    for doc_id, text in enumerate(sf_texts):
+        words = [w for w in text.replace("\x1f", "").lower().split() if w]
+        toks = [t for w in words for t in encode_word(w, merges)]
+        out.append(
+            (doc_id, len(words), sum(len(w) for w in words), len(toks))
+        )
+    return out
+
+
+def test_bpe_encode_equals_pure_python_encoder(spark, tmp_path):
+    """The chained-regexp encode must equal encode_word applied to every
+    word — including the multi-char-symbol rounds the step-1 oracle
+    can't see."""
+    from etl_from_s3_to_postgresql_template_spark.operators.bpe import (
+        fit_bpe_merges,
+    )
+    from etl_from_s3_to_postgresql_template_spark.sources.registry import (
+        load_table,
+    )
+
+    texts = [
+        "the cat sat on the mat the cat sat",
+        "that hat that hat that hat",
+        "theme theory the the the",
+        "aaa aaaa a aa aaa",
+        "",
+    ]
+    sf = _planted(spark, tmp_path, texts)
+    docs = load_table(spark, sf, "documents")
+    merges = fit_bpe_merges(docs, n_merges=20, min_count=2)
+    assert merges  # the fixture must actually exercise merges
+    got = [tuple(r) for r in QUERIES["corpus_bpe_encode"](spark, sf).collect()]
+    assert got == _bpe_expected(texts, merges)
+
+
+def test_bpe_encode_symbol_boundary_is_respected(spark, tmp_path):
+    """A later merge (b,c) must NOT fire inside the merged symbol 'ab':
+    'abc' encodes to ('ab','c'), never ('a','bc') — the failure a naive
+    substring replace (no symbol-boundary lookarounds) produces."""
+    from etl_from_s3_to_postgresql_template_spark.operators.bpe import (
+        encode_word,
+        fit_bpe_merges,
+    )
+    from etl_from_s3_to_postgresql_template_spark.sources.registry import (
+        load_table,
+    )
+
+    texts = [" ".join(["ab"] * 10), " ".join(["bc"] * 8), " ".join(["abc"] * 3)]
+    sf = _planted(spark, tmp_path, texts)
+    docs = load_table(spark, sf, "documents")
+    merges = fit_bpe_merges(docs, n_merges=20, min_count=2)
+    assert [(m[0], m[1]) for m in merges[:2]] == [("a", "b"), ("b", "c")]
+    assert encode_word("abc", merges[:2]) == ["ab", "c"]
+    got = {r["doc_id"]: r for r in QUERIES["corpus_bpe_encode"](spark, sf).collect()}
+    # the discriminating doc is 'abc abc abc': boundary-correct encoding
+    # gives ('ab','c') after merge 2 and then merge 3 ('ab','c') -> 'abc'
+    # (1 token); a boundary-less substring replace takes the (b,c) path
+    # to ('a','bc'), which merge 3 can never rejoin (2 tokens)
+    assert ("ab", "c") in [(m[0], m[1]) for m in merges]
+    assert got[2]["n_tokens"] == 3
+    assert [tuple(got[i]) for i in range(3)] == _bpe_expected(texts, merges)
+
+
+def test_bpe_encode_overlap_left_to_right(spark, tmp_path):
+    """'aaa' merges once under (a,a) (left-to-right non-overlapping):
+    3 symbols -> 2 tokens; 'aaaa' -> 2 tokens."""
+    texts = ["aa aa aa aa", "aaa aaaa a"]
+    sf = _planted(spark, tmp_path, texts)
+    got = {r["doc_id"]: r for r in QUERIES["corpus_bpe_encode"](spark, sf).collect()}
+    assert (got[1]["n_symbols"], got[1]["n_tokens"]) == (8, 1 + 2 + 2)
+
+
+def test_bpe_encode_step1_oracle_parity(spark, tmp_path):
+    import __spark_entry__ as entrymod
+
+    texts = [
+        "the cat sat on the mat",
+        "that that that",
+        "aaa aaaa",
+        "",
+        "x",
+    ]
+    sf = _planted(spark, tmp_path, texts)
+    got = [
+        tuple(r)
+        for r in QUERIES["corpus_bpe_encode_step1"](spark, sf).collect()
+    ]
+    want = [
+        tuple(w)
+        for w in _oracle(sf, entrymod.oracle_sql()["corpus_bpe_encode_step1"])
+    ]
+    assert got == want
+
+
+def test_bpe_encode_strips_raw_separator_byte(spark, tmp_path):
+    """A document containing the \\x1f symbol-boundary byte must not
+    corrupt the encode — it is stripped before symbolization."""
+    texts = ["ab\x1fab abab", "abab abab"]
+    sf = _planted(spark, tmp_path, texts)
+    got = {r["doc_id"]: r for r in QUERIES["corpus_bpe_encode"](spark, sf).collect()}
+    # doc 0's first word is 'abab' after the strip: both docs identical
+    assert tuple(got[0])[1:] == tuple(got[1])[1:]

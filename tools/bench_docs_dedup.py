@@ -46,6 +46,10 @@ K_INDEPENDENT = [
     "dsir_importance_weights",
     "docs_decontaminate_ngram",
     "docs_gopher_quality_cjk",
+    # round-9 extension: line-wise corpus dedup (hash-keyed line stream)
+    # and SoftDeDup commonness (two-pass gram fit/score)
+    "docs_line_dedup",
+    "docs_softdedup_weights",
     # round-6 additions (all blocking adapts to n by construction)
     "docs_quality_classifier",
     "dedup_jaccard_prefix_filter",
