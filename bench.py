@@ -78,6 +78,13 @@ DOCS_HEAVY = [
     # n-gram benchmark decontamination (gram-key semi-join).
     "dsir_importance_weights",
     "docs_decontaminate_ngram",
+    # r9 extension additions: line-wise corpus dedup, SoftDeDup
+    # commonness (exact + hashed broadcast tiers), distinct-word BPE
+    # corpus encoder — tracked from their first round.
+    "docs_line_dedup",
+    "docs_softdedup_weights",
+    "docs_softdedup_weights_hashed",
+    "corpus_bpe_encode",
 ]
 
 

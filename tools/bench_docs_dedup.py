@@ -46,10 +46,13 @@ K_INDEPENDENT = [
     "dsir_importance_weights",
     "docs_decontaminate_ngram",
     "docs_gopher_quality_cjk",
-    # round-9 extension: line-wise corpus dedup (hash-keyed line stream)
-    # and SoftDeDup commonness (two-pass gram fit/score)
+    # round-9 extension: line-wise corpus dedup (hash-keyed line stream),
+    # SoftDeDup commonness (exact two-pass + hashed broadcast tiers),
+    # and the distinct-word BPE corpus encoder
     "docs_line_dedup",
     "docs_softdedup_weights",
+    "docs_softdedup_weights_hashed",
+    "corpus_bpe_encode",
     # round-6 additions (all blocking adapts to n by construction)
     "docs_quality_classifier",
     "dedup_jaccard_prefix_filter",
