@@ -75,7 +75,11 @@ _WS_RE2 = r"[ \t\n\x0B\f\r]+"
 
 _LD_ORACLE = f"""
     WITH d AS (
-      SELECT doc_id, text, string_split(text, chr(10)) AS parts
+      -- COALESCE: a NULL document must behave like an empty one on both
+      -- engines (Spark's size(NULL) is -1, DuckDB's len(NULL) is NULL —
+      -- neither is the contract)
+      SELECT doc_id, COALESCE(text, '') AS text,
+             string_split(COALESCE(text, ''), chr(10)) AS parts
       FROM documents
     ), l AS (
       SELECT doc_id, j AS pos, parts[j] AS raw, trim(parts[j], ' ') AS ln
@@ -127,8 +131,11 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle keys lines by content, the plan by xxhash64 — same sets
     barring a 64-bit collision (the repo-wide gram-hash convention)."""
     docs = load_table(spark, sf_dir, "documents")
-    parts = F.split(F.col("text"), "\n", -1)
-    base = docs.select("doc_id", "text")
+    # NULL text = empty doc (oracle COALESCEs identically): without this,
+    # size(split(NULL)) is -1 Spark-side and NULL on DuckDB
+    text = F.coalesce(F.col("text"), F.lit(""))
+    parts = F.split(text, "\n", -1)
+    base = docs.select("doc_id", text.alias("text"))
     lines = (
         base.select("doc_id", F.posexplode(parts).alias("pos0", "raw"))
         .select(

@@ -13,7 +13,7 @@ from etl_from_s3_to_postgresql_template_spark.plans import QUERIES
 def _planted(spark, tmp_path, texts, langs=None):
     sf = str(tmp_path)
     rows = [
-        (i, t, (langs[i] if langs else "en"), "web", len(t))
+        (i, t, (langs[i] if langs else "en"), "web", len(t or ""))
         for i, t in enumerate(texts)
     ]
     spark.createDataFrame(
@@ -111,6 +111,20 @@ def test_line_dedup_trailing_newline_and_empty_doc(spark, tmp_path):
     assert (out[0]["n_lines"], out[0]["n_removed"]) == (2, 0)
     assert out[0]["cleaned_text"] == "line a\n"
     assert (out[1]["n_lines"], out[1]["cleaned_text"]) == (1, "")
+
+
+def test_line_dedup_null_text_is_an_empty_doc(spark, tmp_path):
+    """NULL text must behave like '' on BOTH engines (Spark size(NULL)
+    is -1; DuckDB len(NULL) is NULL — the plan/oracle pin '' instead)."""
+    import __spark_entry__ as entrymod
+
+    sf = _planted(spark, tmp_path, [None, "line a\nline b", None])
+    got = [
+        tuple(r) for r in QUERIES["docs_line_dedup"](spark, sf).collect()
+    ]
+    want = [tuple(w) for w in _oracle(sf, entrymod.oracle_sql()["docs_line_dedup"])]
+    assert got == want
+    assert got[0] == (0, 1, 0, "")
 
 
 def test_line_dedup_oracle_parity_on_planted_multiline(spark, tmp_path):
