@@ -318,6 +318,11 @@ def docs_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_SEP = "\x1f"
 
+#: encoder word-cache size = the fit's max_vocab cut (operators/bpe.py):
+#: ~3 MB broadcast, constant at any corpus scale; the Zipf tail pays the
+#: merge chain inline
+_BPE_CACHE_WORDS = 100_000
+
 
 def _bpe_norm_col(text_col: str):
     """Fit-compatible normalization: lower + collapse whitespace. Raw
@@ -359,17 +364,25 @@ def _bpe_count_frame(docs: DataFrame, merges) -> DataFrame:
 
     Two measured traps shaped this:
 
-    1. Run the merge chain over DISTINCT WORDS, not the corpus. BPE is
-       word-local, so encoding the text directly re-encodes every
-       repeated word; the direct chained-regex-over-text form measured
-       158.8 s at 500k docs (21 lookaround passes x 345 MB, ~10^8
-       replacement events), all of it redundant past the first
-       occurrence of each word. This is GPT-2's per-word encoder cache
-       expressed relationally: the chain runs on the unique-word table
-       (bounded by vocabulary — Heaps' law — not corpus size), and
-       per-word token counts join back to the word stream (AQE
-       broadcasts the table when it fits; the stream ships only
-       (doc_id, word_hash) pairs).
+    1. Run the merge chain over a BOUNDED WORD CACHE, not the corpus.
+       BPE is word-local, so encoding the text directly re-encodes
+       every repeated word; the direct chained-regex-over-text form
+       measured 158.8 s at 500k docs (21 lookaround passes x 345 MB,
+       ~10^8 replacement events). A distinct-words+shuffle-join form
+       was built next and its shuffle BYTE-measured 2330x at 100x data
+       (tools/shuffle_bytes.py: the word stream pre-shuffled 113M rows
+       for a sort-merge join AQE only later saw was broadcastable).
+       Final form — GPT-2's per-word encoder cache, bounded: the chain
+       runs on the top-{cap} frequency-capped word table (the fit's own
+       max_vocab cut; ~3 MB, CONSTANT at any corpus scale), which
+       BROADCASTS; the stream left-joins it with zero exchange, and
+       out-of-vocabulary words — the Zipf tail, a vanishing share of
+       OCCURRENCES — pay the chain inline through a lazily-evaluated
+       coalesce fallback. Cache membership cannot change a value (both
+       branches compute the same function), only where it is computed,
+       so no cut-boundary determinism question arises. The only
+       corpus-sized shuffle left is the fit's own map-side-combining
+       word count.
     2. Reference the chain EXACTLY ONCE. A column expression is inlined
        per reference by CollapseProject, and duplicating the 20-deep
        regex chain pushes the generated code past the JVM method limit
@@ -378,32 +391,37 @@ def _bpe_count_frame(docs: DataFrame, merges) -> DataFrame:
        removes exactly one separator, so per word
        ``n_tok = length(enc_w) - length(w) + 1`` needs only
        ``length(enc_w)``."""
+    from etl_from_s3_to_postgresql_template_spark.operators.bpe import (
+        word_frequencies,
+    )
+
     norm = _bpe_norm_col("text")
     base = docs.select("doc_id", norm.alias("norm"))
     words = base.select(
         "doc_id", F.explode(F.split("norm", " ", -1)).alias("w")
     ).where(F.length("w") > 0)
-    enc_w = _bpe_apply_merges(
-        F.regexp_replace(F.col("w"), r"(?<=.)(?=.)", _BPE_SEP), merges
-    )
-    wtab = (
-        words.select("w")
-        .distinct()
-        .select(
-            F.xxhash64("w").alias("wh"),
-            (F.length(enc_w) - F.length("w") + 1).alias("ntok"),
+
+    def ntok_of(col):
+        enc = _bpe_apply_merges(
+            F.regexp_replace(col, r"(?<=.)(?=.)", _BPE_SEP), merges
         )
-    )
-    stream = words.select(
-        "doc_id", F.xxhash64("w").alias("wh"), F.length("w").alias("wl")
+        return F.length(enc) - F.length(col) + 1
+
+    # fit-capped cache: <= max_vocab rows regardless of corpus size
+    cache = word_frequencies(docs, "text", _BPE_CACHE_WORDS).select(
+        F.col("word").alias("w"), ntok_of(F.col("word")).alias("ntok_c")
     )
     per_doc = (
-        stream.join(wtab, "wh")
+        words.join(F.broadcast(cache), "w", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("nw"),
-            F.sum("wl").alias("nsym"),
-            F.sum("ntok").alias("ntk"),
+            F.sum(F.length("w")).alias("nsym"),
+            # coalesce evaluates the chain ONLY on cache misses (codegen
+            # short-circuits), and only here — single chain reference
+            F.sum(F.coalesce(F.col("ntok_c"), ntok_of(F.col("w")))).alias(
+                "ntk"
+            ),
         )
     )
     return (
