@@ -85,6 +85,10 @@ DOCS_HEAVY = [
     "docs_softdedup_weights",
     "docs_softdedup_weights_hashed",
     "corpus_bpe_encode",
+    # r9 third-session addition: the Gopher REPETITION rules (zero-shuffle
+    # Arrow kernel + integer micro-unit gates) — tracked from its first
+    # round.
+    "docs_gopher_repetition",
 ]
 
 

@@ -1,0 +1,574 @@
+"""Round-9 third-session module: the remaining quality / data-mixing /
+contamination white space in the LLM-pipeline surface.
+
+1. ``docs_gopher_repetition`` — the REPETITION half of the Gopher
+   quality filters (Rae et al. 2021, Table A1): duplicate-line fraction
+   and duplicate-line character fraction, top-{2,3,4}-gram character
+   fraction, and duplicate-5-gram character fraction with union
+   (non-double-counting) coverage, plus the paper's threshold gate.
+   The existing ``docs_gopher_quality`` (llm_ops2) covers only the
+   SHAPE rules (token count / mean word length / stopword evidence);
+   this entry completes the filter family.
+2. ``corpus_mixture_unimax`` — UniMax sampling allocation (Chung et
+   al. 2023, "UniMax: Fairer and More Effective Language Sampling for
+   Large-Scale Multilingual Pretraining"): given per-domain token
+   counts, an epoch cap, and a token budget, waterfill the budget so
+   no domain exceeds ``epoch_cap`` epochs and the remainder is shared
+   equally — the closed-form mixture planner a 100 TB pretraining run
+   derives its sampling weights from.
+3. ``embedding_decontaminate_eval`` — the SEMANTIC twin of
+   ``docs_decontaminate_ngram`` (llm_ops9): flag corpus vectors whose
+   cosine against ANY held-out eval vector reaches tau, the
+   embedding-space benchmark-contamination sweep (Yang et al. 2023,
+   "Rethinking Benchmark and Contamination ... " use the same shape).
+4. ``text_tokenizer_fertility`` — per-language tokenizer fertility
+   audit (chars / bytes per token under the Unicode-aware no-segmenter
+   fallback), the standard pre-tokenizer corpus report (Rust et al.
+   2021 study fertility per language; every multilingual data card
+   ships this table).
+
+Exact-arithmetic discipline (the llm_ops9 convention): fractions are
+integer micro-units computed with BIGINT floor division on both
+engines; nothing tolerance-compares. Whitespace is the explicit ASCII
+class (the llm_ops8 convention — RE2's ``\\s`` omits ``\\x0B``; Java's
+``\\s`` is exactly ``[ \\t\\n\\x0B\\f\\r]``).
+
+New module by policy (VERDICT r8 item 1 / functions/foldvec.py:17):
+stamped modules stay frozen; new work re-fingerprints nothing.
+
+Reference scope note: the reference pipeline (etl_pipeline.py ~734
+lines) has no quality/mixing/contamination surface; all four entries
+are north-star training-data operators with no reference counterpart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_from_s3_to_postgresql_template_spark.plans.registry import query
+from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+__all__ = [
+    "docs_gopher_repetition",
+    "corpus_mixture_unimax",
+    "embedding_decontaminate_eval",
+    "text_tokenizer_fertility",
+]
+
+#: explicit ASCII whitespace — identical byte set under Java regex and
+#: RE2 (the llm_ops8 convention)
+_WS = r"[ \t\n\x0B\f\r]+"
+
+# ---------------------------------------------------------------------------
+# docs_gopher_repetition
+# ---------------------------------------------------------------------------
+#
+# Counts come from one zero-shuffle Arrow kernel
+# (functions/gopher_rep.py — semantics pinned there and mirrored by the
+# oracle below); fractions/thresholds are JVM-side exact integer
+# micro-units. Gopher's published thresholds (Rae et al. 2021 Table A1):
+# dup-line <= 0.30, dup-line-chars <= 0.20, top-2-gram <= 0.20,
+# top-3-gram <= 0.18, top-4-gram <= 0.16, dup-5-gram <= 0.15.
+
+_GR_ORACLE = rf"""
+    WITH d AS (
+      SELECT doc_id, COALESCE(text, '') AS t FROM documents
+    ), ln AS (
+      SELECT doc_id, trim(l, ' ') AS pl
+      FROM d, UNNEST(string_split(t, chr(10))) AS u(l)
+      WHERE trim(l, ' ') <> ''
+    ), lg AS (
+      SELECT doc_id, pl, CAST(count(*) AS BIGINT) AS c,
+             CAST(len(pl) AS BIGINT) AS ll
+      FROM ln GROUP BY doc_id, pl
+    ), lstat AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_lines,
+             CAST(sum(c) - count(*) AS BIGINT) AS dup_line_cnt,
+             CAST(sum(c * ll) AS BIGINT) AS line_chars,
+             CAST(sum((c - 1) * ll) AS BIGINT) AS dup_line_chars
+      FROM lg GROUP BY doc_id
+    ), ts AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(t, '{_WS}'), x -> x <> '') AS toks,
+             CAST(len(list_filter(string_split_regex(t, '{_WS}'), x -> x <> ''))
+                  AS BIGINT) AS n_tok,
+             CAST(COALESCE(list_sum(list_transform(
+                  list_filter(string_split_regex(t, '{_WS}'), x -> x <> ''),
+                  x -> CAST(len(x) AS BIGINT))), 0) AS BIGINT) AS tok_chars
+      FROM d
+    ), g2 AS (
+      SELECT doc_id, UNNEST(list_transform(range(n_tok - 1),
+             p -> array_to_string(list_slice(toks, p + 1, p + 2), ' '))) AS gram
+      FROM ts WHERE n_tok >= 2
+    ), g3 AS (
+      SELECT doc_id, UNNEST(list_transform(range(n_tok - 2),
+             p -> array_to_string(list_slice(toks, p + 1, p + 3), ' '))) AS gram
+      FROM ts WHERE n_tok >= 3
+    ), g4 AS (
+      SELECT doc_id, UNNEST(list_transform(range(n_tok - 3),
+             p -> array_to_string(list_slice(toks, p + 1, p + 4), ' '))) AS gram
+      FROM ts WHERE n_tok >= 4
+    ), t2 AS (
+      SELECT doc_id, CAST(MAX(cl) AS BIGINT) AS top_chars FROM (
+        SELECT doc_id, count(*) * len(gram) AS cl FROM g2
+        GROUP BY doc_id, gram HAVING count(*) >= 2) GROUP BY doc_id
+    ), t3 AS (
+      SELECT doc_id, CAST(MAX(cl) AS BIGINT) AS top_chars FROM (
+        SELECT doc_id, count(*) * len(gram) AS cl FROM g3
+        GROUP BY doc_id, gram HAVING count(*) >= 2) GROUP BY doc_id
+    ), t4 AS (
+      SELECT doc_id, CAST(MAX(cl) AS BIGINT) AS top_chars FROM (
+        SELECT doc_id, count(*) * len(gram) AS cl FROM g4
+        GROUP BY doc_id, gram HAVING count(*) >= 2) GROUP BY doc_id
+    ), g5 AS (
+      SELECT doc_id, UNNEST(list_transform(range(n_tok - 4),
+             p -> struct_pack(i := p + 1,
+                  gram := array_to_string(list_slice(toks, p + 1, p + 5), ' ')))) AS s
+      FROM ts WHERE n_tok >= 5
+    ), g5f AS (
+      SELECT doc_id, s.i AS i, s.gram AS gram FROM g5
+    ), c5 AS (
+      SELECT doc_id, gram FROM g5f GROUP BY doc_id, gram HAVING count(*) >= 2
+    ), dpos AS (
+      SELECT g5f.doc_id, g5f.i FROM g5f JOIN c5 USING (doc_id, gram)
+    ), cov AS (
+      SELECT DISTINCT doc_id, j FROM (
+        SELECT doc_id, UNNEST([i, i + 1, i + 2, i + 3, i + 4]) AS j FROM dpos)
+    ), covs AS (
+      SELECT c.doc_id, CAST(SUM(len(ts.toks[c.j])) AS BIGINT) AS dup5_chars
+      FROM cov c JOIN ts ON c.doc_id = ts.doc_id GROUP BY c.doc_id
+    ), m AS (
+      SELECT d.doc_id,
+             COALESCE(l.n_lines, 0) AS n_lines,
+             COALESCE(l.dup_line_cnt, 0) AS dup_line_cnt,
+             COALESCE(l.line_chars, 0) AS line_chars,
+             COALESCE(l.dup_line_chars, 0) AS dup_line_chars,
+             COALESCE(t2.top_chars, 0) AS top2,
+             COALESCE(t3.top_chars, 0) AS top3,
+             COALESCE(t4.top_chars, 0) AS top4,
+             COALESCE(covs.dup5_chars, 0) AS dup5,
+             ts.n_tok AS n_tok,
+             ts.tok_chars AS tok_chars,
+             ts.tok_chars + CASE WHEN ts.n_tok > 0 THEN ts.n_tok - 1 ELSE 0 END
+               AS norm_len
+      FROM d
+      LEFT JOIN lstat l ON d.doc_id = l.doc_id
+      JOIN ts ON d.doc_id = ts.doc_id
+      LEFT JOIN t2 ON d.doc_id = t2.doc_id
+      LEFT JOIN t3 ON d.doc_id = t3.doc_id
+      LEFT JOIN t4 ON d.doc_id = t4.doc_id
+      LEFT JOIN covs ON d.doc_id = covs.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(CASE WHEN n_lines > 0 THEN 1000000 * dup_line_cnt // n_lines
+                ELSE 0 END AS BIGINT) AS dup_line_frac_micro,
+           CAST(CASE WHEN line_chars > 0 THEN 1000000 * dup_line_chars // line_chars
+                ELSE 0 END AS BIGINT) AS dup_line_char_frac_micro,
+           CAST(CASE WHEN norm_len > 0 THEN 1000000 * top2 // norm_len
+                ELSE 0 END AS BIGINT) AS top_2gram_frac_micro,
+           CAST(CASE WHEN norm_len > 0 THEN 1000000 * top3 // norm_len
+                ELSE 0 END AS BIGINT) AS top_3gram_frac_micro,
+           CAST(CASE WHEN norm_len > 0 THEN 1000000 * top4 // norm_len
+                ELSE 0 END AS BIGINT) AS top_4gram_frac_micro,
+           CAST(CASE WHEN tok_chars > 0 THEN 1000000 * dup5 // tok_chars
+                ELSE 0 END AS BIGINT) AS dup_5gram_frac_micro,
+           (CASE WHEN n_lines > 0 THEN 1000000 * dup_line_cnt // n_lines ELSE 0 END) <= 300000
+           AND (CASE WHEN line_chars > 0 THEN 1000000 * dup_line_chars // line_chars ELSE 0 END) <= 200000
+           AND (CASE WHEN norm_len > 0 THEN 1000000 * top2 // norm_len ELSE 0 END) <= 200000
+           AND (CASE WHEN norm_len > 0 THEN 1000000 * top3 // norm_len ELSE 0 END) <= 180000
+           AND (CASE WHEN norm_len > 0 THEN 1000000 * top4 // norm_len ELSE 0 END) <= 160000
+           AND (CASE WHEN tok_chars > 0 THEN 1000000 * dup5 // tok_chars ELSE 0 END) <= 150000
+             AS passes
+    FROM m ORDER BY doc_id
+    """
+
+
+@query("docs_gopher_repetition", oracle=_GR_ORACLE)
+def docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (module comment above). Counts come
+    from ONE zero-shuffle Arrow pass (functions/gopher_rep.py — the
+    within-doc n-gram counting is doc-local by definition, so the
+    explode + groupBy(doc_id, gram) shuffle the expression form would
+    pay ships n x corpus bytes for nothing); every fraction is a JVM
+    codegen BIGINT floor division in micro-units, so the registry pair
+    is hash-exact. At 100 TB this is a scan plus the output sort —
+    the same cost class as text_quality's fused kernel.
+
+    Gate semantics: a document passes iff EVERY repetition fraction is
+    at or below its published threshold (0.30 / 0.20 / 0.20 / 0.18 /
+    0.16 / 0.15). Empty and NULL documents pass trivially (all
+    fractions 0) — shape rules (token-count bounds) live in
+    docs_gopher_quality, not here.
+    """
+    from etl_from_s3_to_postgresql_template_spark.functions.gopher_rep import rep_stats_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", rep_stats_counts("text").alias("r")).select(
+        "doc_id", "r.*"
+    )
+
+    def _frac(num: str, den: str) -> F.Column:
+        return (
+            F.when(
+                F.col(den) > 0, F.expr(f"(1000000 * {num}) div {den}")
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    norm = base.withColumn(
+        "norm_len",
+        F.col("tok_chars")
+        + F.when(F.col("n_tok") > 0, F.col("n_tok") - 1).otherwise(F.lit(0)),
+    )
+    m = norm.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        _frac("dup_line_cnt", "n_lines").alias("dup_line_frac_micro"),
+        _frac("dup_line_chars", "line_chars").alias("dup_line_char_frac_micro"),
+        _frac("top2_chars", "norm_len").alias("top_2gram_frac_micro"),
+        _frac("top3_chars", "norm_len").alias("top_3gram_frac_micro"),
+        _frac("top4_chars", "norm_len").alias("top_4gram_frac_micro"),
+        _frac("dup5_chars", "tok_chars").alias("dup_5gram_frac_micro"),
+    )
+    passes = (
+        (F.col("dup_line_frac_micro") <= 300000)
+        & (F.col("dup_line_char_frac_micro") <= 200000)
+        & (F.col("top_2gram_frac_micro") <= 200000)
+        & (F.col("top_3gram_frac_micro") <= 180000)
+        & (F.col("top_4gram_frac_micro") <= 160000)
+        & (F.col("dup_5gram_frac_micro") <= 150000)
+    )
+    return m.withColumn("passes", passes).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# corpus_mixture_unimax
+# ---------------------------------------------------------------------------
+#
+# Domains are (source, lang) pairs; capacity_d = EPOCH_CAP * tokens_d;
+# budget N = BUDGET_EPOCHS * total tokens.  Waterfilling over domains
+# sorted by ascending capacity (tie: domain name): domain i is CAPPED
+# iff capacity_i * slots_i <= N - prefix_i (exact BIGINT compare); the
+# flag is provably monotone along the sort (if c_i is uncapped, every
+# larger c_j is too), so the first uncapped row fixes the equal share
+# for all remaining domains: share = (N - prefix_break) / slots_break,
+# held in micro-tokens.  Overflow bound: share_micro multiplies the
+# remaining budget by 1e6, so the plan is exact for budgets up to
+# ~9.2e12 tokens; past that, rescale the micro unit (the comparison
+# logic itself stays within range far beyond 100 TB).
+
+_UM_EPOCH_CAP = 4  # max epochs any domain may repeat (UniMax's N parameter)
+_UM_BUDGET_EPOCHS = 2  # token budget as a multiple of total corpus tokens
+
+_UM_ORACLE = rf"""
+    WITH tk AS (
+      SELECT source || '/' || lang AS domain,
+             CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '{_WS}'),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ), dom AS (
+      SELECT domain, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM tk GROUP BY domain
+    ), cap AS (
+      SELECT domain, n_tokens,
+             CAST({_UM_EPOCH_CAP} * n_tokens AS BIGINT) AS capacity
+      FROM dom
+    ), tot AS (
+      SELECT CAST({_UM_BUDGET_EPOCHS} * sum(n_tokens) AS BIGINT) AS budget FROM dom
+    ), w AS (
+      SELECT domain, n_tokens, capacity, budget,
+             CAST(ROW_NUMBER() OVER (ORDER BY capacity, domain) AS BIGINT) AS rn,
+             CAST(COALESCE(SUM(capacity) OVER (ORDER BY capacity, domain
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS prefix,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k
+      FROM cap, tot
+    ), f AS (
+      SELECT *, (capacity * (k - rn + 1) <= budget - prefix) AS capped FROM w
+    ), brk AS (
+      SELECT CAST((budget - prefix) * 1000000 // (k - rn + 1) AS BIGINT)
+               AS share_micro
+      FROM f WHERE NOT capped ORDER BY rn LIMIT 1
+    )
+    SELECT domain, n_tokens, capacity, capped,
+           CAST(CASE WHEN capped THEN capacity * 1000000
+                ELSE (SELECT share_micro FROM brk) END AS BIGINT) AS alloc_micro,
+           CAST(CASE WHEN n_tokens > 0 THEN
+                  (CASE WHEN capped THEN capacity * 1000000
+                   ELSE (SELECT share_micro FROM brk) END) // n_tokens
+                ELSE 0 END AS BIGINT) AS epochs_micro
+    FROM f ORDER BY domain
+    """
+
+
+@query("corpus_mixture_unimax", oracle=_UM_ORACLE)
+def corpus_mixture_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture allocation (module comment above). The heavy half
+    is the distributed token count — one scan with map-side combine
+    down to one row per domain; the waterfill itself is a window over
+    the aggregated frame (thousands of rows at any corpus scale, so the
+    single-partition window is a driver-scale frame by construction,
+    the same argument as the BPE merge table). Output: per-domain token
+    count, capacity (EPOCH_CAP * tokens), whether the cap binds, the
+    allocation in micro-tokens, and the implied epochs in micro-units —
+    all exact BIGINT arithmetic, hash-exact cross-engine."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), _WS), lambda x: x != ""
+    )
+    dom = docs.select(
+        F.concat_ws("/", "source", "lang").alias("domain"),
+        F.size(toks).cast("long").alias("n_tok"),
+    )
+    agg = dom.groupBy("domain").agg(F.sum("n_tok").cast("long").alias("n_tokens"))
+    cap = agg.select(
+        "domain",
+        "n_tokens",
+        (F.lit(_UM_EPOCH_CAP) * F.col("n_tokens")).cast("long").alias("capacity"),
+    )
+    tot = cap.agg(
+        (F.lit(_UM_BUDGET_EPOCHS) * F.sum("n_tokens")).cast("long").alias("budget")
+    )
+    win = W.partitionBy(F.lit(0)).orderBy("capacity", "domain")
+    w = (
+        cap.crossJoin(F.broadcast(tot))
+        .withColumn("rn", F.row_number().over(win).cast("long"))
+        .withColumn(
+            "prefix",
+            F.coalesce(
+                F.sum("capacity").over(win.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn(
+            "k", F.count(F.lit(1)).over(W.partitionBy(F.lit(0))).cast("long")
+        )
+    )
+    f = w.withColumn(
+        "capped",
+        F.col("capacity") * (F.col("k") - F.col("rn") + 1)
+        <= F.col("budget") - F.col("prefix"),
+    )
+    brk = (
+        f.filter(~F.col("capped"))
+        .orderBy("rn")
+        .limit(1)
+        .select(
+            F.expr("((budget - prefix) * 1000000) div (k - rn + 1)")
+            .cast("long")
+            .alias("share_micro"),
+            F.lit(1).alias("_j"),
+        )
+    )
+    out = (
+        f.withColumn("_j", F.lit(1))
+        .join(F.broadcast(brk), "_j", "left")
+        .withColumn(
+            "alloc_micro",
+            F.when(F.col("capped"), F.col("capacity") * F.lit(1000000))
+            .otherwise(F.col("share_micro"))
+            .cast("long"),
+        )
+        .withColumn(
+            "epochs_micro",
+            F.when(F.col("n_tokens") > 0, F.expr("alloc_micro div n_tokens"))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+    return out.select(
+        "domain", "n_tokens", "capacity", "capped", "alloc_micro", "epochs_micro"
+    ).orderBy("domain")
+
+
+# ---------------------------------------------------------------------------
+# embedding_decontaminate_eval
+# ---------------------------------------------------------------------------
+#
+# Holdout = vec_id % 10 == 3 (deterministic eval split, the
+# docs_decontaminate_ngram convention); corpus = the rest.  tau = 0.35
+# flags a real minority of the fixture corpus at both SFs (measured:
+# 44-48 pairs over a 50-vector holdout).  The holdout side is SMALL BY
+# NATURE (benchmark eval sets), so the production plan is a broadcast
+# nested-loop against the corpus scan with map-side partial aggregation
+# — the corpus never shuffles; the exchange carries at most one
+# (vec_id, n_hits, max_cos) row per vector per task.
+
+_ED_TAU = 0.35
+
+_ED_ORACLE = f"""
+    WITH h AS (
+      SELECT vec_id AS hid, CAST(embedding AS DOUBLE[]) AS hv
+      FROM embeddings WHERE vec_id % 10 = 3
+    ), c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id % 10 <> 3
+    ), p AS (
+      SELECT vec_id,
+             list_dot_product(cv, hv) /
+               (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(hv, hv)))
+               AS cos
+      FROM c, h
+    )
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN cos >= {_ED_TAU} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           ROUND(MAX(cos), 6) AS max_cos,
+           (SUM(CASE WHEN cos >= {_ED_TAU} THEN 1 ELSE 0 END) >= 1)
+             AS contaminated
+    FROM p GROUP BY vec_id ORDER BY vec_id
+    """
+
+
+@query("embedding_decontaminate_eval", oracle=_ED_ORACLE)
+def embedding_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (module comment above):
+    for every corpus vector, the count of held-out eval vectors within
+    cosine tau and the max cosine reached — ``contaminated`` rows are
+    what a pretraining run drops (the semantic complement of
+    docs_decontaminate_ngram's textual gram overlap). Thresholding uses
+    the UNROUNDED cosine on both engines (the dedup_embedding_pairs
+    convention); ``max`` is order-free, so the rounded output is
+    deterministic. Scale shape: eval sets are tiny by nature -> the
+    holdout broadcasts, the corpus scans once, and partial aggregation
+    collapses the pair stream map-side — no corpus shuffle at any
+    scale."""
+    from etl_from_s3_to_postgresql_template_spark.functions.vectors import (
+        as_double_vec,
+        cosine_col,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hold = emb.filter(F.col("vec_id") % 10 == 3).select(
+        F.col("vec_id").alias("hid"), as_double_vec(F.col("embedding")).alias("hv")
+    )
+    corp = emb.filter(F.col("vec_id") % 10 != 3).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("cv")
+    )
+    cos = cosine_col(F.col("cv"), F.col("hv"))
+    pairs = corp.join(F.broadcast(hold)).select("vec_id", cos.alias("cos"))
+    return (
+        pairs.groupBy("vec_id")
+        .agg(
+            F.sum(F.when(F.col("cos") >= _ED_TAU, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.round(F.max("cos"), 6).alias("max_cos"),
+        )
+        .withColumn("contaminated", F.col("n_hits") >= 1)
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_tokenizer_fertility
+# ---------------------------------------------------------------------------
+#
+# Token identity is the llm_ops8 no-segmenter fallback (every Han /
+# Hiragana / Katakana codepoint its own token; remainder whitespace-
+# tokenized after CJK is replaced by spaces) — constants re-declared
+# here, not imported, so the stamped module stays untouched.  Java
+# \\p{IsHan} == RE2 \\p{Han} byte-parity was pinned before
+# text_token_count_cjk landed (tests/test_llm_ops8.py).
+
+_CJK_JAVA = r"[\p{IsHan}\p{IsHiragana}\p{IsKatakana}]"
+_CJK_RE2 = r"[\p{Han}\p{Hiragana}\p{Katakana}]"
+
+_TF_ORACLE = rf"""
+    WITH t AS (
+      SELECT lang,
+             COALESCE(text, '') AS tx,
+             length(COALESCE(text, ''))
+               - length(regexp_replace(COALESCE(text, ''), '{_CJK_RE2}', '', 'g'))
+               AS n_cjk,
+             len(list_filter(
+                 string_split_regex(
+                   regexp_replace(COALESCE(text, ''), '{_CJK_RE2}', ' ', 'g'),
+                   '{_WS}'),
+                 x -> x <> '')) AS n_ws
+      FROM documents
+    ), a AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_cjk) AS BIGINT) AS n_cjk_chars,
+             CAST(sum(n_ws) AS BIGINT) AS n_ws_tokens,
+             CAST(sum(n_cjk + n_ws) AS BIGINT) AS n_unicode_tokens,
+             CAST(sum(length(tx)) AS BIGINT) AS n_chars,
+             CAST(sum(strlen(tx)) AS BIGINT) AS n_bytes
+      FROM t GROUP BY lang
+    )
+    SELECT lang, n_docs, n_cjk_chars, n_ws_tokens, n_unicode_tokens,
+           n_chars, n_bytes,
+           CAST(CASE WHEN n_unicode_tokens > 0
+                THEN 1000000 * n_chars // n_unicode_tokens
+                ELSE 0 END AS BIGINT) AS chars_per_tok_micro,
+           CAST(CASE WHEN n_unicode_tokens > 0
+                THEN 1000000 * n_bytes // n_unicode_tokens
+                ELSE 0 END AS BIGINT) AS bytes_per_tok_micro
+    FROM a ORDER BY lang
+    """
+
+
+@query("text_tokenizer_fertility", oracle=_TF_ORACLE)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility audit (module comment above):
+    document counts, CJK-codepoint and whitespace token totals under
+    the Unicode-aware fallback, char/byte totals, and the fertility
+    ratios (chars and bytes per token) in exact integer micro-units.
+    One scan, map-side combine to one row per language; at 100 TB this
+    is a projection plus a trivial aggregate. The ratios are the
+    numbers a multilingual data card reports per language (fertility:
+    how many bytes one token carries — CJK text shows ~3x the
+    bytes-per-token of ASCII under a codepoint tokenizer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tx = F.coalesce(F.col("text"), F.lit(""))
+    n_cjk = (F.length(tx) - F.length(F.regexp_replace(tx, _CJK_JAVA, ""))).cast(
+        "long"
+    )
+    repl = F.regexp_replace(tx, _CJK_JAVA, " ")
+    n_ws = F.size(F.filter(F.split(repl, _WS), lambda x: x != "")).cast("long")
+    a = (
+        docs.select(
+            "lang",
+            n_cjk.alias("n_cjk"),
+            n_ws.alias("n_ws"),
+            F.length(tx).cast("long").alias("n_chars"),
+            F.octet_length(tx).cast("long").alias("n_bytes"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_cjk").cast("long").alias("n_cjk_chars"),
+            F.sum("n_ws").cast("long").alias("n_ws_tokens"),
+            F.sum(F.col("n_cjk") + F.col("n_ws")).cast("long").alias("n_unicode_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_bytes").cast("long").alias("n_bytes"),
+        )
+    )
+
+    def _ratio(num: str) -> F.Column:
+        return (
+            F.when(
+                F.col("n_unicode_tokens") > 0,
+                F.expr(f"(1000000 * {num}) div n_unicode_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    return a.select(
+        "lang",
+        "n_docs",
+        "n_cjk_chars",
+        "n_ws_tokens",
+        "n_unicode_tokens",
+        "n_chars",
+        "n_bytes",
+        _ratio("n_chars").alias("chars_per_tok_micro"),
+        _ratio("n_bytes").alias("bytes_per_tok_micro"),
+    ).orderBy("lang")

@@ -1,0 +1,311 @@
+"""Gopher repetition rules + UniMax mixture + embedding decontamination
++ tokenizer fertility (plans/llm_ops11.py): hand-computed expectations
+on planted fixtures (the sf corpus is single-line ASCII, so line
+semantics, CJK fertility, and the \\x0B whitespace byte are pinned
+here), union-coverage properties, waterfill algebra, degenerate inputs,
+and DuckDB oracle parity on planted corpora."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from etl_from_s3_to_postgresql_template_spark.functions.gopher_rep import _doc_counts
+from etl_from_s3_to_postgresql_template_spark.plans import ORACLE, QUERIES
+
+
+def _planted_docs(spark, tmp_path, rows3):
+    """rows3: list of (text, lang, source)."""
+    sf = str(tmp_path)
+    rows = [
+        (i, t, lang, src, len(t or "")) for i, (t, lang, src) in enumerate(rows3)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def _planted_emb(spark, tmp_path, vecs):
+    """vecs: list of (vec_id, [floats])."""
+    sf = str(tmp_path)
+    rows = [(i, [float(x) for x in v], 0) for i, v in vecs]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    return sf
+
+
+def _oracle(sf, name, table="documents"):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM "
+        f"read_parquet('{sf}/{table}.parquet/*.parquet')"
+    )
+    return con.execute(ORACLE[name]).fetchall()
+
+
+# ---------------------------------------------------------------------------
+# docs_gopher_repetition — kernel unit semantics
+# ---------------------------------------------------------------------------
+
+
+def test_rep_counts_lines_hand_computed():
+    """'a\\nb\\na\\n  a  \\nc': trimmed participating lines a,b,a,a,c ->
+    5 lines, 2 duplicate occurrences, 5 chars total, 2 duplicate chars."""
+    n_lines, dup_cnt, line_chars, dup_chars, *_ = _doc_counts("a\nb\na\n  a  \nc")
+    assert (n_lines, dup_cnt, line_chars, dup_chars) == (5, 2, 5, 2)
+
+
+def test_rep_counts_empty_and_blank_lines_excluded():
+    n_lines, dup_cnt, *_ = _doc_counts("\n\n   \n")
+    assert (n_lines, dup_cnt) == (0, 0)
+
+
+def test_rep_counts_tab_padded_lines_stay_distinct():
+    """0x20-trim identity (the docs_line_dedup choice): '\\ta' != 'a'."""
+    n_lines, dup_cnt, *_ = _doc_counts("a\n\ta")
+    assert (n_lines, dup_cnt) == (2, 0)
+
+
+def test_rep_counts_top2gram_hand_computed():
+    """'x y x y x y': 2-gram 'x y' occurs 3x (3 chars each -> 9);
+    normalized stream length 11."""
+    c = _doc_counts("x y x y x y")
+    top2, n_tok, tok_chars = c[4], c[8], c[9]
+    assert (top2, n_tok, tok_chars) == (9, 6, 6)
+
+
+def test_rep_counts_top_ngram_zero_when_nothing_repeats():
+    c = _doc_counts("a b c d e f")
+    assert c[4] == c[5] == c[6] == 0  # top2, top3, top4
+    assert c[7] == 0  # dup5
+
+
+def test_rep_counts_dup5_union_no_double_count():
+    """'a a a a a a a': every 5-gram identical and repeated; union
+    coverage is all 7 tokens (7 chars), NOT per-occurrence sums (15)."""
+    c = _doc_counts("a a a a a a a")
+    assert c[7] == 7 and c[9] == 7
+
+
+def test_rep_counts_dup5_disjoint_blocks():
+    """'a b c d e a b c d e': grams at positions 1 and 6 repeat; covered
+    tokens 1-5 and 6-10 = all ten (10 chars)."""
+    c = _doc_counts("a b c d e a b c d e")
+    assert c[7] == 10
+
+
+def test_rep_counts_vertical_tab_is_whitespace():
+    """\\x0B splits tokens (the llm_ops8 byte-set convention)."""
+    c = _doc_counts("a\x0ba a a")
+    assert c[8] == 4  # n_tok
+
+
+# ---------------------------------------------------------------------------
+# docs_gopher_repetition — full plan + oracle parity on planted corpus
+# ---------------------------------------------------------------------------
+
+_REP_CORPUS = [
+    # multi-line with duplicated boilerplate lines
+    ("nav bar\nreal content one\nnav bar\nreal content two", "en", "web"),
+    # heavy 2-gram repetition -> fails top-2-gram gate
+    ("spam ham spam ham spam ham spam ham spam ham", "en", "web"),
+    # clean prose -> passes
+    ("the quick brown fox jumps over one lazy dog today", "en", "web"),
+    # exact 5-gram block repetition -> fails dup-5-gram gate
+    ("alpha beta gamma delta epsilon alpha beta gamma delta epsilon", "en", "web"),
+    (None, "en", "web"),  # NULL text: all zero, passes
+    ("", "en", "web"),  # empty text: all zero, passes
+    ("one\x0btwo three\x0bfour five six", "en", "web"),  # \x0B parity
+]
+
+
+def test_gopher_repetition_plan_matches_oracle_on_planted(spark, tmp_path):
+    sf = _planted_docs(spark, tmp_path, _REP_CORPUS)
+    got = [tuple(r) for r in QUERIES["docs_gopher_repetition"](spark, sf).collect()]
+    want = [tuple(r) for r in _oracle(sf, "docs_gopher_repetition")]
+    assert got == want
+
+
+def test_gopher_repetition_gates(spark, tmp_path):
+    sf = _planted_docs(spark, tmp_path, _REP_CORPUS)
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["docs_gopher_repetition"](spark, sf).collect()
+    }
+    # doc 0: 4 lines, 1 dup occurrence -> 25% dup lines, passes line rule
+    assert rows[0]["n_lines"] == 4
+    assert rows[0]["dup_line_frac_micro"] == 250000
+    # doc 1: top-2-gram dominates -> gate fails
+    assert rows[1]["top_2gram_frac_micro"] > 200000 and not rows[1]["passes"]
+    # doc 2: clean prose passes
+    assert rows[2]["passes"]
+    # doc 3: dup-5-gram covers everything -> gate fails
+    assert rows[3]["dup_5gram_frac_micro"] == 1000000 and not rows[3]["passes"]
+    # docs 4/5: NULL and empty behave identically — zeros, pass
+    for d in (4, 5):
+        assert rows[d]["n_lines"] == 0 and rows[d]["passes"]
+
+
+# ---------------------------------------------------------------------------
+# corpus_mixture_unimax — waterfill algebra
+# ---------------------------------------------------------------------------
+
+
+def _tok_doc(n, word="w"):
+    return " ".join([word] * n)
+
+
+def test_unimax_waterfill_hand_computed(spark, tmp_path):
+    """Domains A=10, B=100, C=1000 tokens; E=4 -> caps 40/400/4000;
+    N = 2*1110 = 2220. Ascending: A capped (40*3=120 <= 2220), B capped
+    (400*2=800 <= 2180), C waterfilled share = 1780 tokens."""
+    sf = _planted_docs(
+        spark,
+        tmp_path,
+        [
+            (_tok_doc(10), "en", "A"),
+            (_tok_doc(100), "en", "B"),
+            (_tok_doc(1000), "en", "C"),
+        ],
+    )
+    rows = {
+        r["domain"]: r.asDict()
+        for r in QUERIES["corpus_mixture_unimax"](spark, sf).collect()
+    }
+    a, b, c = rows["A/en"], rows["B/en"], rows["C/en"]
+    assert a["capped"] and a["alloc_micro"] == 40_000_000
+    assert a["epochs_micro"] == 4_000_000  # exactly the epoch cap
+    assert b["capped"] and b["alloc_micro"] == 400_000_000
+    assert not c["capped"] and c["alloc_micro"] == 1_780_000_000
+    assert c["epochs_micro"] == 1_780_000_000 // 1000
+    # budget exactly exhausted: sum of allocations == N in micro-tokens
+    assert sum(r["alloc_micro"] for r in rows.values()) == 2220 * 1_000_000
+
+
+def test_unimax_single_domain_gets_full_budget(spark, tmp_path):
+    sf = _planted_docs(spark, tmp_path, [(_tok_doc(50), "en", "only")])
+    (r,) = QUERIES["corpus_mixture_unimax"](spark, sf).collect()
+    # capacity 200 > budget 100 -> waterfilled with the whole budget
+    assert not r["capped"] and r["alloc_micro"] == 100 * 1_000_000
+    assert r["epochs_micro"] == 2_000_000
+
+
+def test_unimax_zero_token_domain(spark, tmp_path):
+    sf = _planted_docs(
+        spark, tmp_path, [("", "en", "empty"), (_tok_doc(10), "en", "full")]
+    )
+    rows = {
+        r["domain"]: r.asDict()
+        for r in QUERIES["corpus_mixture_unimax"](spark, sf).collect()
+    }
+    z = rows["empty/en"]
+    assert z["capped"] and z["alloc_micro"] == 0 and z["epochs_micro"] == 0
+
+
+def test_unimax_plan_matches_oracle_on_planted(spark, tmp_path):
+    sf = _planted_docs(
+        spark,
+        tmp_path,
+        [
+            (_tok_doc(7), "en", "s1"),
+            (_tok_doc(13), "de", "s1"),
+            (_tok_doc(130), "en", "s2"),
+            (_tok_doc(1300), "fr", "s3"),
+            ("", "en", "s4"),
+        ],
+    )
+    got = [tuple(r) for r in QUERIES["corpus_mixture_unimax"](spark, sf).collect()]
+    want = [tuple(r) for r in _oracle(sf, "corpus_mixture_unimax")]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# embedding_decontaminate_eval
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_eval_flags_and_counts(spark, tmp_path):
+    """Holdout is vec_id 3 ([1,0]); vec 0 duplicates it (cos 1), vec 1
+    is orthogonal, vec 2 is near (cos ~0.995), vec 4 is opposite."""
+    sf = _planted_emb(
+        spark,
+        tmp_path,
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.9, 0.09]),
+            (3, [1.0, 0.0]),  # holdout (3 % 10 == 3)
+            (4, [-1.0, 0.0]),
+        ],
+    )
+    rows = {
+        r["vec_id"]: r.asDict()
+        for r in QUERIES["embedding_decontaminate_eval"](spark, sf).collect()
+    }
+    assert set(rows) == {0, 1, 2, 4}  # holdout row excluded
+    assert rows[0]["contaminated"] and rows[0]["n_hits"] == 1
+    assert rows[0]["max_cos"] == 1.0
+    assert not rows[1]["contaminated"] and rows[1]["n_hits"] == 0
+    assert rows[2]["contaminated"]
+    assert not rows[4]["contaminated"] and rows[4]["max_cos"] == -1.0
+
+
+def test_decontaminate_eval_plan_matches_oracle_on_planted(spark, tmp_path):
+    sf = _planted_emb(
+        spark,
+        tmp_path,
+        [(i, [float(i % 7) + 0.25, float((3 * i) % 5) - 1.5, 0.125 * i]) for i in range(30)],
+    )
+    got = [
+        tuple(r)
+        for r in QUERIES["embedding_decontaminate_eval"](spark, sf).collect()
+    ]
+    want = [tuple(r) for r in _oracle(sf, "embedding_decontaminate_eval", "embeddings")]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# text_tokenizer_fertility
+# ---------------------------------------------------------------------------
+
+
+def test_fertility_hand_computed_zh_vs_en(spark, tmp_path):
+    sf = _planted_docs(
+        spark,
+        tmp_path,
+        [
+            ("hello world", "en", "web"),  # 2 ws tokens, 11 chars, 11 bytes
+            ("你好世界", "zh", "web"),  # 4 CJK cps, 12 bytes
+            (None, "fr", "web"),  # NULL text: all zeros
+        ],
+    )
+    rows = {
+        r["lang"]: r.asDict()
+        for r in QUERIES["text_tokenizer_fertility"](spark, sf).collect()
+    }
+    en, zh, fr = rows["en"], rows["zh"], rows["fr"]
+    assert (en["n_ws_tokens"], en["n_cjk_chars"], en["n_unicode_tokens"]) == (2, 0, 2)
+    assert en["chars_per_tok_micro"] == 1_000_000 * 11 // 2
+    assert en["bytes_per_tok_micro"] == 1_000_000 * 11 // 2
+    assert (zh["n_ws_tokens"], zh["n_cjk_chars"], zh["n_unicode_tokens"]) == (0, 4, 4)
+    assert zh["chars_per_tok_micro"] == 1_000_000  # one char per token
+    assert zh["bytes_per_tok_micro"] == 3_000_000  # 3 UTF-8 bytes per CJK cp
+    assert fr["n_unicode_tokens"] == 0 and fr["chars_per_tok_micro"] == 0
+
+
+def test_fertility_mixed_script_and_x0b_parity(spark, tmp_path):
+    """Mixed zh/en text and a \\x0B separator: plan == oracle exactly
+    (the llm_ops8 whitespace + script-property conventions)."""
+    sf = _planted_docs(
+        spark,
+        tmp_path,
+        [
+            ("深度 learning 模型 rocks", "zh", "web"),
+            ("one\x0btwo", "en", "web"),
+        ],
+    )
+    got = [tuple(r) for r in QUERIES["text_tokenizer_fertility"](spark, sf).collect()]
+    want = [tuple(r) for r in _oracle(sf, "text_tokenizer_fertility")]
+    assert got == want

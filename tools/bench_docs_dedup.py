@@ -53,6 +53,9 @@ K_INDEPENDENT = [
     "docs_softdedup_weights",
     "docs_softdedup_weights_hashed",
     "corpus_bpe_encode",
+    # round-9 third session: Gopher repetition rules (zero-shuffle Arrow
+    # kernel; dup-line / top-n-gram / dup-5-gram-union counts per doc)
+    "docs_gopher_repetition",
     # round-6 additions (all blocking adapts to n by construction)
     "docs_quality_classifier",
     "dedup_jaccard_prefix_filter",
