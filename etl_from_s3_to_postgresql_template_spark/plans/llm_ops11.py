@@ -26,6 +26,20 @@ contamination white space in the LLM-pipeline surface.
    fallback), the standard pre-tokenizer corpus report (Rust et al.
    2021 study fertility per language; every multilingual data card
    ships this table).
+5. ``embedding_kmeans_micro`` — Lloyd k-means over the embedding
+   corpus with EVERY arithmetic step in exact integer micro-units
+   (coordinates quantized once; centroid updates are integer
+   truncating division of order-free int64 sums; distances are int64
+   squared norms), so the full clusterer — init, two Lloyd rounds,
+   final assignment — is HASH-EXACT cross-engine, not
+   tolerance-compared. The first oracle-paired clustering entry (the
+   SemDeDup centroids are a fitted rows-only artifact by contrast).
+6. ``corpus_shard_plan`` — deterministic training-shard assignment:
+   global running token totals in doc_id order, shard boundaries every
+   SHARD_TOKENS tokens. The Spark plan is the classic DISTRIBUTED
+   PREFIX SUM (range partition -> per-partition scan -> broadcast
+   partition offsets), not a single-partition window — the shape that
+   survives 100 TB.
 
 Exact-arithmetic discipline (the llm_ops9 convention): fractions are
 integer micro-units computed with BIGINT floor division on both
@@ -54,6 +68,8 @@ __all__ = [
     "corpus_mixture_unimax",
     "embedding_decontaminate_eval",
     "text_tokenizer_fertility",
+    "embedding_kmeans_micro",
+    "corpus_shard_plan",
 ]
 
 #: explicit ASCII whitespace — identical byte set under Java regex and
@@ -572,3 +588,260 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ratio("n_chars").alias("chars_per_tok_micro"),
         _ratio("n_bytes").alias("bytes_per_tok_micro"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# embedding_kmeans_micro
+# ---------------------------------------------------------------------------
+#
+# Exactness design: float k-means cannot hash-match across engines (sum
+# order changes the mean in the last ulp, which flips boundary
+# assignments).  Quantizing coordinates ONCE to integer micro-units
+# (floor(x * 1e6 + 0.5), the llm_ops7 vec_micro convention) makes every
+# downstream step exact: per-cluster per-dim sums are order-free int64,
+# centroid updates are truncating integer division (Spark `div` and
+# DuckDB `//` both truncate toward zero — verified on negatives), and
+# distances are int64 squared norms (|coord| <= ~1e7 micro, d = 64 ->
+# max dist2 ~ 2.6e16, far inside int64).  Ties (equal distance to two
+# centroids) break to the LOWEST cluster index on both engines.
+# Init: the K lowest vec_ids, ranked by vec_id (deterministic).  An
+# empty cluster keeps its previous centroid (pinned by a planted test).
+
+_KM_K = 4
+_KM_ITERS = 2
+
+_KM_DIST = (
+    "CAST(list_sum(list_transform(range(len(q.xm)), "
+    "i -> (q.xm[i+1] - {c}.xm[i+1]) * (q.xm[i+1] - {c}.xm[i+1]))) AS BIGINT)"
+)
+
+_KM_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xm
+      FROM embeddings
+    ), c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, xm
+      FROM q ORDER BY vec_id LIMIT {_KM_K}
+    ), a1 AS (
+      SELECT vec_id, xm, cl, d2 FROM (
+        SELECT q.vec_id, q.xm, c0.cl,
+               {_KM_DIST.format(c="c0")} AS d2,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_KM_DIST.format(c="c0")}, c0.cl) AS rn
+        FROM q, c0)
+      WHERE rn = 1
+    ), upd AS (
+      SELECT cl, list(smic ORDER BY pos) AS xm FROM (
+        SELECT cl, pos, CAST(SUM(v) // COUNT(*) AS BIGINT) AS smic
+        FROM (SELECT cl, UNNEST(xm) AS v, UNNEST(range(len(xm))) AS pos FROM a1)
+        GROUP BY cl, pos)
+      GROUP BY cl
+    ), c1 AS (
+      -- an empty cluster keeps its previous centroid
+      SELECT c0.cl, COALESCE(upd.xm, c0.xm) AS xm
+      FROM c0 LEFT JOIN upd ON c0.cl = upd.cl
+    ), a2 AS (
+      SELECT vec_id, cl, d2 FROM (
+        SELECT q.vec_id, c1.cl,
+               {_KM_DIST.format(c="c1")} AS d2,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_KM_DIST.format(c="c1")}, c1.cl) AS rn
+        FROM q, c1)
+      WHERE rn = 1
+    )
+    SELECT vec_id, CAST(cl AS BIGINT) AS cluster, d2 AS dist2_micro
+    FROM a2 ORDER BY vec_id
+    """
+
+
+def _km_tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — Python's // floors,
+    Spark div and DuckDB // truncate; this pins the engines' shared
+    semantics for the driver-side centroid update."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+@query("embedding_kmeans_micro", oracle=_KM_ORACLE)
+def embedding_kmeans_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Lloyd k-means (module comment above): K = 4
+    centroids initialized from the lowest vec_ids, 2 Lloyd rounds,
+    output = final (cluster, squared distance in micro^2 units) per
+    vector — hash-exact against the unrolled SQL twin.
+
+    Scale shape: assignment is a broadcast of K centroid literal arrays
+    into one projection over the corpus scan (no shuffle); the centroid
+    update aggregates per (cluster, dim) with map-side combine — the
+    exchange carries at most K * d rows per task (the
+    embedding_covariance gram-moment argument) — and only K * d summary
+    rows ever reach the driver per round (the fitted-artifact class,
+    like the BPE merge table and k-center loop). Cost per round is one
+    corpus scan; rounds are a constant. The interpreted zip_with fold
+    is K * d multiply-adds per row — the foldvec Arrow kernel is the
+    documented lever if K grows past ~16."""
+    from etl_from_s3_to_postgresql_template_spark.functions.vectors import as_double_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    xm = F.transform(
+        as_double_vec(F.col("embedding")),
+        lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long"),
+    )
+    q = emb.select("vec_id", xm.alias("xm"))
+
+    init = q.orderBy("vec_id").limit(_KM_K).collect()
+    cents: list[list[int]] = [list(r["xm"]) for r in init]
+
+    def _assigned() -> DataFrame:
+        ds = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("xm"),
+                            F.array(*[F.lit(int(v)) for v in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    F.lit(j).alias("cl"),
+                )
+                for j, c in enumerate(cents)
+            ]
+        )
+        best = F.array_min(ds)
+        return q.select(
+            "vec_id",
+            "xm",
+            best["cl"].alias("cluster"),
+            best["d2"].alias("dist2_micro"),
+        )
+
+    for _ in range(_KM_ITERS - 1):
+        sums = (
+            _assigned()
+            .select("cluster", F.posexplode("xm").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        upd: dict[int, dict[int, int]] = {}
+        for r in sums:
+            upd.setdefault(r["cluster"], {})[r["pos"]] = _km_tdiv(r["s"], r["n"])
+        cents = [
+            [upd[j][p] for p in range(len(c))] if j in upd else c
+            for j, c in enumerate(cents)
+        ]
+
+    return (
+        _assigned()
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("dist2_micro").cast("long").alias("dist2_micro"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_shard_plan
+# ---------------------------------------------------------------------------
+#
+# The running-total-in-key-order primitive.  The naive plan is a window
+# over ORDER BY doc_id with no partition key — every row through ONE
+# task, the exact anti-pattern WindowExec warns about.  The
+# scale-correct plan is the textbook distributed scan: range-partition
+# by doc_id, per-partition local prefix sums in one Arrow pass, then a
+# bounded (numPartitions-row) offsets table broadcast back.  The
+# localCheckpoint pins the sampled range boundaries so the totals
+# aggregate and the final join see the SAME partitioning (the
+# kernel-once convention from llm_ops5/6).
+
+_SHARD_TOKENS = 1000  # tokens per training shard at fixture scale
+
+_SP_ORACLE = rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '{_WS}'),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ), w AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM t
+    )
+    SELECT doc_id, n_tok, cum_before,
+           CAST(cum_before // {_SHARD_TOKENS} AS BIGINT) AS shard_id
+    FROM w ORDER BY doc_id
+    """
+
+
+@query("corpus_shard_plan", oracle=_SP_ORACLE)
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment (module comment above):
+    every document gets the shard its first token falls into when the
+    corpus is laid out in doc_id order and cut every SHARD_TOKENS
+    tokens. Output: (doc_id, n_tok, cum_before, shard_id), exact
+    BIGINT arithmetic throughout, hash-exact against the window-SQL
+    twin.
+
+    The oracle is a single-partition window; the PLAN is not: range
+    repartition on doc_id, one mapInPandas computing each partition's
+    local running totals, a numPartitions-row aggregate collected into
+    a broadcast offsets join. Shuffle volume = one 16-byte row per doc
+    for the range exchange; driver traffic = one row per partition.
+    At 100 TB the same plan runs with more range partitions — nothing
+    widens."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), _WS), lambda x: x != ""
+    )
+    base = docs.select("doc_id", F.size(toks).cast("long").alias("n_tok"))
+    nparts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    part = base.repartitionByRange(nparts, "doc_id").sortWithinPartitions("doc_id")
+
+    def _local_scan(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        run = 0
+        for pdf in batches:
+            cums = pdf["n_tok"].cumsum() + run
+            run = int(cums.iloc[-1]) if len(cums) else run
+            out = pdf[["doc_id", "n_tok"]].copy()
+            out["pid"] = pid
+            out["local_cum"] = cums.astype("int64")
+            yield out
+
+    loc = part.mapInPandas(
+        _local_scan, "doc_id long, n_tok long, pid int, local_cum long"
+    ).localCheckpoint(eager=False)
+    tot = loc.groupBy("pid").agg(F.max("local_cum").alias("ptot"))
+    from pyspark.sql import Window as W
+
+    owin = W.partitionBy(F.lit(0)).orderBy("pid")
+    offs = tot.select(
+        "pid",
+        F.coalesce(
+            F.sum("ptot").over(owin.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("offset"),
+    )
+    out = (
+        loc.join(F.broadcast(offs), "pid")
+        .withColumn(
+            "cum_before",
+            (F.col("offset") + F.col("local_cum") - F.col("n_tok")).cast("long"),
+        )
+        .withColumn(
+            "shard_id", F.expr(f"cum_before div {_SHARD_TOKENS}").cast("long")
+        )
+    )
+    return out.select("doc_id", "n_tok", "cum_before", "shard_id").orderBy("doc_id")

@@ -309,3 +309,96 @@ def test_fertility_mixed_script_and_x0b_parity(spark, tmp_path):
     got = [tuple(r) for r in QUERIES["text_tokenizer_fertility"](spark, sf).collect()]
     want = [tuple(r) for r in _oracle(sf, "text_tokenizer_fertility")]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# embedding_kmeans_micro
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_micro_separates_obvious_clusters(spark, tmp_path):
+    """Two tight groups far apart: after two Lloyd rounds every member
+    lands with its group regardless of which init centroid it seeded."""
+    near0 = [(i, [0.01 * i, 0.0]) for i in range(6)]  # vec 0..5 near origin
+    far = [(i, [10.0 + 0.01 * i, 10.0]) for i in range(6, 12)]
+    sf = _planted_emb(spark, tmp_path, near0 + far)
+    rows = {
+        r["vec_id"]: r["cluster"]
+        for r in QUERIES["embedding_kmeans_micro"](spark, sf).collect()
+    }
+    origin_clusters = {rows[i] for i in range(6)}
+    far_clusters = {rows[i] for i in range(6, 12)}
+    assert origin_clusters.isdisjoint(far_clusters)
+
+
+def test_kmeans_micro_empty_cluster_keeps_centroid_and_matches_oracle(spark, tmp_path):
+    """vec 0 and vec 1 are IDENTICAL, so init centroids 0 and 1 coincide
+    and the tie-break sends every origin point to cluster 0 — cluster 1
+    goes empty after round 1 and must keep its previous centroid on
+    both engines (hash parity pins the rule)."""
+    vecs = [
+        (0, [0.0, 0.0]),
+        (1, [0.0, 0.0]),
+        (2, [5.0, 5.0]),
+        (3, [-5.0, 5.0]),
+        (4, [0.1, 0.0]),
+        (5, [5.1, 5.0]),
+        (6, [-5.1, 5.0]),
+    ]
+    sf = _planted_emb(spark, tmp_path, vecs)
+    got = [tuple(r) for r in QUERIES["embedding_kmeans_micro"](spark, sf).collect()]
+    want = [tuple(r) for r in _oracle(sf, "embedding_kmeans_micro", "embeddings")]
+    assert got == want
+    clusters = {r[0]: r[1] for r in got}
+    # The kept centroid is observable: cluster 1 retained [0,0] while
+    # cluster 0's centroid moved to the round-1 mean, so in the FINAL
+    # assignment the exact-origin vectors sit at distance 0 from the
+    # kept centroid and reclaim cluster 1.
+    assert clusters[0] == 1 and clusters[1] == 1
+    assert {r[0] for r in got if r[2] == 0} == {0, 1}  # dist2 == 0 there
+
+
+def test_kmeans_micro_deterministic(spark, tmp_path):
+    sf = _planted_emb(
+        spark, tmp_path, [(i, [float((7 * i) % 11), float((3 * i) % 5)]) for i in range(20)]
+    )
+    a = [tuple(r) for r in QUERIES["embedding_kmeans_micro"](spark, sf).collect()]
+    b = [tuple(r) for r in QUERIES["embedding_kmeans_micro"](spark, sf).collect()]
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# corpus_shard_plan
+# ---------------------------------------------------------------------------
+
+
+def test_shard_plan_hand_computed_boundaries(spark, tmp_path):
+    """600-token docs with 1000-token shards: cum_before 0/600/1200/1800
+    -> shards 0, 0, 1, 1; a doc straddling a boundary belongs to the
+    shard of its FIRST token."""
+    sf = _planted_docs(
+        spark, tmp_path, [(_tok_doc(600), "en", "s") for _ in range(4)]
+    )
+    rows = [
+        (r["doc_id"], r["cum_before"], r["shard_id"])
+        for r in QUERIES["corpus_shard_plan"](spark, sf).collect()
+    ]
+    assert rows == [(0, 0, 0), (1, 600, 0), (2, 1200, 1), (3, 1800, 1)]
+
+
+def test_shard_plan_zero_token_docs_and_oracle_parity(spark, tmp_path):
+    texts = []
+    for i in range(40):
+        if i % 7 == 0:
+            texts.append(("", "en", "s"))  # zero-token doc
+        else:
+            texts.append((_tok_doc(37 + (i * 13) % 80), "en", "s"))
+    sf = _planted_docs(spark, tmp_path, texts)
+    got = [tuple(r) for r in QUERIES["corpus_shard_plan"](spark, sf).collect()]
+    want = [tuple(r) for r in _oracle(sf, "corpus_shard_plan")]
+    assert got == want
+    # global invariant: cum_before is the running sum in doc_id order
+    run = 0
+    for doc_id, n_tok, cum_before, shard in got:
+        assert cum_before == run
+        run += n_tok

@@ -54,8 +54,12 @@ K_INDEPENDENT = [
     "docs_softdedup_weights_hashed",
     "corpus_bpe_encode",
     # round-9 third session: Gopher repetition rules (zero-shuffle Arrow
-    # kernel; dup-line / top-n-gram / dup-5-gram-union counts per doc)
+    # kernel; dup-line / top-n-gram / dup-5-gram-union counts per doc),
+    # integer-exact Lloyd k-means (K fixed by contract), and the
+    # distributed-prefix-sum shard planner
     "docs_gopher_repetition",
+    "embedding_kmeans_micro",
+    "corpus_shard_plan",
     # round-6 additions (all blocking adapts to n by construction)
     "docs_quality_classifier",
     "dedup_jaccard_prefix_filter",
