@@ -70,11 +70,34 @@ __all__ = [
     "text_tokenizer_fertility",
     "embedding_kmeans_micro",
     "corpus_shard_plan",
+    "corpus_unimax_schedule",
 ]
 
 #: explicit ASCII whitespace — identical byte set under Java regex and
 #: RE2 (the llm_ops8 convention)
 _WS = r"[ \t\n\x0B\f\r]+"
+
+#: maximal non-whitespace runs — each run IS one token
+_NONWS = r"[^ \t\n\x0B\f\r]+"
+
+
+def _ntok(tx) -> F.Column:
+    """Whitespace-token COUNT without materializing the token array:
+    collapse each non-whitespace run to one char and diff the lengths —
+    tokens are exactly the maximal non-WS runs, so this equals
+    ``size(filter(split(t, WS), x != ''))`` on any string (equality
+    re-verified on the 500k corpus before adoption). Two regex passes
+    beat the split form structurally: the split materializes ~190
+    strings per doc only to count them, and under allocation pressure
+    its wall time degrades 10x (same-session A/B on a loaded box:
+    split 3.6-43.9 s at 500k, collapse 6.0-10.8 s; fresh-session sweep
+    17-18 s split vs ~6 s collapse). The llm_ops8 A/B that KEPT its
+    HOFs needed the token array for other statistics — a pure count
+    does not."""
+    return (
+        F.length(F.regexp_replace(tx, _NONWS, "x"))
+        - F.length(F.regexp_replace(tx, _NONWS, ""))
+    ).cast("long")
 
 # ---------------------------------------------------------------------------
 # docs_gopher_repetition
@@ -320,26 +343,17 @@ _UM_ORACLE = rf"""
     """
 
 
-@query("corpus_mixture_unimax", oracle=_UM_ORACLE)
-def corpus_mixture_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UniMax mixture allocation (module comment above). The heavy half
-    is the distributed token count — one scan with map-side combine
-    down to one row per domain; the waterfill itself is a window over
-    the aggregated frame (thousands of rows at any corpus scale, so the
-    single-partition window is a driver-scale frame by construction,
-    the same argument as the BPE merge table). Output: per-domain token
-    count, capacity (EPOCH_CAP * tokens), whether the cap binds, the
-    allocation in micro-tokens, and the implied epochs in micro-units —
-    all exact BIGINT arithmetic, hash-exact cross-engine."""
+def _unimax_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared per-domain waterfill frame: (domain, n_tokens,
+    capacity, capped, alloc_micro, epochs_micro). Consumed by the plan
+    entry (projection) and by corpus_unimax_schedule (broadcast join
+    back onto the document stream)."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.coalesce(F.col("text"), F.lit("")), _WS), lambda x: x != ""
-    )
     dom = docs.select(
         F.concat_ws("/", "source", "lang").alias("domain"),
-        F.size(toks).cast("long").alias("n_tok"),
+        _ntok(F.coalesce(F.col("text"), F.lit(""))).alias("n_tok"),
     )
     agg = dom.groupBy("domain").agg(F.sum("n_tok").cast("long").alias("n_tokens"))
     cap = agg.select(
@@ -399,7 +413,114 @@ def corpus_mixture_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "domain", "n_tokens", "capacity", "capped", "alloc_micro", "epochs_micro"
-    ).orderBy("domain")
+    )
+
+
+@query("corpus_mixture_unimax", oracle=_UM_ORACLE)
+def corpus_mixture_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture allocation (module comment above). The heavy half
+    is the distributed token count — one scan with map-side combine
+    down to one row per domain; the waterfill itself is a window over
+    the aggregated frame (thousands of rows at any corpus scale, so the
+    single-partition window is a driver-scale frame by construction,
+    the same argument as the BPE merge table). Output: per-domain token
+    count, capacity (EPOCH_CAP * tokens), whether the cap binds, the
+    allocation in micro-tokens, and the implied epochs in micro-units —
+    all exact BIGINT arithmetic, hash-exact cross-engine."""
+    return _unimax_frame(spark, sf_dir).orderBy("domain")
+
+
+# ---------------------------------------------------------------------------
+# corpus_unimax_schedule
+# ---------------------------------------------------------------------------
+#
+# The allocation turned into the thing a data loader actually consumes:
+# per-document REPEAT COUNTS.  Each domain owes epochs_micro / 1e6
+# passes over its documents; every document repeats floor(epochs) times,
+# plus one more iff its hash-derived uniform falls below the fractional
+# part — the dsir_resample_gumbel determinism convention (md5 of the
+# doc_id, first 8 hex digits, mod 1e6), so expected repeats per domain
+# equal the allocation while the schedule stays hash-exact and
+# shuffle-free (the domain table broadcasts).
+
+_US_ORACLE = rf"""
+    WITH tk AS (
+      SELECT doc_id, source || '/' || lang AS domain,
+             CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '{_WS}'),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ), dom AS (
+      SELECT domain, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM tk GROUP BY domain
+    ), cap AS (
+      SELECT domain, n_tokens,
+             CAST({_UM_EPOCH_CAP} * n_tokens AS BIGINT) AS capacity
+      FROM dom
+    ), tot AS (
+      SELECT CAST({_UM_BUDGET_EPOCHS} * sum(n_tokens) AS BIGINT) AS budget FROM dom
+    ), w AS (
+      SELECT domain, n_tokens, capacity, budget,
+             CAST(ROW_NUMBER() OVER (ORDER BY capacity, domain) AS BIGINT) AS rn,
+             CAST(COALESCE(SUM(capacity) OVER (ORDER BY capacity, domain
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS prefix,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k
+      FROM cap, tot
+    ), f AS (
+      SELECT *, (capacity * (k - rn + 1) <= budget - prefix) AS capped FROM w
+    ), brk AS (
+      SELECT CAST((budget - prefix) * 1000000 // (k - rn + 1) AS BIGINT)
+               AS share_micro
+      FROM f WHERE NOT capped ORDER BY rn LIMIT 1
+    ), alloc AS (
+      SELECT domain,
+             CAST(CASE WHEN n_tokens > 0 THEN
+                    (CASE WHEN capped THEN capacity * 1000000
+                     ELSE (SELECT share_micro FROM brk) END) // n_tokens
+                  ELSE 0 END AS BIGINT) AS epochs_micro
+      FROM f
+    )
+    SELECT tk.doc_id, tk.domain,
+           CAST(a.epochs_micro // 1000000
+                + CASE WHEN ('0x' || substr(md5(CAST(tk.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 1000000 < a.epochs_micro % 1000000
+                       THEN 1 ELSE 0 END AS BIGINT) AS repeats
+    FROM tk JOIN alloc a ON tk.domain = a.domain
+    ORDER BY tk.doc_id
+    """
+
+
+@query("corpus_unimax_schedule", oracle=_US_ORACLE)
+def corpus_unimax_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repeat schedule under the UniMax allocation (module
+    comment above): ``repeats = floor(epochs) + [u_doc < frac(epochs)]``
+    with u_doc the md5-derived uniform in micro-units. One extra
+    broadcast join over the mixture plan — the document stream never
+    shuffles; at 100 TB this is the corpus scan plus a map-side lookup
+    into a domains-sized table."""
+    docs = load_table(spark, sf_dir, "documents")
+    dom_docs = docs.select(
+        "doc_id", F.concat_ws("/", "source", "lang").alias("domain")
+    )
+    alloc = _unimax_frame(spark, sf_dir).select("domain", "epochs_micro")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    return (
+        dom_docs.join(F.broadcast(alloc), "domain")
+        .select(
+            "doc_id",
+            "domain",
+            (
+                F.expr("epochs_micro div 1000000")
+                + F.when(u < F.col("epochs_micro") % 1000000, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("repeats"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -547,7 +668,7 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "long"
     )
     repl = F.regexp_replace(tx, _CJK_JAVA, " ")
-    n_ws = F.size(F.filter(F.split(repl, _WS), lambda x: x != "")).cast("long")
+    n_ws = _ntok(repl)
     a = (
         docs.select(
             "lang",
@@ -798,10 +919,9 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the same plan runs with more range partitions — nothing
     widens."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.coalesce(F.col("text"), F.lit("")), _WS), lambda x: x != ""
+    base = docs.select(
+        "doc_id", _ntok(F.coalesce(F.col("text"), F.lit(""))).alias("n_tok")
     )
-    base = docs.select("doc_id", F.size(toks).cast("long").alias("n_tok"))
     nparts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
     part = base.repartitionByRange(nparts, "doc_id").sortWithinPartitions("doc_id")
 

@@ -402,3 +402,57 @@ def test_shard_plan_zero_token_docs_and_oracle_parity(spark, tmp_path):
     for doc_id, n_tok, cum_before, shard in got:
         assert cum_before == run
         run += n_tok
+
+
+# ---------------------------------------------------------------------------
+# corpus_unimax_schedule
+# ---------------------------------------------------------------------------
+
+
+def test_unimax_schedule_capped_domain_gets_exact_epoch_cap(spark, tmp_path):
+    """A capped domain owes exactly EPOCH_CAP epochs: frac = 0, so every
+    doc repeats exactly 4 times regardless of its hash draw."""
+    sf = _planted_docs(
+        spark,
+        tmp_path,
+        [(_tok_doc(10), "en", "A")] * 3 + [(_tok_doc(1000), "en", "C")],
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["corpus_unimax_schedule"](spark, sf).collect()
+    }
+    for d in (0, 1, 2):
+        assert rows[d]["domain"] == "A/en" and rows[d]["repeats"] == 4
+
+
+def test_unimax_schedule_fractional_epochs_bounded_and_matches_oracle(spark, tmp_path):
+    """A waterfilled domain with fractional epochs: every repeat count is
+    floor(epochs) or floor(epochs)+1, and the whole frame is hash-equal
+    to the SQL twin."""
+    sf = _planted_docs(
+        spark,
+        tmp_path,
+        [(_tok_doc(40 + 3 * i), "en", "big") for i in range(12)]
+        + [(_tok_doc(5), "en", "tiny")],
+    )
+    got = [tuple(r) for r in QUERIES["corpus_unimax_schedule"](spark, sf).collect()]
+    want = [tuple(r) for r in _oracle(sf, "corpus_unimax_schedule")]
+    assert got == want
+    plan = {
+        r["domain"]: r["epochs_micro"]
+        for r in QUERIES["corpus_mixture_unimax"](spark, sf).collect()
+    }
+    for doc_id, domain, repeats in got:
+        lo = plan[domain] // 1_000_000
+        assert repeats in (lo, lo + 1)
+
+
+def test_unimax_schedule_zero_token_domain_zero_repeats(spark, tmp_path):
+    sf = _planted_docs(
+        spark, tmp_path, [("", "en", "empty"), (_tok_doc(10), "en", "full")]
+    )
+    rows = {
+        r["domain"]: r["repeats"]
+        for r in QUERIES["corpus_unimax_schedule"](spark, sf).collect()
+    }
+    assert rows["empty/en"] == 0
