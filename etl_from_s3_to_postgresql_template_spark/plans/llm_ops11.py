@@ -71,6 +71,7 @@ __all__ = [
     "embedding_kmeans_micro",
     "corpus_shard_plan",
     "corpus_unimax_schedule",
+    "docs_gopher_full_gate",
 ]
 
 #: explicit ASCII whitespace — identical byte set under Java regex and
@@ -965,3 +966,198 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.select("doc_id", "n_tok", "cum_before", "shard_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# docs_gopher_full_gate
+# ---------------------------------------------------------------------------
+#
+# The COMPLETE published Gopher filter (Rae et al. 2021 Table A1) as one
+# entry: the shape rules (docs_gopher_quality's token-count / mean-word-
+# length / stopword-evidence semantics, mirrored expression-for-
+# expression) AND the repetition rules (docs_gopher_repetition's kernel)
+# evaluated in ONE scan — text is read once, the Arrow kernel and the
+# shape expressions share the stage. This is the gate a cleaning
+# pipeline actually applies; the two component entries exist for
+# auditing WHICH family rejected a document.
+
+_FG_ORACLE = rf"""
+    WITH shape AS (
+      -- COALESCE(FALSE): NULL text propagates NULL through the list ops
+      -- here, while the Spark side's size(split(NULL)) = -1 sentinel
+      -- fails the BETWEEN — both engines must gate a NULL doc to false
+      SELECT doc_id,
+             COALESCE(CAST(len(toks) AS BIGINT) BETWEEN 50 AND 100000
+              AND ROUND(list_sum(list_transform(toks, x -> CAST(len(x) AS DOUBLE)))
+                        / len(toks), 4) BETWEEN 2.0 AND 10.0
+              AND CAST(len(list_filter(toks,
+                   x -> x IN ('the','and','of','to','in','is','a','that'))) AS BIGINT)
+                  >= 2, FALSE) AS passes_shape
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+    ), d AS (
+      SELECT doc_id, COALESCE(text, '') AS t FROM documents
+    ), ln AS (
+      SELECT doc_id, trim(l, ' ') AS pl
+      FROM d, UNNEST(string_split(t, chr(10))) AS u(l)
+      WHERE trim(l, ' ') <> ''
+    ), lg AS (
+      SELECT doc_id, pl, CAST(count(*) AS BIGINT) AS c,
+             CAST(len(pl) AS BIGINT) AS ll
+      FROM ln GROUP BY doc_id, pl
+    ), lstat AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_lines,
+             CAST(sum(c) - count(*) AS BIGINT) AS dup_line_cnt,
+             CAST(sum(c * ll) AS BIGINT) AS line_chars,
+             CAST(sum((c - 1) * ll) AS BIGINT) AS dup_line_chars
+      FROM lg GROUP BY doc_id
+    ), ts AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(t, '{_WS}'), x -> x <> '') AS toks,
+             CAST(len(list_filter(string_split_regex(t, '{_WS}'), x -> x <> ''))
+                  AS BIGINT) AS n_tok,
+             CAST(COALESCE(list_sum(list_transform(
+                  list_filter(string_split_regex(t, '{_WS}'), x -> x <> ''),
+                  x -> CAST(len(x) AS BIGINT))), 0) AS BIGINT) AS tok_chars
+      FROM d
+    ), g2 AS (
+      SELECT doc_id, UNNEST(list_transform(range(n_tok - 1),
+             p -> array_to_string(list_slice(toks, p + 1, p + 2), ' '))) AS gram
+      FROM ts WHERE n_tok >= 2
+    ), g3 AS (
+      SELECT doc_id, UNNEST(list_transform(range(n_tok - 2),
+             p -> array_to_string(list_slice(toks, p + 1, p + 3), ' '))) AS gram
+      FROM ts WHERE n_tok >= 3
+    ), g4 AS (
+      SELECT doc_id, UNNEST(list_transform(range(n_tok - 3),
+             p -> array_to_string(list_slice(toks, p + 1, p + 4), ' '))) AS gram
+      FROM ts WHERE n_tok >= 4
+    ), t2 AS (
+      SELECT doc_id, CAST(MAX(cl) AS BIGINT) AS top_chars FROM (
+        SELECT doc_id, count(*) * len(gram) AS cl FROM g2
+        GROUP BY doc_id, gram HAVING count(*) >= 2) GROUP BY doc_id
+    ), t3 AS (
+      SELECT doc_id, CAST(MAX(cl) AS BIGINT) AS top_chars FROM (
+        SELECT doc_id, count(*) * len(gram) AS cl FROM g3
+        GROUP BY doc_id, gram HAVING count(*) >= 2) GROUP BY doc_id
+    ), t4 AS (
+      SELECT doc_id, CAST(MAX(cl) AS BIGINT) AS top_chars FROM (
+        SELECT doc_id, count(*) * len(gram) AS cl FROM g4
+        GROUP BY doc_id, gram HAVING count(*) >= 2) GROUP BY doc_id
+    ), g5 AS (
+      SELECT doc_id, UNNEST(list_transform(range(n_tok - 4),
+             p -> struct_pack(i := p + 1,
+                  gram := array_to_string(list_slice(toks, p + 1, p + 5), ' ')))) AS s
+      FROM ts WHERE n_tok >= 5
+    ), g5f AS (
+      SELECT doc_id, s.i AS i, s.gram AS gram FROM g5
+    ), c5 AS (
+      SELECT doc_id, gram FROM g5f GROUP BY doc_id, gram HAVING count(*) >= 2
+    ), dpos AS (
+      SELECT g5f.doc_id, g5f.i FROM g5f JOIN c5 USING (doc_id, gram)
+    ), cov AS (
+      SELECT DISTINCT doc_id, j FROM (
+        SELECT doc_id, UNNEST([i, i + 1, i + 2, i + 3, i + 4]) AS j FROM dpos)
+    ), covs AS (
+      SELECT c.doc_id, CAST(SUM(len(ts.toks[c.j])) AS BIGINT) AS dup5_chars
+      FROM cov c JOIN ts ON c.doc_id = ts.doc_id GROUP BY c.doc_id
+    ), rep AS (
+      SELECT d.doc_id,
+             ((CASE WHEN COALESCE(l.n_lines, 0) > 0
+                    THEN 1000000 * l.dup_line_cnt // l.n_lines ELSE 0 END) <= 300000
+              AND (CASE WHEN COALESCE(l.line_chars, 0) > 0
+                    THEN 1000000 * l.dup_line_chars // l.line_chars ELSE 0 END) <= 200000
+              AND (CASE WHEN ts.tok_chars + CASE WHEN ts.n_tok > 0 THEN ts.n_tok - 1 ELSE 0 END > 0
+                    THEN 1000000 * COALESCE(t2.top_chars, 0)
+                         // (ts.tok_chars + CASE WHEN ts.n_tok > 0 THEN ts.n_tok - 1 ELSE 0 END)
+                    ELSE 0 END) <= 200000
+              AND (CASE WHEN ts.tok_chars + CASE WHEN ts.n_tok > 0 THEN ts.n_tok - 1 ELSE 0 END > 0
+                    THEN 1000000 * COALESCE(t3.top_chars, 0)
+                         // (ts.tok_chars + CASE WHEN ts.n_tok > 0 THEN ts.n_tok - 1 ELSE 0 END)
+                    ELSE 0 END) <= 180000
+              AND (CASE WHEN ts.tok_chars + CASE WHEN ts.n_tok > 0 THEN ts.n_tok - 1 ELSE 0 END > 0
+                    THEN 1000000 * COALESCE(t4.top_chars, 0)
+                         // (ts.tok_chars + CASE WHEN ts.n_tok > 0 THEN ts.n_tok - 1 ELSE 0 END)
+                    ELSE 0 END) <= 160000
+              AND (CASE WHEN ts.tok_chars > 0
+                    THEN 1000000 * COALESCE(covs.dup5_chars, 0) // ts.tok_chars
+                    ELSE 0 END) <= 150000) AS passes_repetition
+      FROM d
+      LEFT JOIN lstat l ON d.doc_id = l.doc_id
+      JOIN ts ON d.doc_id = ts.doc_id
+      LEFT JOIN t2 ON d.doc_id = t2.doc_id
+      LEFT JOIN t3 ON d.doc_id = t3.doc_id
+      LEFT JOIN t4 ON d.doc_id = t4.doc_id
+      LEFT JOIN covs ON d.doc_id = covs.doc_id
+    )
+    SELECT shape.doc_id, passes_shape, passes_repetition,
+           (passes_shape AND passes_repetition) AS passes
+    FROM shape JOIN rep ON shape.doc_id = rep.doc_id
+    ORDER BY shape.doc_id
+    """
+
+
+@query("docs_gopher_full_gate", oracle=_FG_ORACLE)
+def docs_gopher_full_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete Gopher filter in one scan (module comment above):
+    ``passes_shape`` mirrors docs_gopher_quality expression-for-
+    expression (llm_ops2 — token count 50..100k over the lower(trim)
+    ``\\s+`` split, mean token length 2.0..10.0 rounded once, >= 2 EN
+    stopword tokens), ``passes_repetition`` applies the published
+    repetition thresholds to the gopher_rep kernel counts, and
+    ``passes`` is their conjunction — the row a cleaning pipeline
+    filters on. One scan, one Arrow pass, no shuffle beyond the output
+    sort."""
+    from etl_from_s3_to_postgresql_template_spark.functions.gopher_rep import rep_stats_counts
+    from etl_from_s3_to_postgresql_template_spark.functions.text import LANG_STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    # shape rules — the docs_gopher_quality expressions, verbatim
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    n_tokens = F.size(toks).cast("long")
+    mean_len = F.round(
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / n_tokens,
+        4,
+    )
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*LANG_STOPWORDS["en"]))).cast(
+        "long"
+    )
+    passes_shape = (
+        n_tokens.between(50, 100000)
+        & mean_len.between(2.0, 10.0)
+        & (n_stop >= 2)
+    )
+    base = docs.select(
+        "doc_id", passes_shape.alias("passes_shape"), rep_stats_counts("text").alias("r")
+    ).select("doc_id", "passes_shape", "r.*")
+    norm_len = F.col("tok_chars") + F.when(
+        F.col("n_tok") > 0, F.col("n_tok") - 1
+    ).otherwise(F.lit(0))
+
+    def _frac(num, den) -> F.Column:
+        return (
+            F.when(den > 0, F.floor((F.lit(1000000) * num) / den))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    passes_rep = (
+        (_frac(F.col("dup_line_cnt"), F.col("n_lines")) <= 300000)
+        & (_frac(F.col("dup_line_chars"), F.col("line_chars")) <= 200000)
+        & (_frac(F.col("top2_chars"), norm_len) <= 200000)
+        & (_frac(F.col("top3_chars"), norm_len) <= 180000)
+        & (_frac(F.col("top4_chars"), norm_len) <= 160000)
+        & (_frac(F.col("dup5_chars"), F.col("tok_chars")) <= 150000)
+    )
+    return base.select(
+        "doc_id",
+        "passes_shape",
+        passes_rep.alias("passes_repetition"),
+        (F.col("passes_shape") & passes_rep).alias("passes"),
+    ).orderBy("doc_id")

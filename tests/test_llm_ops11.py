@@ -456,3 +456,47 @@ def test_unimax_schedule_zero_token_domain_zero_repeats(spark, tmp_path):
         for r in QUERIES["corpus_unimax_schedule"](spark, sf).collect()
     }
     assert rows["empty/en"] == 0
+
+
+# ---------------------------------------------------------------------------
+# docs_gopher_full_gate
+# ---------------------------------------------------------------------------
+
+
+def test_full_gate_is_conjunction_and_matches_components(spark, tmp_path):
+    """passes == passes_shape AND passes_repetition, and the repetition
+    flag agrees with docs_gopher_repetition row-for-row; the corpus
+    includes a doc that passes shape but fails repetition (50+ tokens of
+    2-gram spam) and one that passes repetition but fails shape (clean
+    but too short)."""
+    spammy = " ".join(["the spam and ham"] * 15)  # 60 tokens w/ stopwords, 2-gram spam
+    clean_short = "the quick brown fox and a dog"  # passes repetition, < 50 tokens
+    clean_long = " ".join(
+        f"the w{i} and x{i} of y{i} to z{i}" for i in range(8)
+    )  # 64 distinct-ish tokens with stopwords
+    sf = _planted_docs(
+        spark,
+        tmp_path,
+        [(spammy, "en", "web"), (clean_short, "en", "web"), (clean_long, "en", "web")],
+    )
+    full = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["docs_gopher_full_gate"](spark, sf).collect()
+    }
+    rep = {
+        r["doc_id"]: r["passes"]
+        for r in QUERIES["docs_gopher_repetition"](spark, sf).collect()
+    }
+    for d, row in full.items():
+        assert row["passes"] == (row["passes_shape"] and row["passes_repetition"])
+        assert row["passes_repetition"] == rep[d]
+    assert full[0]["passes_shape"] and not full[0]["passes_repetition"]
+    assert not full[1]["passes_shape"] and full[1]["passes_repetition"]
+    assert full[2]["passes_shape"] and full[2]["passes_repetition"]
+
+
+def test_full_gate_matches_oracle_on_planted(spark, tmp_path):
+    sf = _planted_docs(spark, tmp_path, _REP_CORPUS)
+    got = [tuple(r) for r in QUERIES["docs_gopher_full_gate"](spark, sf).collect()]
+    want = [tuple(r) for r in _oracle(sf, "docs_gopher_full_gate")]
+    assert got == want

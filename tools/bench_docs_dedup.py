@@ -60,6 +60,7 @@ K_INDEPENDENT = [
     "docs_gopher_repetition",
     "embedding_kmeans_micro",
     "corpus_shard_plan",
+    "docs_gopher_full_gate",
     # round-6 additions (all blocking adapts to n by construction)
     "docs_quality_classifier",
     "dedup_jaccard_prefix_filter",
