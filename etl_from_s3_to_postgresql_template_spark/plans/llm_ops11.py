@@ -72,6 +72,8 @@ __all__ = [
     "corpus_shard_plan",
     "corpus_unimax_schedule",
     "docs_gopher_full_gate",
+    "docs_length_quantiles_hist",
+    "docs_strip_markup",
 ]
 
 #: explicit ASCII whitespace — identical byte set under Java regex and
@@ -1160,4 +1162,142 @@ def docs_gopher_full_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "passes_shape",
         passes_rep.alias("passes_repetition"),
         (F.col("passes_shape") & passes_rep).alias("passes"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# docs_length_quantiles_hist
+# ---------------------------------------------------------------------------
+#
+# The SCALE tier of docs_length_quantiles (corpus_ops, stamped): that
+# plan rank-picks via row_number over a per-lang window — every row of
+# a language flows through ONE task's sort, which at 100 TB with a
+# handful of languages is a straggler by construction.  The histogram
+# form aggregates to (lang, value, count) first — map-side combine, at
+# most |langs| x |distinct lengths| rows ever shuffle — and runs the
+# selection window on that bounded frame.  Same rank-picked
+# percentile_disc semantics, same output, same oracle; the stamped
+# original stays untouched as the semantics reference (the fast64 /
+# md5 twin-tier convention).
+
+_LQ_ORACLE = """
+    WITH r AS (
+      SELECT lang, n_chars,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS cnt
+      FROM documents
+    )
+    SELECT lang,
+           MAX(CASE WHEN rn = CAST(ceil(0.10 * cnt) AS BIGINT) THEN n_chars END) AS p10,
+           MAX(CASE WHEN rn = CAST(ceil(0.50 * cnt) AS BIGINT) THEN n_chars END) AS p50,
+           MAX(CASE WHEN rn = CAST(ceil(0.90 * cnt) AS BIGINT) THEN n_chars END) AS p90,
+           MAX(cnt) AS n_docs
+    FROM r GROUP BY lang ORDER BY lang
+    """
+
+
+@query("docs_length_quantiles_hist", oracle=_LQ_ORACLE)
+def docs_length_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length percentiles by HISTOGRAM SELECTION
+    (module comment above): value at rank ceil(p*n) = the smallest
+    value whose cumulative count reaches the rank. Identical output to
+    docs_length_quantiles (shared oracle); the shuffle carries the
+    value histogram, never the rows."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.groupBy("lang", "n_chars")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    lw = W.partitionBy("lang").orderBy("n_chars")
+    h = hist.withColumn(
+        "cum", F.sum("c").over(lw.rowsBetween(W.unboundedPreceding, 0)).cast("long")
+    ).withColumn("cnt", F.sum("c").over(W.partitionBy("lang")).cast("long"))
+
+    def pick(p: float, name: str):
+        k = F.ceil(F.lit(p) * F.col("cnt")).cast("long")
+        return F.min(F.when(F.col("cum") >= k, F.col("n_chars"))).alias(name)
+
+    return (
+        h.groupBy("lang")
+        .agg(
+            pick(0.10, "p10"),
+            pick(0.50, "p50"),
+            pick(0.90, "p90"),
+            F.max("cnt").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_strip_markup
+# ---------------------------------------------------------------------------
+#
+# The first cleaning step every WEB pipeline runs before any quality or
+# dedup stage: remove markup tags, decode the five XML entities, and
+# collapse the whitespace the removal leaves behind.  Tag identity is
+# the conservative `<[^>]*>` (identical under Java regex and RE2 —
+# both classes are pure byte sets); entity decoding is fixed literal
+# replaces in the ORDER that makes &amp; safe (decoded LAST, so
+# '&amp;lt;' becomes '&lt;' the TEXT, never '<'). The synthetic fixture
+# is markup-free — pass-through there (counts 0, text byte-identical);
+# the semantics live in the planted HTML tests.
+
+_SM_TAG = r"<[^>]*>"
+
+_SM_ORACLE = rf"""
+    WITH s AS (
+      SELECT doc_id,
+             COALESCE(text, '') AS t0,
+             regexp_replace(COALESCE(text, ''), '{_SM_TAG}', ' ', 'g') AS t1
+      FROM documents
+    ), e AS (
+      SELECT doc_id, t0, t1,
+             replace(replace(replace(replace(replace(t1,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+               '&amp;', '&') AS t2
+      FROM s
+    )
+    SELECT doc_id,
+           trim(regexp_replace(t2, '{_WS}', ' ', 'g'), ' ') AS clean_text,
+           CAST((length(t0) - length(regexp_replace(t0, '{_SM_TAG}', '', 'g')))
+                AS BIGINT) AS n_tag_chars,
+           CAST(length(t1) - length(t2) AS BIGINT) AS n_entity_chars
+    FROM e ORDER BY doc_id
+    """
+
+
+@query("docs_strip_markup", oracle=_SM_ORACLE)
+def docs_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping (module comment above): tags -> single space
+    (so '<p>a</p><p>b</p>' keeps a token boundary between a and b),
+    the five XML entities decoded with &amp; last, whitespace collapsed
+    to single spaces and 0x20-trimmed. Reports the removed tag chars
+    and the entity shrinkage so a pipeline can gate on markup density.
+    Pure codegen projection — three regex passes + five literal
+    replaces per doc, one scan, no shuffle beyond the output sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = F.coalesce(F.col("text"), F.lit(""))
+    t1 = F.regexp_replace(t0, _SM_TAG, " ")
+    t2 = t1
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ):
+        t2 = F.replace(t2, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(t2, _WS, " "))
+    n_tag_chars = (
+        F.length(t0) - F.length(F.regexp_replace(t0, _SM_TAG, ""))
+    ).cast("long")
+    n_entity_chars = (F.length(t1) - F.length(t2)).cast("long")
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_tag_chars.alias("n_tag_chars"),
+        n_entity_chars.alias("n_entity_chars"),
     ).orderBy("doc_id")

@@ -500,3 +500,70 @@ def test_full_gate_matches_oracle_on_planted(spark, tmp_path):
     got = [tuple(r) for r in QUERIES["docs_gopher_full_gate"](spark, sf).collect()]
     want = [tuple(r) for r in _oracle(sf, "docs_gopher_full_gate")]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# docs_length_quantiles_hist
+# ---------------------------------------------------------------------------
+
+
+def test_length_quantiles_hist_equals_stamped_row_form(spark, tmp_path):
+    """The histogram tier must reproduce the stamped row-window form
+    exactly (shared semantics: value at rank ceil(p*n)), including on
+    heavy ties."""
+    texts = [("x" * (10 + 7 * (i % 5)), ["en", "de"][i % 2], "s") for i in range(37)]
+    sf = _planted_docs(spark, tmp_path, texts)
+    a = [tuple(r) for r in QUERIES["docs_length_quantiles_hist"](spark, sf).collect()]
+    b = [tuple(r) for r in QUERIES["docs_length_quantiles"](spark, sf).collect()]
+    assert a == b
+    want = [tuple(r) for r in _oracle(sf, "docs_length_quantiles_hist")]
+    assert a == want
+
+
+# ---------------------------------------------------------------------------
+# docs_strip_markup
+# ---------------------------------------------------------------------------
+
+
+def test_strip_markup_tags_entities_whitespace(spark, tmp_path):
+    sf = _planted_docs(
+        spark,
+        tmp_path,
+        [
+            ("<p>hello</p><p>world</p>", "en", "web"),
+            ("a &lt;b&gt; &amp;quot; c &#39;d&#39;", "en", "web"),
+            ("&amp;lt; stays literal", "en", "web"),  # &amp; decoded LAST
+            ("no markup here", "en", "web"),
+            (None, "en", "web"),
+        ],
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["docs_strip_markup"](spark, sf).collect()
+    }
+    # tags -> spaces keep the token boundary; whitespace collapsed+trimmed
+    assert rows[0]["clean_text"] == "hello world"
+    assert rows[0]["n_tag_chars"] == len("<p></p><p></p>")
+    # entities decode; &amp; last so '&amp;quot;' -> '&quot;' the TEXT
+    assert rows[1]["clean_text"] == 'a <b> &quot; c \'d\''
+    assert rows[2]["clean_text"] == "&lt; stays literal"
+    # markup-free text passes through byte-identical with zero counts
+    assert rows[3]["clean_text"] == "no markup here"
+    assert rows[3]["n_tag_chars"] == 0 and rows[3]["n_entity_chars"] == 0
+    assert rows[4]["clean_text"] == ""
+
+
+def test_strip_markup_matches_oracle_on_planted(spark, tmp_path):
+    sf = _planted_docs(
+        spark,
+        tmp_path,
+        [
+            ("<div class='x'>a<br/>b</div> &amp; <span>c</span>", "en", "web"),
+            ("plain", "en", "web"),
+            ("< not a tag without close", "en", "web"),
+            ("a\x0b<b>c</b>\td", "en", "web"),
+        ],
+    )
+    got = [tuple(r) for r in QUERIES["docs_strip_markup"](spark, sf).collect()]
+    want = [tuple(r) for r in _oracle(sf, "docs_strip_markup")]
+    assert got == want
