@@ -74,6 +74,7 @@ __all__ = [
     "docs_gopher_full_gate",
     "docs_length_quantiles_hist",
     "docs_strip_markup",
+    "streaming_quality_gate",
 ]
 
 #: explicit ASCII whitespace — identical byte set under Java regex and
@@ -1100,21 +1101,14 @@ _FG_ORACLE = rf"""
     """
 
 
-@query("docs_gopher_full_gate", oracle=_FG_ORACLE)
-def docs_gopher_full_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The complete Gopher filter in one scan (module comment above):
-    ``passes_shape`` mirrors docs_gopher_quality expression-for-
-    expression (llm_ops2 — token count 50..100k over the lower(trim)
-    ``\\s+`` split, mean token length 2.0..10.0 rounded once, >= 2 EN
-    stopword tokens), ``passes_repetition`` applies the published
-    repetition thresholds to the gopher_rep kernel counts, and
-    ``passes`` is their conjunction — the row a cleaning pipeline
-    filters on. One scan, one Arrow pass, no shuffle beyond the output
-    sort."""
+def _full_gate_cols(docs: DataFrame) -> DataFrame:
+    """The full-gate PROJECTION, factored so the batch entry and the
+    streaming rung (streaming/docstream.py) apply the identical logic —
+    one Arrow kernel pass + the shape expressions, no ordering (the
+    caller sorts; streams cannot)."""
     from etl_from_s3_to_postgresql_template_spark.functions.gopher_rep import rep_stats_counts
     from etl_from_s3_to_postgresql_template_spark.functions.text import LANG_STOPWORDS
 
-    docs = load_table(spark, sf_dir, "documents")
     # shape rules — the docs_gopher_quality expressions, verbatim
     toks = F.split(F.lower(F.trim("text")), r"\s+")
     n_tokens = F.size(toks).cast("long")
@@ -1162,7 +1156,38 @@ def docs_gopher_full_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "passes_shape",
         passes_rep.alias("passes_repetition"),
         (F.col("passes_shape") & passes_rep).alias("passes"),
-    ).orderBy("doc_id")
+    )
+
+
+@query("docs_gopher_full_gate", oracle=_FG_ORACLE)
+def docs_gopher_full_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete Gopher filter in one scan (module comment above):
+    ``passes_shape`` mirrors docs_gopher_quality expression-for-
+    expression (llm_ops2 — token count 50..100k over the lower(trim)
+    ``\\s+`` split, mean token length 2.0..10.0 rounded once, >= 2 EN
+    stopword tokens), ``passes_repetition`` applies the published
+    repetition thresholds to the gopher_rep kernel counts, and
+    ``passes`` is their conjunction — the row a cleaning pipeline
+    filters on. One scan, one Arrow pass, no shuffle beyond the output
+    sort."""
+    return _full_gate_cols(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query("streaming_quality_gate", oracle=_FG_ORACLE)
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher gate AS A STREAMING QUERY: readStream over the
+    documents table, the identical _full_gate_cols projection per
+    micro-batch (the Arrow kernel runs inside the stream), drained
+    through a memory sink in append mode — a stateless projection emits
+    every row exactly once, so the drained table hash-matches the SAME
+    batch oracle. This is quality-gating at ingest: at 100 TB the gate
+    runs as documents arrive, before anything lands in the lake."""
+    from etl_from_s3_to_postgresql_template_spark.streaming.docstream import (
+        run_quality_gate_stream,
+    )
+
+    out = run_quality_gate_stream(spark, sf_dir, _full_gate_cols)
+    return out.orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,57 @@
+"""Streaming DOCUMENT ingest: the quality-gate-in-the-stream rung of
+the cleaning surface.
+
+``streaming/ingest.py`` covers the events side (windows, state, joins,
+recovery); this module adds the file-source documents stream and the
+stateless quality-gate projection a production ingest runs BEFORE
+anything lands in the lake — every micro-batch passes through the
+gopher_rep Arrow kernel and the shape expressions exactly as the batch
+plan does, so the drained output hash-matches the batch oracle.
+
+New module by policy (VERDICT r8 item 1): plan-module fingerprints
+include one level of in-package imports, so adding this rung to
+streaming/ingest.py would have re-queued every stamped streaming_*
+entry for a source they don't use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_from_s3_to_postgresql_template_spark.streaming.ingest import _run_to_memory
+
+#: documents.parquet physical schema (fixed across fixtures)
+_DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming read of the documents table.
+
+    Two fixture layouts exist: the driver fixtures ship
+    documents.parquet as a single FILE (stream from sf_dir with a name
+    glob — the source's basePath must be a directory), while planted
+    test corpora write it as a parquet DIRECTORY (stream from the
+    directory itself). Both resolve to the same rows; the check is a
+    local-fs probe because every fixture in this harness is local — an
+    object-store deployment streams from the directory layout only."""
+    import os
+
+    table = f"{sf_dir}/documents.parquet"
+    rs = spark.readStream.schema(_DOCS_SCHEMA)
+    if os.path.isdir(table):
+        return rs.parquet(table)
+    return rs.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+
+
+def run_quality_gate_stream(
+    spark: SparkSession, sf_dir: str, gate_cols
+) -> DataFrame:
+    """Drain the stateless gate projection over the documents stream.
+
+    ``gate_cols`` is a callable DataFrame -> DataFrame applying the gate
+    projection (passed in by the plan module so the gate logic lives in
+    ONE place, llm_ops11). Append mode: a stateless projection emits
+    every row exactly once; ordering is applied by the caller on the
+    drained batch table (sorting is not a streaming operation).
+    """
+    return _run_to_memory(spark, gate_cols(stream_documents(spark, sf_dir)), "append")

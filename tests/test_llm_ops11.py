@@ -567,3 +567,17 @@ def test_strip_markup_matches_oracle_on_planted(spark, tmp_path):
     got = [tuple(r) for r in QUERIES["docs_strip_markup"](spark, sf).collect()]
     want = [tuple(r) for r in _oracle(sf, "docs_strip_markup")]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# streaming_quality_gate
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_gate_equals_batch_gate(spark, tmp_path):
+    """The drained streaming projection must equal the batch plan
+    row-for-row (same _full_gate_cols, append-mode memory sink)."""
+    sf = _planted_docs(spark, tmp_path, _REP_CORPUS)
+    a = [tuple(r) for r in QUERIES["streaming_quality_gate"](spark, sf).collect()]
+    b = [tuple(r) for r in QUERIES["docs_gopher_full_gate"](spark, sf).collect()]
+    assert a == b
