@@ -817,6 +817,12 @@ def embedding_kmeans_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     init = q.orderBy("vec_id").limit(_KM_K).collect()
     cents: list[list[int]] = [list(r["xm"]) for r in init]
+    if not cents:
+        # empty corpus: no centroids to fit — emit the schema, zero rows
+        # (the SQL twin's assignment CTEs are likewise empty)
+        return spark.createDataFrame(
+            [], "vec_id long, cluster long, dist2_micro long"
+        )
 
     def _assigned() -> DataFrame:
         ds = F.array(

@@ -75,7 +75,24 @@ def main() -> int:
     stamps: dict[str, str] = {}
     missing: set[str] = set()
 
-    if argv and all("=" in a for a in argv):
+    if argv and argv[0] == "--merge":
+        # Merge form: keep the existing ledger (each name still stamped at
+        # the tree that verified it) and OVERLAY the given ref=file pairs —
+        # the same later-overrides semantics as the per-round form, without
+        # needing every historical ref on the command line. Used at session
+        # close to stamp the fresh local sweep at the closing tree.
+        stamps = json.loads(provenance.STAMPS_FILE.read_text())
+        for pair in argv[1:]:
+            ref, _, fname = pair.partition("=")
+            snap_fp = snapshot_fingerprints(ref)
+            names = green_names(Path(fname))
+            for n in sorted(names):
+                if n in snap_fp:
+                    stamps[n] = snap_fp[n]
+                else:
+                    missing.add(n)
+            print(f"  merge {fname} @ {ref}: {len(names)} green")
+    elif argv and all("=" in a for a in argv):
         for pair in argv:  # per-round form, later rounds override
             ref, _, fname = pair.partition("=")
             snap_fp = snapshot_fingerprints(ref)
