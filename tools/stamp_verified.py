@@ -44,13 +44,21 @@ from etl_from_s3_to_postgresql_template_spark.plans import provenance
 
 def green_names(path: Path) -> set[str]:
     data = json.loads(path.read_text())
+    # two on-disk shapes: driver CORRECTNESS_rN.json is flat
+    # {name: rec}; check_correctness --json wraps records under
+    # "entries" with run metadata alongside
+    if isinstance(data.get("entries"), dict):
+        data = data["entries"]
     out = set()
     for name, rec in data.items():
         if not isinstance(rec, dict):
             continue
         err = rec.get("err")
-        if err == "no_oracle" and (rec.get("spark_rows") or 0) > 0:
-            out.add(name)  # rows-only by design; driver ran it clean
+        rows_only = err == "no_oracle" or rec.get("rows_only") is True
+        if rows_only and (rec.get("spark_rows") or 0) > 0:
+            # rows-only by design, ran clean ("no_oracle" is the driver's
+            # marker; "rows_only" the local checker's)
+            out.add(name)
             continue
         if err:
             continue
