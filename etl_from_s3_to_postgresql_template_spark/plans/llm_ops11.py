@@ -114,8 +114,10 @@ def _ntok(tx) -> F.Column:
 # dup-line <= 0.30, dup-line-chars <= 0.20, top-2-gram <= 0.20,
 # top-3-gram <= 0.18, top-4-gram <= 0.16, dup-5-gram <= 0.15.
 
-_GR_ORACLE = rf"""
-    WITH d AS (
+#: the shared CTE chain computing per-doc repetition counts into `m`
+#: (consumed by _GR_ORACLE and _FG_ORACLE — ONE definition site, so the
+#: two entries cannot drift; review r9-3 item)
+_GR_BODY = rf"""d AS (
       SELECT doc_id, COALESCE(text, '') AS t FROM documents
     ), ln AS (
       SELECT doc_id, trim(l, ' ') AS pl
@@ -203,30 +205,82 @@ _GR_ORACLE = rf"""
       LEFT JOIN t3 ON d.doc_id = t3.doc_id
       LEFT JOIN t4 ON d.doc_id = t4.doc_id
       LEFT JOIN covs ON d.doc_id = covs.doc_id
+    )"""
+
+#: the six repetition fractions over `m`'s columns, and their published
+#: thresholds in micro-units — the SINGLE definition both oracles and
+#: both Spark plans derive from
+_GR_FRACS = {
+    "dup_line_frac_micro": ("dup_line_cnt", "n_lines", 300000),
+    "dup_line_char_frac_micro": ("dup_line_chars", "line_chars", 200000),
+    "top_2gram_frac_micro": ("top2", "norm_len", 200000),
+    "top_3gram_frac_micro": ("top3", "norm_len", 180000),
+    "top_4gram_frac_micro": ("top4", "norm_len", 160000),
+    "dup_5gram_frac_micro": ("dup5", "tok_chars", 150000),
+}
+
+def _sql_frac(num: str, den: str) -> str:
+    return f"CASE WHEN {den} > 0 THEN 1000000 * {num} // {den} ELSE 0 END"
+
+_GR_PASSES_SQL = " AND ".join(
+    f"({_sql_frac(n, d)}) <= {t}" for n, d, t in _GR_FRACS.values()
+)
+
+_GR_ORACLE = (
+    f"WITH {_GR_BODY}\n    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,\n"
+    + ",\n".join(
+        f"      CAST({_sql_frac(num, den)} AS BIGINT) AS {name}"
+        for name, (num, den, _t) in _GR_FRACS.items()
     )
-    SELECT doc_id,
-           CAST(n_lines AS BIGINT) AS n_lines,
-           CAST(CASE WHEN n_lines > 0 THEN 1000000 * dup_line_cnt // n_lines
-                ELSE 0 END AS BIGINT) AS dup_line_frac_micro,
-           CAST(CASE WHEN line_chars > 0 THEN 1000000 * dup_line_chars // line_chars
-                ELSE 0 END AS BIGINT) AS dup_line_char_frac_micro,
-           CAST(CASE WHEN norm_len > 0 THEN 1000000 * top2 // norm_len
-                ELSE 0 END AS BIGINT) AS top_2gram_frac_micro,
-           CAST(CASE WHEN norm_len > 0 THEN 1000000 * top3 // norm_len
-                ELSE 0 END AS BIGINT) AS top_3gram_frac_micro,
-           CAST(CASE WHEN norm_len > 0 THEN 1000000 * top4 // norm_len
-                ELSE 0 END AS BIGINT) AS top_4gram_frac_micro,
-           CAST(CASE WHEN tok_chars > 0 THEN 1000000 * dup5 // tok_chars
-                ELSE 0 END AS BIGINT) AS dup_5gram_frac_micro,
-           (CASE WHEN n_lines > 0 THEN 1000000 * dup_line_cnt // n_lines ELSE 0 END) <= 300000
-           AND (CASE WHEN line_chars > 0 THEN 1000000 * dup_line_chars // line_chars ELSE 0 END) <= 200000
-           AND (CASE WHEN norm_len > 0 THEN 1000000 * top2 // norm_len ELSE 0 END) <= 200000
-           AND (CASE WHEN norm_len > 0 THEN 1000000 * top3 // norm_len ELSE 0 END) <= 180000
-           AND (CASE WHEN norm_len > 0 THEN 1000000 * top4 // norm_len ELSE 0 END) <= 160000
-           AND (CASE WHEN tok_chars > 0 THEN 1000000 * dup5 // tok_chars ELSE 0 END) <= 150000
-             AS passes
-    FROM m ORDER BY doc_id
-    """
+    + f",\n      {_GR_PASSES_SQL} AS passes\n    FROM m ORDER BY doc_id"
+)
+
+
+#: m-column -> kernel-struct column (the oracle's m names differ from
+#: the kernel field names for the four gram counts)
+_KERNEL_COL = {
+    "dup_line_cnt": "dup_line_cnt",
+    "dup_line_chars": "dup_line_chars",
+    "top2": "top2_chars",
+    "top3": "top3_chars",
+    "top4": "top4_chars",
+    "dup5": "dup5_chars",
+}
+
+
+def _frac_micro(num: str, den: str) -> F.Column:
+    """Exact BIGINT micro-fraction: (1e6 * num) div den, 0 on empty
+    denominator — the integer `div` form, NEVER floor(double division)
+    (review r9-3: a double quotient differs from integer division once
+    1e6*num exceeds 2^53 or lands within an ulp of an integer)."""
+    return (
+        F.when(F.col(den) > 0, F.expr(f"(1000000 * {num}) div {den}"))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
+def _and_all(conds) -> F.Column:
+    out = None
+    for c in conds:
+        out = c if out is None else (out & c)
+    return out
+
+
+def _rep_counts_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel counts + norm_len for the documents table — the shared
+    input of docs_gopher_repetition and _full_gate_cols."""
+    from etl_from_s3_to_postgresql_template_spark.functions.gopher_rep import rep_stats_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.col("text").alias("_text"), rep_stats_counts("text").alias("r")
+    ).select("doc_id", "_text", "r.*")
+    return base.withColumn(
+        "norm_len",
+        F.col("tok_chars")
+        + F.when(F.col("n_tok") > 0, F.col("n_tok") - 1).otherwise(F.lit(0)),
+    )
 
 
 @query("docs_gopher_repetition", oracle=_GR_ORACLE)
@@ -246,44 +300,17 @@ def docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions 0) — shape rules (token-count bounds) live in
     docs_gopher_quality, not here.
     """
-    from etl_from_s3_to_postgresql_template_spark.functions.gopher_rep import rep_stats_counts
-
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", rep_stats_counts("text").alias("r")).select(
-        "doc_id", "r.*"
-    )
-
-    def _frac(num: str, den: str) -> F.Column:
-        return (
-            F.when(
-                F.col(den) > 0, F.expr(f"(1000000 * {num}) div {den}")
-            )
-            .otherwise(F.lit(0))
-            .cast("long")
-        )
-
-    norm = base.withColumn(
-        "norm_len",
-        F.col("tok_chars")
-        + F.when(F.col("n_tok") > 0, F.col("n_tok") - 1).otherwise(F.lit(0)),
-    )
+    norm = _rep_counts_frame(spark, sf_dir)
     m = norm.select(
         "doc_id",
         F.col("n_lines").cast("long").alias("n_lines"),
-        _frac("dup_line_cnt", "n_lines").alias("dup_line_frac_micro"),
-        _frac("dup_line_chars", "line_chars").alias("dup_line_char_frac_micro"),
-        _frac("top2_chars", "norm_len").alias("top_2gram_frac_micro"),
-        _frac("top3_chars", "norm_len").alias("top_3gram_frac_micro"),
-        _frac("top4_chars", "norm_len").alias("top_4gram_frac_micro"),
-        _frac("dup5_chars", "tok_chars").alias("dup_5gram_frac_micro"),
+        *[
+            _frac_micro(_KERNEL_COL[num], den).alias(name)
+            for name, (num, den, _t) in _GR_FRACS.items()
+        ],
     )
-    passes = (
-        (F.col("dup_line_frac_micro") <= 300000)
-        & (F.col("dup_line_char_frac_micro") <= 200000)
-        & (F.col("top_2gram_frac_micro") <= 200000)
-        & (F.col("top_3gram_frac_micro") <= 180000)
-        & (F.col("top_4gram_frac_micro") <= 160000)
-        & (F.col("dup_5gram_frac_micro") <= 150000)
+    passes = _and_all(
+        F.col(name) <= thr for name, (_n, _d, thr) in _GR_FRACS.items()
     )
     return m.withColumn("passes", passes).orderBy("doc_id")
 
@@ -307,9 +334,15 @@ def docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UM_EPOCH_CAP = 4  # max epochs any domain may repeat (UniMax's N parameter)
 _UM_BUDGET_EPOCHS = 2  # token budget as a multiple of total corpus tokens
 
-_UM_ORACLE = rf"""
-    WITH tk AS (
-      SELECT source || '/' || lang AS domain,
+#: the shared waterfill CTE chain ending at `f` (+ `brk`) — ONE
+#: definition consumed by _UM_ORACLE and _US_ORACLE (review r9-3).
+#: Domain key COALESCEs source/lang to '' explicitly: Spark's concat_ws
+#: SKIPS nulls while SQL || propagates them — without the pin, a NULL
+#: source would collide ('en') on one engine and vanish (NULL) on the
+#: other (review r9-3).
+_UM_BODY = rf"""tk AS (
+      SELECT doc_id,
+             COALESCE(source, '') || '/' || COALESCE(lang, '') AS domain,
              CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '{_WS}'),
                   x -> x <> '')) AS BIGINT) AS n_tok
       FROM documents
@@ -335,7 +368,10 @@ _UM_ORACLE = rf"""
       SELECT CAST((budget - prefix) * 1000000 // (k - rn + 1) AS BIGINT)
                AS share_micro
       FROM f WHERE NOT capped ORDER BY rn LIMIT 1
-    )
+    )"""
+
+_UM_ORACLE = rf"""
+    WITH {_UM_BODY}
     SELECT domain, n_tokens, capacity, capped,
            CAST(CASE WHEN capped THEN capacity * 1000000
                 ELSE (SELECT share_micro FROM brk) END AS BIGINT) AS alloc_micro,
@@ -347,6 +383,16 @@ _UM_ORACLE = rf"""
     """
 
 
+def _domain_col() -> F.Column:
+    """(source, lang) domain key with NULLs pinned to '' on BOTH engines
+    (concat_ws skips NULLs, SQL || propagates them — review r9-3)."""
+    return F.concat_ws(
+        "/",
+        F.coalesce(F.col("source"), F.lit("")),
+        F.coalesce(F.col("lang"), F.lit("")),
+    )
+
+
 def _unimax_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared per-domain waterfill frame: (domain, n_tokens,
     capacity, capped, alloc_micro, epochs_micro). Consumed by the plan
@@ -356,7 +402,7 @@ def _unimax_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     dom = docs.select(
-        F.concat_ws("/", "source", "lang").alias("domain"),
+        _domain_col().alias("domain"),
         _ntok(F.coalesce(F.col("text"), F.lit(""))).alias("n_tok"),
     )
     agg = dom.groupBy("domain").agg(F.sum("n_tok").cast("long").alias("n_tokens"))
@@ -448,34 +494,7 @@ def corpus_mixture_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle-free (the domain table broadcasts).
 
 _US_ORACLE = rf"""
-    WITH tk AS (
-      SELECT doc_id, source || '/' || lang AS domain,
-             CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '{_WS}'),
-                  x -> x <> '')) AS BIGINT) AS n_tok
-      FROM documents
-    ), dom AS (
-      SELECT domain, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM tk GROUP BY domain
-    ), cap AS (
-      SELECT domain, n_tokens,
-             CAST({_UM_EPOCH_CAP} * n_tokens AS BIGINT) AS capacity
-      FROM dom
-    ), tot AS (
-      SELECT CAST({_UM_BUDGET_EPOCHS} * sum(n_tokens) AS BIGINT) AS budget FROM dom
-    ), w AS (
-      SELECT domain, n_tokens, capacity, budget,
-             CAST(ROW_NUMBER() OVER (ORDER BY capacity, domain) AS BIGINT) AS rn,
-             CAST(COALESCE(SUM(capacity) OVER (ORDER BY capacity, domain
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-               AS prefix,
-             CAST(COUNT(*) OVER () AS BIGINT) AS k
-      FROM cap, tot
-    ), f AS (
-      SELECT *, (capacity * (k - rn + 1) <= budget - prefix) AS capped FROM w
-    ), brk AS (
-      SELECT CAST((budget - prefix) * 1000000 // (k - rn + 1) AS BIGINT)
-               AS share_micro
-      FROM f WHERE NOT capped ORDER BY rn LIMIT 1
-    ), alloc AS (
+    WITH {_UM_BODY}, alloc AS (
       SELECT domain,
              CAST(CASE WHEN n_tokens > 0 THEN
                     (CASE WHEN capped THEN capacity * 1000000
@@ -502,9 +521,7 @@ def corpus_unimax_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles; at 100 TB this is the corpus scan plus a map-side lookup
     into a domains-sized table."""
     docs = load_table(spark, sf_dir, "documents")
-    dom_docs = docs.select(
-        "doc_id", F.concat_ws("/", "source", "lang").alias("domain")
-    )
+    dom_docs = docs.select("doc_id", _domain_col().alias("domain"))
     alloc = _unimax_frame(spark, sf_dir).select("domain", "epochs_micro")
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -990,11 +1007,16 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline actually applies; the two component entries exist for
 # auditing WHICH family rejected a document.
 
-_FG_ORACLE = rf"""
-    WITH shape AS (
+_FG_ORACLE = (
+    rf"""
+    WITH {_GR_BODY}, shape AS (
       -- COALESCE(FALSE): NULL text propagates NULL through the list ops
       -- here, while the Spark side's size(split(NULL)) = -1 sentinel
-      -- fails the BETWEEN — both engines must gate a NULL doc to false
+      -- fails the BETWEEN — both engines must gate a NULL doc to false.
+      -- Tokenization uses the explicit ASCII class (review r9-3): the
+      -- Spark shape expressions split on Java \\s, which IS this byte
+      -- set, while RE2's \\s omits \\x0B — an RE2 \\s oracle would
+      -- diverge on vertical-tab documents.
       SELECT doc_id,
              COALESCE(CAST(len(toks) AS BIGINT) BETWEEN 50 AND 100000
               AND ROUND(list_sum(list_transform(toks, x -> CAST(len(x) AS DOUBLE)))
@@ -1002,121 +1024,30 @@ _FG_ORACLE = rf"""
               AND CAST(len(list_filter(toks,
                    x -> x IN ('the','and','of','to','in','is','a','that'))) AS BIGINT)
                   >= 2, FALSE) AS passes_shape
-      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '{_WS}') AS toks
             FROM documents)
-    ), d AS (
-      SELECT doc_id, COALESCE(text, '') AS t FROM documents
-    ), ln AS (
-      SELECT doc_id, trim(l, ' ') AS pl
-      FROM d, UNNEST(string_split(t, chr(10))) AS u(l)
-      WHERE trim(l, ' ') <> ''
-    ), lg AS (
-      SELECT doc_id, pl, CAST(count(*) AS BIGINT) AS c,
-             CAST(len(pl) AS BIGINT) AS ll
-      FROM ln GROUP BY doc_id, pl
-    ), lstat AS (
-      SELECT doc_id,
-             CAST(sum(c) AS BIGINT) AS n_lines,
-             CAST(sum(c) - count(*) AS BIGINT) AS dup_line_cnt,
-             CAST(sum(c * ll) AS BIGINT) AS line_chars,
-             CAST(sum((c - 1) * ll) AS BIGINT) AS dup_line_chars
-      FROM lg GROUP BY doc_id
-    ), ts AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(t, '{_WS}'), x -> x <> '') AS toks,
-             CAST(len(list_filter(string_split_regex(t, '{_WS}'), x -> x <> ''))
-                  AS BIGINT) AS n_tok,
-             CAST(COALESCE(list_sum(list_transform(
-                  list_filter(string_split_regex(t, '{_WS}'), x -> x <> ''),
-                  x -> CAST(len(x) AS BIGINT))), 0) AS BIGINT) AS tok_chars
-      FROM d
-    ), g2 AS (
-      SELECT doc_id, UNNEST(list_transform(range(n_tok - 1),
-             p -> array_to_string(list_slice(toks, p + 1, p + 2), ' '))) AS gram
-      FROM ts WHERE n_tok >= 2
-    ), g3 AS (
-      SELECT doc_id, UNNEST(list_transform(range(n_tok - 2),
-             p -> array_to_string(list_slice(toks, p + 1, p + 3), ' '))) AS gram
-      FROM ts WHERE n_tok >= 3
-    ), g4 AS (
-      SELECT doc_id, UNNEST(list_transform(range(n_tok - 3),
-             p -> array_to_string(list_slice(toks, p + 1, p + 4), ' '))) AS gram
-      FROM ts WHERE n_tok >= 4
-    ), t2 AS (
-      SELECT doc_id, CAST(MAX(cl) AS BIGINT) AS top_chars FROM (
-        SELECT doc_id, count(*) * len(gram) AS cl FROM g2
-        GROUP BY doc_id, gram HAVING count(*) >= 2) GROUP BY doc_id
-    ), t3 AS (
-      SELECT doc_id, CAST(MAX(cl) AS BIGINT) AS top_chars FROM (
-        SELECT doc_id, count(*) * len(gram) AS cl FROM g3
-        GROUP BY doc_id, gram HAVING count(*) >= 2) GROUP BY doc_id
-    ), t4 AS (
-      SELECT doc_id, CAST(MAX(cl) AS BIGINT) AS top_chars FROM (
-        SELECT doc_id, count(*) * len(gram) AS cl FROM g4
-        GROUP BY doc_id, gram HAVING count(*) >= 2) GROUP BY doc_id
-    ), g5 AS (
-      SELECT doc_id, UNNEST(list_transform(range(n_tok - 4),
-             p -> struct_pack(i := p + 1,
-                  gram := array_to_string(list_slice(toks, p + 1, p + 5), ' ')))) AS s
-      FROM ts WHERE n_tok >= 5
-    ), g5f AS (
-      SELECT doc_id, s.i AS i, s.gram AS gram FROM g5
-    ), c5 AS (
-      SELECT doc_id, gram FROM g5f GROUP BY doc_id, gram HAVING count(*) >= 2
-    ), dpos AS (
-      SELECT g5f.doc_id, g5f.i FROM g5f JOIN c5 USING (doc_id, gram)
-    ), cov AS (
-      SELECT DISTINCT doc_id, j FROM (
-        SELECT doc_id, UNNEST([i, i + 1, i + 2, i + 3, i + 4]) AS j FROM dpos)
-    ), covs AS (
-      SELECT c.doc_id, CAST(SUM(len(ts.toks[c.j])) AS BIGINT) AS dup5_chars
-      FROM cov c JOIN ts ON c.doc_id = ts.doc_id GROUP BY c.doc_id
-    ), rep AS (
-      SELECT d.doc_id,
-             ((CASE WHEN COALESCE(l.n_lines, 0) > 0
-                    THEN 1000000 * l.dup_line_cnt // l.n_lines ELSE 0 END) <= 300000
-              AND (CASE WHEN COALESCE(l.line_chars, 0) > 0
-                    THEN 1000000 * l.dup_line_chars // l.line_chars ELSE 0 END) <= 200000
-              AND (CASE WHEN ts.tok_chars + CASE WHEN ts.n_tok > 0 THEN ts.n_tok - 1 ELSE 0 END > 0
-                    THEN 1000000 * COALESCE(t2.top_chars, 0)
-                         // (ts.tok_chars + CASE WHEN ts.n_tok > 0 THEN ts.n_tok - 1 ELSE 0 END)
-                    ELSE 0 END) <= 200000
-              AND (CASE WHEN ts.tok_chars + CASE WHEN ts.n_tok > 0 THEN ts.n_tok - 1 ELSE 0 END > 0
-                    THEN 1000000 * COALESCE(t3.top_chars, 0)
-                         // (ts.tok_chars + CASE WHEN ts.n_tok > 0 THEN ts.n_tok - 1 ELSE 0 END)
-                    ELSE 0 END) <= 180000
-              AND (CASE WHEN ts.tok_chars + CASE WHEN ts.n_tok > 0 THEN ts.n_tok - 1 ELSE 0 END > 0
-                    THEN 1000000 * COALESCE(t4.top_chars, 0)
-                         // (ts.tok_chars + CASE WHEN ts.n_tok > 0 THEN ts.n_tok - 1 ELSE 0 END)
-                    ELSE 0 END) <= 160000
-              AND (CASE WHEN ts.tok_chars > 0
-                    THEN 1000000 * COALESCE(covs.dup5_chars, 0) // ts.tok_chars
-                    ELSE 0 END) <= 150000) AS passes_repetition
-      FROM d
-      LEFT JOIN lstat l ON d.doc_id = l.doc_id
-      JOIN ts ON d.doc_id = ts.doc_id
-      LEFT JOIN t2 ON d.doc_id = t2.doc_id
-      LEFT JOIN t3 ON d.doc_id = t3.doc_id
-      LEFT JOIN t4 ON d.doc_id = t4.doc_id
-      LEFT JOIN covs ON d.doc_id = covs.doc_id
     )
-    SELECT shape.doc_id, passes_shape, passes_repetition,
-           (passes_shape AND passes_repetition) AS passes
-    FROM shape JOIN rep ON shape.doc_id = rep.doc_id
-    ORDER BY shape.doc_id
+    SELECT m.doc_id, shape.passes_shape AS passes_shape,
+           ({_GR_PASSES_SQL}) AS passes_repetition,
+           (shape.passes_shape AND ({_GR_PASSES_SQL})) AS passes
+    FROM m JOIN shape ON m.doc_id = shape.doc_id
+    ORDER BY m.doc_id
     """
+)
 
 
 def _full_gate_cols(docs: DataFrame) -> DataFrame:
     """The full-gate PROJECTION, factored so the batch entry and the
     streaming rung (streaming/docstream.py) apply the identical logic —
     one Arrow kernel pass + the shape expressions, no ordering (the
-    caller sorts; streams cannot)."""
+    caller sorts; streams cannot). The shape split uses the explicit
+    ASCII class — byte-identical to docs_gopher_quality's Java ``\\s``
+    (so the mirror contract holds) and faithfully twinned by the RE2
+    oracle (review r9-3: RE2's ``\\s`` omits ``\\x0B``)."""
     from etl_from_s3_to_postgresql_template_spark.functions.gopher_rep import rep_stats_counts
     from etl_from_s3_to_postgresql_template_spark.functions.text import LANG_STOPWORDS
 
-    # shape rules — the docs_gopher_quality expressions, verbatim
-    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    toks = F.split(F.lower(F.trim("text")), _WS)
     n_tokens = F.size(toks).cast("long")
     mean_len = F.round(
         F.aggregate(
@@ -1135,27 +1066,24 @@ def _full_gate_cols(docs: DataFrame) -> DataFrame:
         & mean_len.between(2.0, 10.0)
         & (n_stop >= 2)
     )
-    base = docs.select(
-        "doc_id", passes_shape.alias("passes_shape"), rep_stats_counts("text").alias("r")
-    ).select("doc_id", "passes_shape", "r.*")
-    norm_len = F.col("tok_chars") + F.when(
-        F.col("n_tok") > 0, F.col("n_tok") - 1
-    ).otherwise(F.lit(0))
-
-    def _frac(num, den) -> F.Column:
-        return (
-            F.when(den > 0, F.floor((F.lit(1000000) * num) / den))
-            .otherwise(F.lit(0))
-            .cast("long")
+    base = (
+        docs.select(
+            "doc_id",
+            passes_shape.alias("passes_shape"),
+            rep_stats_counts("text").alias("r"),
         )
-
-    passes_rep = (
-        (_frac(F.col("dup_line_cnt"), F.col("n_lines")) <= 300000)
-        & (_frac(F.col("dup_line_chars"), F.col("line_chars")) <= 200000)
-        & (_frac(F.col("top2_chars"), norm_len) <= 200000)
-        & (_frac(F.col("top3_chars"), norm_len) <= 180000)
-        & (_frac(F.col("top4_chars"), norm_len) <= 160000)
-        & (_frac(F.col("dup5_chars"), F.col("tok_chars")) <= 150000)
+        .select("doc_id", "passes_shape", "r.*")
+        .withColumn(
+            "norm_len",
+            F.col("tok_chars")
+            + F.when(F.col("n_tok") > 0, F.col("n_tok") - 1).otherwise(F.lit(0)),
+        )
+    )
+    # exact-integer micro fractions + thresholds from the SAME table the
+    # repetition entry uses (_GR_FRACS) — one definition site
+    passes_rep = _and_all(
+        _frac_micro(_KERNEL_COL[num], den) <= thr
+        for _name, (num, den, thr) in _GR_FRACS.items()
     )
     return base.select(
         "doc_id",
@@ -1241,7 +1169,10 @@ def docs_length_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy("lang", "n_chars")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    lw = W.partitionBy("lang").orderBy("n_chars")
+    # asc_nulls_last pins Spark's default NULLS FIRST to DuckDB's
+    # NULLS LAST so a NULL n_chars cannot shift the cumulative ranks
+    # (review r9-3; n_chars is non-null in every current fixture)
+    lw = W.partitionBy("lang").orderBy(F.col("n_chars").asc_nulls_last())
     h = hist.withColumn(
         "cum", F.sum("c").over(lw.rowsBetween(W.unboundedPreceding, 0)).cast("long")
     ).withColumn("cnt", F.sum("c").over(W.partitionBy("lang")).cast("long"))

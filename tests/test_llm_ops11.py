@@ -581,3 +581,48 @@ def test_streaming_gate_equals_batch_gate(spark, tmp_path):
     a = [tuple(r) for r in QUERIES["streaming_quality_gate"](spark, sf).collect()]
     b = [tuple(r) for r in QUERIES["docs_gopher_full_gate"](spark, sf).collect()]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# review-r9-3 regression pins
+# ---------------------------------------------------------------------------
+
+
+def test_full_gate_shape_x0b_parity(spark, tmp_path):
+    """Review r9-3 item 1: a \\x0B inside a token changes the shape
+    token count (Java \\s and the explicit class split it; RE2's \\s
+    does not) — both engines must tokenize it identically. Doc 0 has 50
+    shape-tokens ONLY IF \\x0B splits; doc 1 is its space twin."""
+    body = " ".join(["the"] * 48)
+    sf = _planted_docs(
+        spark,
+        tmp_path,
+        [(body + " the\x0bthe", "en", "web"), (body + " the the", "en", "web")],
+    )
+    got = [tuple(r) for r in QUERIES["docs_gopher_full_gate"](spark, sf).collect()]
+    want = [tuple(r) for r in _oracle(sf, "docs_gopher_full_gate")]
+    assert got == want
+    rows = {r[0]: r for r in got}
+    assert rows[0][1] == rows[1][1]  # passes_shape identical for the twins
+
+
+def test_unimax_null_source_lang_domain(spark, tmp_path):
+    """Review r9-3 item 3: NULL source/lang pin to '' on both engines —
+    a NULL source must NOT collide with a same-named lang nor vanish
+    from the oracle's equi-join."""
+    rows = [
+        (0, _tok_doc(10), "en", None, 10),
+        (1, _tok_doc(20), None, "en", 20),
+        (2, _tok_doc(30), "en", "en", 30),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = [tuple(r) for r in QUERIES["corpus_unimax_schedule"](spark, sf).collect()]
+    want = [tuple(r) for r in _oracle(sf, "corpus_unimax_schedule")]
+    assert got == want
+    doms = {r[0]: r[1] for r in got}
+    assert doms[0] == "/en" and doms[1] == "en/" and doms[2] == "en/en"
+    plan = [tuple(r) for r in QUERIES["corpus_mixture_unimax"](spark, sf).collect()]
+    assert plan == [tuple(r) for r in _oracle(sf, "corpus_mixture_unimax")]

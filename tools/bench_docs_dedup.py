@@ -75,11 +75,22 @@ K_INDEPENDENT = [
 ]
 
 
+#: plans whose CONSTRUCTION runs eager Spark jobs (fitted artifacts:
+#: k-means centroid init + Lloyd-round aggregation). Passing their
+#: DataFrame into _time would leave that work outside the timed region
+#: and understate the scale ratio — these are timed as thunks that
+#: rebuild the plan (and so re-run the eager jobs) every pass.
+EAGER_PLANS = {"embedding_kmeans_micro"}
+
+
 def _time(df, warms: int = 1) -> float:
+    """df: a DataFrame, or a zero-arg callable returning one (thunk form
+    for EAGER_PLANS — construction is part of the measured cost)."""
+    mk = df if callable(df) else (lambda: df)
     for _ in range(warms):
-        df.write.format("noop").mode("overwrite").save()
+        mk().write.format("noop").mode("overwrite").save()
     t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
+    mk().write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - t0, 3)
 
 
@@ -131,10 +142,15 @@ def main() -> None:
         else:
             # fresh-session steady state needs TWO warm passes (JIT +
             # Python-worker ramp; one warm measured 2.3x the steady wall)
+            def _arg(d, name=only):
+                if name in EAGER_PLANS:
+                    return lambda: QUERIES[name](spark, d)
+                return QUERIES[name](spark, d)
+
             t = {
                 "calib": _calib(),
-                "small": _time(QUERIES[only](spark, small), warms=2),
-                "big": _time(QUERIES[only](spark, big), warms=2),
+                "small": _time(_arg(small), warms=2),
+                "big": _time(_arg(big), warms=2),
             }
             label = only
         t["ratio"] = round(t["big"] / t["small"], 2)
@@ -142,9 +158,14 @@ def main() -> None:
         return
     out = {}
     for name in K_INDEPENDENT:
+        def _arg(d, name=name):
+            if name in EAGER_PLANS:
+                return lambda: QUERIES[name](spark, d)
+            return QUERIES[name](spark, d)
+
         t = {
-            "small": _time(QUERIES[name](spark, small)),
-            "big": _time(QUERIES[name](spark, big)),
+            "small": _time(_arg(small)),
+            "big": _time(_arg(big)),
         }
         t["ratio"] = round(t["big"] / t["small"], 2)
         out[name] = t
