@@ -626,3 +626,45 @@ def test_unimax_null_source_lang_domain(spark, tmp_path):
     assert doms[0] == "/en" and doms[1] == "en/" and doms[2] == "en/en"
     plan = [tuple(r) for r in QUERIES["corpus_mixture_unimax"](spark, sf).collect()]
     assert plan == [tuple(r) for r in _oracle(sf, "corpus_mixture_unimax")]
+
+
+# ---------------------------------------------------------------------------
+# seeded adversarial parity sweep (repetition + full gate + markup)
+# ---------------------------------------------------------------------------
+
+
+def _random_corpus(seed=20260816, n=60):
+    """Deterministic adversarial texts: tiny vocabulary (forces gram
+    repeats), mixed whitespace incl. \\x0B/\\t/\\f/\\r, newlines, space
+    padding, NULLs/empties, markup fragments."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["a", "bb", "ccc", "the", "x1", "zz"]
+    ws = [" ", "  ", "\t", "\x0b", "\f", "\r", "\n", " \n "]
+    out = []
+    for i in range(n):
+        kind = i % 6
+        if kind == 0:
+            out.append(None)
+        elif kind == 1:
+            out.append(rng.choice(["", " ", "\n", "\x0b"]))
+        else:
+            parts = []
+            for _ in range(rng.randrange(1, 120)):
+                parts.append(rng.choice(vocab))
+                parts.append(rng.choice(ws))
+            if kind == 5:
+                parts.insert(0, rng.choice(["<p>", "&amp;", "<br/>", "&lt;"]))
+            out.append("".join(parts))
+    return [(t, "en", "web") for t in out]
+
+
+@pytest.mark.parametrize(
+    "name", ["docs_gopher_repetition", "docs_gopher_full_gate", "docs_strip_markup"]
+)
+def test_seeded_adversarial_parity(spark, tmp_path, name):
+    sf = _planted_docs(spark, tmp_path, _random_corpus())
+    got = [tuple(r) for r in QUERIES[name](spark, sf).collect()]
+    want = [tuple(r) for r in _oracle(sf, name)]
+    assert got == want
