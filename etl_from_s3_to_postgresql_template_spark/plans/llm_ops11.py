@@ -75,6 +75,7 @@ __all__ = [
     "docs_length_quantiles_hist",
     "docs_strip_markup",
     "streaming_quality_gate",
+    "docs_gopher_repetition_cjk",
 ]
 
 #: explicit ASCII whitespace — identical byte set under Java regex and
@@ -117,8 +118,15 @@ def _ntok(tx) -> F.Column:
 #: the shared CTE chain computing per-doc repetition counts into `m`
 #: (consumed by _GR_ORACLE and _FG_ORACLE — ONE definition site, so the
 #: two entries cannot drift; review r9-3 item)
-_GR_BODY = rf"""d AS (
-      SELECT doc_id, COALESCE(text, '') AS t FROM documents
+def _gr_body(t_expr: str) -> str:
+    """The repetition CTE chain over an arbitrary text expression —
+    instantiated for the ASCII tier (raw text) and the CJK tier
+    (codepoint-separated text)."""
+    return _GR_BODY_TPL.replace("__T_EXPR__", t_expr)
+
+
+_GR_BODY_TPL = rf"""d AS (
+      SELECT doc_id, __T_EXPR__ AS t FROM documents
     ), ln AS (
       SELECT doc_id, trim(l, ' ') AS pl
       FROM d, UNNEST(string_split(t, chr(10))) AS u(l)
@@ -226,13 +234,31 @@ _GR_PASSES_SQL = " AND ".join(
     f"({_sql_frac(n, d)}) <= {t}" for n, d, t in _GR_FRACS.values()
 )
 
-_GR_ORACLE = (
-    f"WITH {_GR_BODY}\n    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,\n"
+_GR_SELECT = (
+    "SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,\n"
     + ",\n".join(
         f"      CAST({_sql_frac(num, den)} AS BIGINT) AS {name}"
         for name, (num, den, _t) in _GR_FRACS.items()
     )
     + f",\n      {_GR_PASSES_SQL} AS passes\n    FROM m ORDER BY doc_id"
+)
+
+_GR_BODY = _gr_body("COALESCE(text, '')")
+_GR_ORACLE = f"WITH {_GR_BODY}\n    {_GR_SELECT}"
+
+#: CJK codepoint separation (the llm_ops8 no-segmenter fallback applied
+#: to the REPETITION rules): every Han/Hiragana/Katakana codepoint gets
+#: spaces around it, so the ws-tokenizer sees it as its own token.
+#: Replacement backreference syntax differs by engine: RE2/DuckDB \1,
+#: Java $1 — pinned by the planted zh test.
+_CJK_RE2_CLS = r"[\p{Han}\p{Hiragana}\p{Katakana}]"
+_CJK_JAVA_CLS = r"[\p{IsHan}\p{IsHiragana}\p{IsKatakana}]"
+_GRC_ORACLE = (
+    "WITH "
+    + _gr_body(
+        f"regexp_replace(COALESCE(text, ''), '({_CJK_RE2_CLS})', ' \\1 ', 'g')"
+    )
+    + f"\n    {_GR_SELECT}"
 )
 
 
@@ -267,20 +293,41 @@ def _and_all(conds) -> F.Column:
     return out
 
 
-def _rep_counts_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kernel counts + norm_len for the documents table — the shared
-    input of docs_gopher_repetition and _full_gate_cols."""
+def _rep_counts_frame(
+    spark: SparkSession, sf_dir: str, text_col: F.Column | None = None
+) -> DataFrame:
+    """Kernel counts + norm_len for the documents table over an
+    arbitrary text expression (raw for the ASCII tier, CJK-separated
+    for the CJK tier)."""
     from etl_from_s3_to_postgresql_template_spark.functions.gopher_rep import rep_stats_counts
 
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", F.col("text").alias("_text"), rep_stats_counts("text").alias("r")
-    ).select("doc_id", "_text", "r.*")
+    tc = F.col("text") if text_col is None else text_col
+    base = docs.select("doc_id", rep_stats_counts(tc).alias("r")).select(
+        "doc_id", "r.*"
+    )
     return base.withColumn(
         "norm_len",
         F.col("tok_chars")
         + F.when(F.col("n_tok") > 0, F.col("n_tok") - 1).otherwise(F.lit(0)),
     )
+
+
+def _rep_gate_frame(norm: DataFrame) -> DataFrame:
+    """Fractions + gate over a kernel counts frame (shared by both
+    repetition tiers)."""
+    m = norm.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        *[
+            _frac_micro(_KERNEL_COL[num], den).alias(name)
+            for name, (num, den, _t) in _GR_FRACS.items()
+        ],
+    )
+    passes = _and_all(
+        F.col(name) <= thr for name, (_n, _d, thr) in _GR_FRACS.items()
+    )
+    return m.withColumn("passes", passes).orderBy("doc_id")
 
 
 @query("docs_gopher_repetition", oracle=_GR_ORACLE)
@@ -300,19 +347,26 @@ def docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions 0) — shape rules (token-count bounds) live in
     docs_gopher_quality, not here.
     """
-    norm = _rep_counts_frame(spark, sf_dir)
-    m = norm.select(
-        "doc_id",
-        F.col("n_lines").cast("long").alias("n_lines"),
-        *[
-            _frac_micro(_KERNEL_COL[num], den).alias(name)
-            for name, (num, den, _t) in _GR_FRACS.items()
-        ],
+    return _rep_gate_frame(_rep_counts_frame(spark, sf_dir))
+
+
+@query("docs_gopher_repetition_cjk", oracle=_GRC_ORACLE)
+def docs_gopher_repetition_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CJK tier of the repetition rules: an unsegmented Chinese
+    document is ONE whitespace token to the ASCII tier, so none of its
+    n-gram repetition is visible — the gate passes pathologically
+    repetitive CJK text. This tier applies the llm_ops8 no-segmenter
+    fallback (each Han/Hiragana/Katakana codepoint its own token) by
+    separating CJK codepoints with spaces JVM-SIDE (one regexp_replace,
+    the two-input-kernel convention: the kernel never needs a Python
+    Unicode table) and then running the IDENTICAL kernel + gate.
+    Backreference syntax is engine-specific (Java $1, RE2 \\1); the
+    planted zh test pins the equivalence. ASCII documents gate
+    identically under both tiers (separation is a no-op)."""
+    sep = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), f"({_CJK_JAVA_CLS})", r" $1 "
     )
-    passes = _and_all(
-        F.col(name) <= thr for name, (_n, _d, thr) in _GR_FRACS.items()
-    )
-    return m.withColumn("passes", passes).orderBy("doc_id")
+    return _rep_gate_frame(_rep_counts_frame(spark, sf_dir, text_col=sep))
 
 
 # ---------------------------------------------------------------------------

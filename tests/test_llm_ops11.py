@@ -668,3 +668,38 @@ def test_seeded_adversarial_parity(spark, tmp_path, name):
     got = [tuple(r) for r in QUERIES[name](spark, sf).collect()]
     want = [tuple(r) for r in _oracle(sf, name)]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# docs_gopher_repetition_cjk
+# ---------------------------------------------------------------------------
+
+
+def test_cjk_repetition_sees_what_ascii_tier_cannot(spark, tmp_path):
+    """An unsegmented repeated-phrase Chinese doc is ONE ws-token (all
+    repetition invisible, ASCII tier passes); the CJK tier tokenizes
+    per codepoint and fails it on top-2-gram repetition. ASCII docs
+    gate identically under both tiers. Plan == oracle on the planted
+    mixed corpus (pins the Java $1 / RE2 \\1 backreference parity)."""
+    zh_spam = "你好世界" * 12  # 48 codepoints, the same 4 repeating
+    ascii_spam = "spam ham " * 10 + "the and of it"
+    sf = _planted_docs(
+        spark,
+        tmp_path,
+        [
+            (zh_spam, "zh", "web"),
+            (ascii_spam, "en", "web"),
+            ("深度 learning 模型 rocks 深度 learning", "zh", "web"),
+            (None, "zh", "web"),
+        ],
+    )
+    got = [tuple(r) for r in QUERIES["docs_gopher_repetition_cjk"](spark, sf).collect()]
+    want = [tuple(r) for r in _oracle(sf, "docs_gopher_repetition_cjk")]
+    assert got == want
+    cjk = {r["doc_id"]: r.asDict() for r in QUERIES["docs_gopher_repetition_cjk"](spark, sf).collect()}
+    ascii_tier = {r["doc_id"]: r.asDict() for r in QUERIES["docs_gopher_repetition"](spark, sf).collect()}
+    # doc 0: invisible to the ASCII tier, caught by the CJK tier
+    assert ascii_tier[0]["passes"] and not cjk[0]["passes"]
+    assert cjk[0]["top_2gram_frac_micro"] > 200000
+    # doc 1 (pure ASCII): the tiers agree exactly
+    assert cjk[1] == ascii_tier[1]

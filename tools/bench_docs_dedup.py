@@ -61,6 +61,7 @@ K_INDEPENDENT = [
     "embedding_kmeans_micro",
     "corpus_shard_plan",
     "docs_gopher_full_gate",
+    "docs_gopher_repetition_cjk",
     # round-6 additions (all blocking adapts to n by construction)
     "docs_quality_classifier",
     "dedup_jaccard_prefix_filter",
