@@ -116,12 +116,12 @@ def _ntok(tx) -> F.Column:
 # top-3-gram <= 0.18, top-4-gram <= 0.16, dup-5-gram <= 0.15.
 
 #: the shared CTE chain computing per-doc repetition counts into `m`
-#: (consumed by _GR_ORACLE and _FG_ORACLE — ONE definition site, so the
-#: two entries cannot drift; review r9-3 item)
+#: (see _gr_body: three oracle consumers, one definition site)
 def _gr_body(t_expr: str) -> str:
-    """The repetition CTE chain over an arbitrary text expression —
-    instantiated for the ASCII tier (raw text) and the CJK tier
-    (codepoint-separated text)."""
+    """The repetition CTE chain over an arbitrary text expression — ONE
+    definition site instantiated by THREE consumers: _GR_ORACLE (ASCII
+    tier), _GRC_ORACLE (CJK tier), and _FG_ORACLE (full gate). Any
+    semantics change here changes all three oracles together."""
     return _GR_BODY_TPL.replace("__T_EXPR__", t_expr)
 
 
@@ -251,6 +251,9 @@ _GR_ORACLE = f"WITH {_GR_BODY}\n    {_GR_SELECT}"
 #: spaces around it, so the ws-tokenizer sees it as its own token.
 #: Replacement backreference syntax differs by engine: RE2/DuckDB \1,
 #: Java $1 — pinned by the planted zh test.
+#: ONE definition for the whole module (repetition CJK tier +
+#: fertility): editing a duplicated copy would silently tokenize
+#: different character sets per entry (review r9-3b)
 _CJK_RE2_CLS = r"[\p{Han}\p{Hiragana}\p{Katakana}]"
 _CJK_JAVA_CLS = r"[\p{IsHan}\p{IsHiragana}\p{IsKatakana}]"
 _GRC_ORACLE = (
@@ -688,8 +691,8 @@ def embedding_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # \\p{IsHan} == RE2 \\p{Han} byte-parity was pinned before
 # text_token_count_cjk landed (tests/test_llm_ops8.py).
 
-_CJK_JAVA = r"[\p{IsHan}\p{IsHiragana}\p{IsKatakana}]"
-_CJK_RE2 = r"[\p{Han}\p{Hiragana}\p{Katakana}]"
+_CJK_JAVA = _CJK_JAVA_CLS
+_CJK_RE2 = _CJK_RE2_CLS
 
 _TF_ORACLE = rf"""
     WITH t AS (

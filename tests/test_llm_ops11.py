@@ -696,10 +696,11 @@ def test_cjk_repetition_sees_what_ascii_tier_cannot(spark, tmp_path):
     got = [tuple(r) for r in QUERIES["docs_gopher_repetition_cjk"](spark, sf).collect()]
     want = [tuple(r) for r in _oracle(sf, "docs_gopher_repetition_cjk")]
     assert got == want
-    cjk = {r["doc_id"]: r.asDict() for r in QUERIES["docs_gopher_repetition_cjk"](spark, sf).collect()}
+    cols = QUERIES["docs_gopher_repetition_cjk"](spark, sf).columns
+    cjk = {t[0]: dict(zip(cols, t)) for t in got}  # reuse the collected rows
     ascii_tier = {r["doc_id"]: r.asDict() for r in QUERIES["docs_gopher_repetition"](spark, sf).collect()}
     # doc 0: invisible to the ASCII tier, caught by the CJK tier
     assert ascii_tier[0]["passes"] and not cjk[0]["passes"]
     assert cjk[0]["top_2gram_frac_micro"] > 200000
     # doc 1 (pure ASCII): the tiers agree exactly
-    assert cjk[1] == ascii_tier[1]
+    assert cjk[1] == dict(ascii_tier[1])
