@@ -76,6 +76,7 @@ __all__ = [
     "docs_strip_markup",
     "streaming_quality_gate",
     "docs_gopher_repetition_cjk",
+    "dedup_keep_best_quality",
 ]
 
 #: explicit ASCII whitespace — identical byte set under Java regex and
@@ -1064,16 +1065,15 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline actually applies; the two component entries exist for
 # auditing WHICH family rejected a document.
 
-_FG_ORACLE = (
-    rf"""
-    WITH {_GR_BODY}, shape AS (
-      -- COALESCE(FALSE): NULL text propagates NULL through the list ops
-      -- here, while the Spark side's size(split(NULL)) = -1 sentinel
-      -- fails the BETWEEN — both engines must gate a NULL doc to false.
-      -- Tokenization uses the explicit ASCII class (review r9-3): the
-      -- Spark shape expressions split on Java \\s, which IS this byte
-      -- set, while RE2's \\s omits \\x0B — an RE2 \\s oracle would
-      -- diverge on vertical-tab documents.
+#: the shape-rule CTE (docs_gopher_quality semantics with the NULL and
+#: \x0B pins) — consumed by _FG_ORACLE and dedup_keep_best_quality.
+#: COALESCE(FALSE): NULL text propagates NULL through the list ops
+#: here, while the Spark side's size(split(NULL)) = -1 sentinel fails
+#: the BETWEEN — both engines must gate a NULL doc to false.
+#: Tokenization uses the explicit ASCII class (review r9-3): the Spark
+#: shape expressions split on Java \s, which IS this byte set, while
+#: RE2's \s omits \x0B.
+_FG_SHAPE_CTE = rf"""shape AS (
       SELECT doc_id,
              COALESCE(CAST(len(toks) AS BIGINT) BETWEEN 50 AND 100000
               AND ROUND(list_sum(list_transform(toks, x -> CAST(len(x) AS DOUBLE)))
@@ -1083,7 +1083,11 @@ _FG_ORACLE = (
                   >= 2, FALSE) AS passes_shape
       FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '{_WS}') AS toks
             FROM documents)
-    )
+    )"""
+
+_FG_ORACLE = (
+    rf"""
+    WITH {_GR_BODY}, {_FG_SHAPE_CTE}
     SELECT m.doc_id, shape.passes_shape AS passes_shape,
            ({_GR_PASSES_SQL}) AS passes_repetition,
            (shape.passes_shape AND ({_GR_PASSES_SQL})) AS passes
@@ -1320,3 +1324,67 @@ def docs_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tag_chars.alias("n_tag_chars"),
         n_entity_chars.alias("n_entity_chars"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_best_quality
+# ---------------------------------------------------------------------------
+#
+# WHICH duplicate to keep.  The existing keep list (llm_ops2) keeps the
+# min-id member of each near-dup cluster — fine for determinism, blind
+# to quality.  Production curation (RefinedWeb, Dolma) keeps the BEST
+# member: this entry ranks each exact-dup cluster (md5 of the raw text,
+# the audit-grade identity) by (full-gate passes DESC, n_chars DESC,
+# doc_id ASC) and keeps rank 1 — so a gate-passing duplicate always
+# survives over a failing one, longer text breaks ties, and doc_id
+# makes the choice total.  Output: one row per cluster with the kept
+# doc, the cluster size, and whether the kept doc passes the gate.
+
+_KB_ORACLE = rf"""
+    WITH {_GR_BODY}, {_FG_SHAPE_CTE}, gate AS (
+      SELECT m.doc_id,
+             (shape.passes_shape AND ({_GR_PASSES_SQL})) AS passes
+      FROM m JOIN shape ON m.doc_id = shape.doc_id
+    ), h AS (
+      SELECT d.doc_id, md5(d.t) AS ckey, length(d.t) AS n_chars, g.passes
+      FROM d JOIN gate g ON d.doc_id = g.doc_id
+    ), r AS (
+      SELECT doc_id, ckey, n_chars, passes,
+             ROW_NUMBER() OVER (PARTITION BY ckey
+               ORDER BY passes DESC, n_chars DESC, doc_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY ckey) AS BIGINT) AS n_members
+      FROM h
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, n_members,
+           passes AS kept_passes
+    FROM r WHERE rn = 1 ORDER BY doc_id
+    """
+
+
+@query("dedup_keep_best_quality", oracle=_KB_ORACLE)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked duplicate keep list (module comment above): one
+    scan computes the full Gopher gate, clusters on md5 of the raw text,
+    and a cluster-partitioned window keeps the best member. Exact-dup
+    clusters are tiny by construction, so the window never skews; the
+    shuffle carries (32-B key, gate bits, length) per doc. The min-id
+    keep list (llm_ops2) stays as the determinism-first variant."""
+    docs = load_table(spark, sf_dir, "documents")
+    tx = F.coalesce(F.col("text"), F.lit(""))
+    gated = _full_gate_cols(docs).select("doc_id", "passes")
+    h = docs.select(
+        "doc_id", F.md5(tx).alias("ckey"), F.length(tx).cast("long").alias("n_chars")
+    ).join(gated, "doc_id")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("ckey").orderBy(
+        F.col("passes").desc(), F.col("n_chars").desc(), F.col("doc_id")
+    )
+    r = h.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_members", F.count(F.lit(1)).over(W.partitionBy("ckey")).cast("long")
+    )
+    return (
+        r.filter(F.col("rn") == 1)
+        .select("doc_id", "n_chars", "n_members", F.col("passes").alias("kept_passes"))
+        .orderBy("doc_id")
+    )

@@ -704,3 +704,36 @@ def test_cjk_repetition_sees_what_ascii_tier_cannot(spark, tmp_path):
     assert cjk[0]["top_2gram_frac_micro"] > 200000
     # doc 1 (pure ASCII): the tiers agree exactly
     assert cjk[1] == dict(ascii_tier[1])
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_best_quality
+# ---------------------------------------------------------------------------
+
+
+def test_keep_best_quality_prefers_gate_passing_duplicate(spark, tmp_path):
+    """Three exact duplicates where only the gate decides nothing (same
+    text), plus a cluster whose members differ in length: the kept doc
+    is (passes DESC, n_chars DESC, doc_id ASC)-best, clusters count
+    their members, and the frame matches the oracle."""
+    clean = " ".join(f"the w{i} and x{i} of y{i} to z{i}" for i in range(8))
+    spam = " ".join(["the spam and ham"] * 15)
+    sf = _planted_docs(
+        spark,
+        tmp_path,
+        [
+            (clean, "en", "web"),   # doc 0: cluster A (3 members)
+            (clean, "en", "web"),   # doc 1
+            (clean, "en", "web"),   # doc 2
+            (spam, "en", "web"),    # doc 3: fails repetition, unique
+            ("short one", "en", "web"),  # doc 4: unique, fails shape
+        ],
+    )
+    got = [tuple(r) for r in QUERIES["dedup_keep_best_quality"](spark, sf).collect()]
+    want = [tuple(r) for r in _oracle(sf, "dedup_keep_best_quality")]
+    assert got == want
+    rows = {r[0]: r for r in got}
+    assert set(rows) == {0, 3, 4}  # min-id kept within the equal-text cluster
+    assert rows[0][2] == 3 and rows[0][3] is True   # n_members, kept_passes
+    assert rows[3][2] == 1 and rows[3][3] is False
+    assert rows[4][3] is False

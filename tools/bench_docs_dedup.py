@@ -62,6 +62,7 @@ K_INDEPENDENT = [
     "corpus_shard_plan",
     "docs_gopher_full_gate",
     "docs_gopher_repetition_cjk",
+    "dedup_keep_best_quality",
     # round-6 additions (all blocking adapts to n by construction)
     "docs_quality_classifier",
     "dedup_jaccard_prefix_filter",
