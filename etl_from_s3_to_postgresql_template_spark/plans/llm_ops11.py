@@ -384,10 +384,16 @@ def docs_gopher_repetition_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # flag is provably monotone along the sort (if c_i is uncapped, every
 # larger c_j is too), so the first uncapped row fixes the equal share
 # for all remaining domains: share = (N - prefix_break) / slots_break,
-# held in micro-tokens.  Overflow bound: share_micro multiplies the
-# remaining budget by 1e6, so the plan is exact for budgets up to
-# ~9.2e12 tokens; past that, rescale the micro unit (the comparison
-# logic itself stays within range far beyond 100 TB).
+# held in micro-tokens.  Overflow bound (ADVICE r9): share_micro is
+# computed as whole-token quotient * 1e6 + scaled remainder — exactly
+# equal to ((N - prefix) * 1e6) div slots (N = q*slots + r implies
+# (N*1e6) div slots = q*1e6 + (r*1e6) div slots) but never multiplying
+# the full remaining budget by 1e6, so the waterfill itself is exact
+# for any int64 budget.  The remaining representational cap is the
+# OUTPUT unit: alloc_micro is int64 micro-tokens, so a single domain's
+# allocation must stay <= ~9.2e12 tokens (at 100 TB / ~2.5e13 tokens
+# that holds whenever the corpus spans >= 3 comparably-sized domains;
+# past it, rescale the micro unit).
 
 _UM_EPOCH_CAP = 4  # max epochs any domain may repeat (UniMax's N parameter)
 _UM_BUDGET_EPOCHS = 2  # token budget as a multiple of total corpus tokens
@@ -423,8 +429,9 @@ _UM_BODY = rf"""tk AS (
     ), f AS (
       SELECT *, (capacity * (k - rn + 1) <= budget - prefix) AS capped FROM w
     ), brk AS (
-      SELECT CAST((budget - prefix) * 1000000 // (k - rn + 1) AS BIGINT)
-               AS share_micro
+      SELECT CAST((budget - prefix) // (k - rn + 1) * 1000000
+                  + ((budget - prefix) % (k - rn + 1)) * 1000000 // (k - rn + 1)
+               AS BIGINT) AS share_micro
       FROM f WHERE NOT capped ORDER BY rn LIMIT 1
     )"""
 
@@ -497,7 +504,11 @@ def _unimax_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rn")
         .limit(1)
         .select(
-            F.expr("((budget - prefix) * 1000000) div (k - rn + 1)")
+            F.expr(
+                "((budget - prefix) div (k - rn + 1)) * 1000000"
+                " + (((budget - prefix) % (k - rn + 1)) * 1000000)"
+                " div (k - rn + 1)"
+            )
             .cast("long")
             .alias("share_micro"),
             F.lit(1).alias("_j"),
@@ -621,9 +632,13 @@ _ED_ORACLE = f"""
     WITH h AS (
       SELECT vec_id AS hid, CAST(embedding AS DOUBLE[]) AS hv
       FROM embeddings WHERE vec_id % 10 = 3
+        AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0
     ), c AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
       FROM embeddings WHERE vec_id % 10 <> 3
+        AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0
     ), p AS (
       SELECT vec_id,
              list_dot_product(cv, hv) /
@@ -650,20 +665,27 @@ def embedding_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_decontaminate_ngram's textual gram overlap). Thresholding uses
     the UNROUNDED cosine on both engines (the dedup_embedding_pairs
     convention); ``max`` is order-free, so the rounded output is
-    deterministic. Scale shape: eval sets are tiny by nature -> the
+    deterministic. Zero-norm vectors are excluded on BOTH sides before
+    any cosine (ADVICE r9: Spark 0/0 = NaN and NaN >= tau is TRUE,
+    DuckDB x/0.0 = NULL and NULL >= tau is ignored — the guard pins one
+    semantics instead of relying on fixtures never containing a zero
+    vector). Scale shape: eval sets are tiny by nature -> the
     holdout broadcasts, the corpus scans once, and partial aggregation
     collapses the pair stream map-side — no corpus shuffle at any
     scale."""
     from etl_from_s3_to_postgresql_template_spark.functions.vectors import (
         as_double_vec,
         cosine_col,
+        dot_col,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    hold = emb.filter(F.col("vec_id") % 10 == 3).select(
+    dv = as_double_vec(F.col("embedding"))
+    nonzero = dot_col(dv, dv) > 0
+    hold = emb.filter((F.col("vec_id") % 10 == 3) & nonzero).select(
         F.col("vec_id").alias("hid"), as_double_vec(F.col("embedding")).alias("hv")
     )
-    corp = emb.filter(F.col("vec_id") % 10 != 3).select(
+    corp = emb.filter((F.col("vec_id") % 10 != 3) & nonzero).select(
         "vec_id", as_double_vec(F.col("embedding")).alias("cv")
     )
     cos = cosine_col(F.col("cv"), F.col("hv"))

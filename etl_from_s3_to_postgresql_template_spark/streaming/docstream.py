@@ -33,10 +33,26 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     test corpora write it as a parquet DIRECTORY (stream from the
     directory itself). Both resolve to the same rows; the check is a
     local-fs probe because every fixture in this harness is local — an
-    object-store deployment streams from the directory layout only."""
+    object-store deployment streams from the directory layout only.
+
+    The declared schema is ASSERTED against a one-off batch footer read
+    before streaming starts (ADVICE r9): a streaming source silently
+    yields NULL for any declared column the files don't carry, so a
+    renamed/retyped fixture column would make the stream diverge from
+    its batch oracle at runtime instead of failing loudly here."""
     import os
 
+    from pyspark.sql import types as T
+
     table = f"{sf_dir}/documents.parquet"
+    actual = spark.read.parquet(table).schema
+    expected = T.StructType.fromDDL(_DOCS_SCHEMA)
+    got = [(f.name, f.dataType) for f in actual.fields]
+    want = [(f.name, f.dataType) for f in expected.fields]
+    if got != want:
+        raise ValueError(
+            f"documents schema drift: files carry {got}, stream declares {want}"
+        )
     rs = spark.readStream.schema(_DOCS_SCHEMA)
     if os.path.isdir(table):
         return rs.parquet(table)
