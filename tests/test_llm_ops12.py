@@ -1,0 +1,183 @@
+"""URL stage + DoReMi reweighting (plans/llm_ops12.py): tricky-URL
+canonicalization pins on BOTH engines, hand-computed dedup merges and
+registered-domain extraction, multiplicative-weights properties
+(direction, uniform fixpoint, zero-token domain), and DuckDB oracle
+parity on planted corpora."""
+
+from __future__ import annotations
+
+import duckdb
+
+from etl_from_s3_to_postgresql_template_spark.plans import ORACLE, QUERIES
+from etl_from_s3_to_postgresql_template_spark.plans.llm_ops12 import (
+    norm_url_col,
+    norm_url_sql,
+)
+
+from pyspark.sql import functions as F
+
+
+def _planted_docs(spark, tmp_path, rows3):
+    sf = str(tmp_path)
+    rows = [(i, t, lang, src, len(t or "")) for i, (t, lang, src) in enumerate(rows3)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def _planted_docs_ids(spark, tmp_path, doc_ids):
+    sf = str(tmp_path)
+    rows = [(i, f"text {i}", "en", "web", 7) for i in doc_ids]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def _oracle(sf, name, table="documents"):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM "
+        f"read_parquet('{sf}/{table}.parquet/*.parquet')"
+    )
+    return con.execute(ORACLE[name]).fetchall()
+
+
+# ---------------------------------------------------------------------------
+# canonicalization chain — tricky URLs, both engines, hand-expected
+# ---------------------------------------------------------------------------
+
+_TRICKY = [
+    # (raw, canonical)
+    ("http://host:80", "http://host"),  # port, no path: optional-tail group
+    ("HTTPS://WWW.X.COM:443/", "https://x.com"),  # case+www+port+root slash
+    ("http://a.b/c?utm_a=1&utm_b=2&id=3", "http://a.b/c?id=3"),  # leading utm run
+    ("http://a.b/c?utm_only=1", "http://a.b/c"),  # utm is the whole query
+    ("http://a.b/c/#frag", "http://a.b/c"),  # fragment then trailing slash
+    ("http://a.b/C/D", "http://a.b/C/D"),  # path case preserved
+    ("https://a.b:8443/x", "https://a.b:8443/x"),  # non-default port kept
+    ("http://a.b/x?id=1&utm_z=9", "http://a.b/x?id=1"),  # trailing utm
+    ("http://www.a.b/", "http://a.b"),  # www + root
+]
+
+
+def test_norm_url_spark_hand_expected(spark):
+    df = spark.createDataFrame([(r,) for r, _ in _TRICKY], "url string")
+    got = [r[0] for r in df.select(norm_url_col(F.col("url"))).collect()]
+    assert got == [want for _, want in _TRICKY]
+
+
+def test_norm_url_duckdb_matches_spark_on_tricky():
+    con = duckdb.connect()
+    for raw, want in _TRICKY:
+        got = con.execute(f"SELECT {norm_url_sql(repr(raw))}").fetchone()[0]
+        assert got == want, (raw, got, want)
+
+
+# ---------------------------------------------------------------------------
+# docs_url_normalize_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_url_dedup_v0_v1_merge(spark, tmp_path):
+    """doc 0 (v0, messy) and doc 91 (v1, clean) share (k, j) = (0, 0):
+    one canonical group, n_raw 2, kept doc 0."""
+    sf = _planted_docs_ids(spark, tmp_path, [0, 91])
+    rows = {r["norm_url"]: r for r in QUERIES["docs_url_normalize_dedup"](spark, sf).collect()}
+    key = "http://site0.example.org/Path/0?id=0"
+    assert set(rows) == {key}
+    assert rows[key]["n_raw"] == 2 and rows[key]["first_doc"] == 0
+
+
+def test_url_dedup_variants_stay_distinct(spark, tmp_path):
+    """v2 (https + index.html), v3 (https), v4 (:8080) never merge with
+    v0/v1 even at equal (k, j)."""
+    sf = _planted_docs_ids(spark, tmp_path, [0, 1, 2, 3, 4])
+    urls = sorted(
+        r["norm_url"] for r in QUERIES["docs_url_normalize_dedup"](spark, sf).collect()
+    )
+    assert len(urls) == 5  # all (k,j) differ here; shapes also differ
+    assert any(":8080" in u for u in urls)
+    assert any("/index.html" in u for u in urls)
+    assert not any("utm" in u or "#" in u or "www." in u for u in urls)
+
+
+def test_url_dedup_matches_oracle_on_planted(spark, tmp_path):
+    sf = _planted_docs_ids(spark, tmp_path, list(range(200)))
+    got = [tuple(r) for r in QUERIES["docs_url_normalize_dedup"](spark, sf).collect()]
+    want = [tuple(r) for r in _oracle(sf, "docs_url_normalize_dedup")]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# docs_url_blocklist_gate
+# ---------------------------------------------------------------------------
+
+
+def test_blocklist_registered_domains_hand_computed(spark, tmp_path):
+    sf = _planted_docs_ids(spark, tmp_path, [0, 1, 2, 4])
+    rows = {r["doc_id"]: r for r in QUERIES["docs_url_blocklist_gate"](spark, sf).collect()}
+    assert rows[0]["host"] == "site0.example.org"
+    assert rows[0]["registered_domain"] == "example.org" and not rows[0]["blocked"]
+    assert rows[1]["registered_domain"] == "tracker.net" and rows[1]["blocked"]
+    # multi-label suffix: co.uk (2 labels) must beat uk (1 label)
+    assert rows[2]["host"] == "sub2.shop.co.uk"
+    assert rows[2]["registered_domain"] == "shop.co.uk" and rows[2]["blocked"]
+    assert rows[4]["registered_domain"] == "media.io" and not rows[4]["blocked"]
+
+
+def test_blocklist_matches_oracle_on_planted(spark, tmp_path):
+    sf = _planted_docs_ids(spark, tmp_path, list(range(100)))
+    got = [tuple(r) for r in QUERIES["docs_url_blocklist_gate"](spark, sf).collect()]
+    want = [tuple(r) for r in _oracle(sf, "docs_url_blocklist_gate")]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# corpus_mixture_doremi
+# ---------------------------------------------------------------------------
+
+
+def test_doremi_upweights_harder_domain(spark, tmp_path):
+    """Domain A: long words (high chars/token -> positive excess);
+    domain B: short words. MW must end with weight(A) > weight(B), and
+    the smoothed mixture must stay a near-simplex in micro units."""
+    rows = [("abcdefghij " * 20, "en", "hard")] * 5 + [("a b " * 40, "en", "easy")] * 5
+    sf = _planted_docs(spark, tmp_path, rows)
+    out = {r["domain"]: r for r in QUERIES["corpus_mixture_doremi"](spark, sf).collect()}
+    hard, easy = out["hard/en"], out["easy/en"]
+    assert hard["excess_micro"] > 0 > easy["excess_micro"]
+    assert hard["weight_micro"] > easy["weight_micro"]
+    total_mix = sum(r["mixture_micro"] for r in out.values())
+    assert 999_990 <= total_mix <= 1_000_000  # truncation-only slack
+
+
+def test_doremi_uniform_corpus_is_fixpoint(spark, tmp_path):
+    """Identical text in every domain -> all excess 0 (m = 0 path) ->
+    weights exactly uniform."""
+    rows = [("same text here", "en", f"d{i % 3}") for i in range(9)]
+    sf = _planted_docs(spark, tmp_path, rows)
+    out = QUERIES["corpus_mixture_doremi"](spark, sf).collect()
+    assert len(out) == 3
+    assert len({r["weight_micro"] for r in out}) == 1
+    assert all(r["excess_micro"] == 0 for r in out)
+
+
+def test_doremi_zero_token_domain(spark, tmp_path):
+    rows = [("", "en", "empty"), ("words here now", "en", "full")]
+    sf = _planted_docs(spark, tmp_path, rows)
+    out = {r["domain"]: r for r in QUERIES["corpus_mixture_doremi"](spark, sf).collect()}
+    assert out["empty/en"]["lambda_micro"] == 0
+    assert out["empty/en"]["n_tokens"] == 0
+
+
+def test_doremi_matches_oracle_on_planted(spark, tmp_path):
+    rows = [
+        (("word " * (3 + i % 11) + "longerword" * (i % 4)), f"l{i % 2}", f"s{i % 5}")
+        for i in range(60)
+    ] + [(None, None, None), ("", "en", "web")]
+    sf = _planted_docs(spark, tmp_path, rows)
+    got = [tuple(r) for r in QUERIES["corpus_mixture_doremi"](spark, sf).collect()]
+    want = [tuple(r) for r in _oracle(sf, "corpus_mixture_doremi")]
+    assert got == want
