@@ -15,6 +15,7 @@ submodules for their registration side effects.
 # gate's checked prefix; proven modules register last.
 from etl_from_s3_to_postgresql_template_spark.plans import registry
 from etl_from_s3_to_postgresql_template_spark.plans import llm_ops12  # noqa: F401
+from etl_from_s3_to_postgresql_template_spark.plans import core_ops2  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import llm_ops10  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import llm_ops11  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import multimodal_ops2  # noqa: F401

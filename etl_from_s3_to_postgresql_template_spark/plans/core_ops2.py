@@ -1,0 +1,151 @@
+"""Round-10 driver-visibility module: the last two §2 components that
+were e2e/pytest-verified but had no ``queries()`` entry (VERDICT r9
+"What's missing"): P2 ``project_source_file`` and K3 ``audit_log_row``.
+
+Both were invisible to the driver only because their natural outputs
+are nondeterministic — Spark part-file names for P2, wall-clock
+timestamps for K3. The fix is a DETERMINISTIC fixture: nation rows are
+written once per sf as two NAMED csv files (``nation_even_2024-01-01.csv``
+/ ``nation_odd_2024-01-01.csv``, split on key parity, written with the
+stdlib csv writer so the filenames are ours, not Spark's), which makes
+``input_file_name()``'s basename an oracle-checkable CASE on key
+parity, and makes every count field of the audit row content-derived
+from the ``nation`` table. Timestamp columns are projected OUT of the
+K3 entry (the driver compares values; 'now' can't be oracle'd).
+
+- ``project_source_file`` exercises the REAL P2 code path
+  (sources/csv_ingest.py::read_csv_auto with ``with_source_file=True``,
+  reference ``etl_pipeline.py:388-389``).
+- ``audit_log_row`` runs the REAL pipeline end-to-end
+  (pipeline.process_day with a capture sink) and returns the audit row
+  the sink received (reference ``etl_pipeline.py:519-530``), minus the
+  two timestamp fields.
+
+Scale note: these are §2 parity entries, not scale paths — the fixture
+collect is 25 nation rows, and the audit row is one row per day by
+construction. The production-scale concerns (JDBC batching, partition
+counts) live in sinks/base.py and are e2e-tested there.
+
+New module by policy (VERDICT r8 item 1): core_ops/pipeline stay
+frozen; this module only CALLS them.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_from_s3_to_postgresql_template_spark.plans.registry import query
+from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+__all__ = ["project_source_file", "audit_log_row"]
+
+_EVEN = "nation_even_2024-01-01.csv"
+_ODD = "nation_odd_2024-01-01.csv"
+
+
+def _fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize nation as the two named csv files (once per sf).
+    v1 in the path cache-busts stale layouts (the core_ops convention,
+    plans/core_ops.py:139)."""
+    out = f"/tmp/spark_graft_p2k3_v1/{os.path.basename(sf_dir.rstrip('/'))}"
+    if not os.path.exists(out):
+        rows = (
+            load_table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .orderBy("n_nationkey")
+            .collect()  # 25 rows at any sf — fixture-sized by nature
+        )
+        os.makedirs(out, exist_ok=True)
+        for name, keep in ((_EVEN, 0), (_ODD, 1)):
+            with open(os.path.join(out, name), "w", newline="") as fh:
+                w = csv.writer(fh)
+                w.writerow(["n_nationkey", "n_name", "n_regionkey"])
+                for r in rows:
+                    if r.n_nationkey % 2 == keep:
+                        w.writerow([r.n_nationkey, r.n_name, r.n_regionkey])
+    return out
+
+
+@query(
+    "project_source_file",
+    oracle=f"""
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_nationkey % 2 = 0 THEN '{_EVEN}' ELSE '{_ODD}' END
+             AS source_file
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def project_source_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: per-row file provenance — basename of ``input_file_name()``
+    (reference ``etl_pipeline.py:388-389``), through the real ingest
+    path. The parity split makes the provenance column content-derived
+    and hash-exact against the oracle."""
+    from etl_from_s3_to_postgresql_template_spark.sources.csv_ingest import (
+        read_csv_auto,
+    )
+
+    root = _fixture_dir(spark, sf_dir)
+    df = read_csv_auto(
+        spark,
+        [os.path.join(root, _EVEN), os.path.join(root, _ODD)],
+        with_source_file=True,
+    )
+    return df.select("n_nationkey", "n_name", "source_file").orderBy("n_nationkey")
+
+
+class _CaptureSink:
+    """Sink protocol implementation that keeps the audit frame instead
+    of writing it — the day write is a no-op (the data path is already
+    e2e-tested against parquet and embedded-Derby JDBC sinks)."""
+
+    def __init__(self) -> None:
+        self.audit: DataFrame | None = None
+
+    def write_day(self, df: DataFrame, day: str) -> None:  # noqa: ARG002
+        pass
+
+    def write_audit(self, audit_df: DataFrame) -> None:
+        self.audit = audit_df
+
+
+@query(
+    "audit_log_row",
+    oracle=f"""
+    SELECT CAST(2 AS INT) AS files_processed,
+           CAST(2 AS INT) AS files_merged,
+           'nation_day' AS table_name,
+           (SELECT COUNT(*) FROM nation) AS total_row_count,
+           CAST(7 AS INT) AS column_count,
+           '{_EVEN}, {_ODD}' AS source_files
+    """,
+)
+def audit_log_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: the run-stats audit row (reference ``etl_pipeline.py:519-530``),
+    produced by running pipeline.process_day END-TO-END on the named-csv
+    fixture day and returning exactly the frame the sink received, with
+    the two wall-clock timestamp fields projected out. Every remaining
+    field is content-derived: 2 files found and merged, nation's row
+    count, and the 7 output columns (3 csv + source_file + the 3 P4
+    metadata columns)."""
+    from etl_from_s3_to_postgresql_template_spark.pipeline import (
+        PipelineConfig,
+        process_day,
+    )
+
+    root = _fixture_dir(spark, sf_dir)
+    sink = _CaptureSink()
+    config = PipelineConfig(source_dir=root, table_name="nation_day")
+    process_day(spark, config, "2024-01-01", sink=sink)
+    assert sink.audit is not None  # process_day always audits when sinked
+    return sink.audit.select(
+        "files_processed",
+        "files_merged",
+        "table_name",
+        "total_row_count",
+        "column_count",
+        "source_files",
+    )
