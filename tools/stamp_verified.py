@@ -27,6 +27,16 @@ design (err == "no_oracle") and the driver ran it clean with spark_rows > 0
 — that weaker check is still a driver ratification of the plan as-built,
 and stamping it stops rows-only entries from permanently occupying the
 driver's bounded prefix (they'd re-queue on any source edit regardless).
+
+Provenance ledger (VERDICT r9 item 1): every stamping run also writes
+plans/_verified_stamps_meta.json — {name: {kind, ref, file}} — where kind
+is "driver" (the file is a driver CORRECTNESS_rN.json, flat shape) or
+"local_sweep" (a check_correctness --json artifact, entries-wrapped shape),
+auto-detected from the file, so the ledger always shows whether a stamp
+rests on a driver run at that tree or on the local replica of the gate.
+Names stamped before the ledger existed and not re-stamped since carry
+kind "pre_r10". The stamps file itself stays flat {name: fingerprint} —
+readers (plans/provenance.py) are unchanged.
 """
 
 from __future__ import annotations
@@ -40,6 +50,16 @@ from pathlib import Path
 sys.path.insert(0, "/root/repo")
 
 from etl_from_s3_to_postgresql_template_spark.plans import provenance
+
+
+META_FILE = provenance.STAMPS_FILE.with_name("_verified_stamps_meta.json")
+
+
+def file_kind(path: Path) -> str:
+    """driver CORRECTNESS_rN.json is flat {name: rec}; the local
+    checker's --json artifact wraps records under "entries"."""
+    data = json.loads(path.read_text())
+    return "local_sweep" if isinstance(data.get("entries"), dict) else "driver"
 
 
 def green_names(path: Path) -> set[str]:
@@ -81,7 +101,21 @@ def snapshot_fingerprints(ref: str) -> dict[str, str]:
 def main() -> int:
     argv = sys.argv[1:]
     stamps: dict[str, str] = {}
+    meta: dict[str, dict] = {}
     missing: set[str] = set()
+
+    def overlay(ref: str, fname: str) -> None:
+        snap_fp = snapshot_fingerprints(ref)
+        path = Path(fname)
+        kind = file_kind(path)
+        names = green_names(path)
+        for n in sorted(names):
+            if n in snap_fp:
+                stamps[n] = snap_fp[n]
+                meta[n] = {"kind": kind, "ref": ref, "file": path.name}
+            else:
+                missing.add(n)
+        print(f"  {fname} @ {ref} [{kind}]: {len(names)} green")
 
     if argv and argv[0] == "--merge":
         # Merge form: keep the existing ledger (each name still stamped at
@@ -90,47 +124,41 @@ def main() -> int:
         # needing every historical ref on the command line. Used at session
         # close to stamp the fresh local sweep at the closing tree.
         stamps = json.loads(provenance.STAMPS_FILE.read_text())
+        if META_FILE.exists():
+            meta = json.loads(META_FILE.read_text())
+        meta = {
+            n: meta.get(n, {"kind": "pre_r10", "ref": None, "file": None})
+            for n in stamps
+        }
         for pair in argv[1:]:
             ref, _, fname = pair.partition("=")
-            snap_fp = snapshot_fingerprints(ref)
-            names = green_names(Path(fname))
-            for n in sorted(names):
-                if n in snap_fp:
-                    stamps[n] = snap_fp[n]
-                else:
-                    missing.add(n)
-            print(f"  merge {fname} @ {ref}: {len(names)} green")
+            overlay(ref, fname)
     elif argv and all("=" in a for a in argv):
         for pair in argv:  # per-round form, later rounds override
             ref, _, fname = pair.partition("=")
-            snap_fp = snapshot_fingerprints(ref)
-            names = green_names(Path(fname))
-            for n in sorted(names):
-                if n in snap_fp:
-                    stamps[n] = snap_fp[n]
-                else:
-                    missing.add(n)
-            print(f"  {fname} @ {ref}: {len(names)} green")
+            overlay(ref, fname)
     else:
         ref = argv[0] if argv else "HEAD"
         files = [Path(p) for p in argv[1:]] or sorted(
             Path("/root/repo").glob("CORRECTNESS_r*.json")
         )
-        verified: set[str] = set()
         for f in files:
-            verified |= green_names(f)
-        snap_fp = snapshot_fingerprints(ref)
-        stamps = {n: snap_fp[n] for n in sorted(verified) if n in snap_fp}
-        missing = verified - set(snap_fp)
+            overlay(ref, str(f))
 
+    meta = {n: m for n, m in meta.items() if n in stamps}
     provenance.STAMPS_FILE.write_text(
         json.dumps(stamps, indent=1, sort_keys=True) + "\n"
     )
+    META_FILE.write_text(json.dumps(meta, indent=1, sort_keys=True) + "\n")
     current = provenance.fingerprint_all()
     valid = sum(1 for n, fp in stamps.items() if current.get(n) == fp)
+    kinds: dict[str, int] = {}
+    for m in meta.values():
+        kinds[m["kind"]] = kinds.get(m["kind"], 0) + 1
     print(
         f"stamped {len(stamps)} queries ({valid} valid against working tree, "
         f"{len(current) - valid} of {len(current)} registered unstamped); "
+        f"provenance {kinds}; "
         f"{len(missing)} green names not in any snapshot registry: {sorted(missing)}"
     )
     return 0
