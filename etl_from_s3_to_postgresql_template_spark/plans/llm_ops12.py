@@ -66,6 +66,7 @@ __all__ = [
     "docs_url_normalize_dedup",
     "docs_url_blocklist_gate",
     "corpus_mixture_doremi",
+    "docs_strip_markup_fused",
 ]
 
 #: explicit ASCII whitespace (the llm_ops8 convention; RE2 \s omits \x0B)
@@ -536,3 +537,64 @@ def corpus_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mixture_micro"),
     ).orderBy("domain")
+
+
+# ---------------------------------------------------------------------------
+# docs_strip_markup_fused
+# ---------------------------------------------------------------------------
+#
+# The PRODUCTION tier of markup stripping (VERDICT r9 item 5): the
+# measured A/B kept the fused single-pass Arrow kernel
+# (functions/markup.py — 6.2-7.3 s at 500k docs, same-session
+# alternating triples) over the codegen four-regex-pass chain
+# (9.5-44.3 s in the same sessions; each JVM pass materializes a full
+# copy of every document and the chain goes allocation/GC-bound under
+# load). The codegen tier stays registered in llm_ops11 as the
+# cross-engine-clarity twin — both tiers are hash-exact against the
+# SAME oracle semantics (re-declared below; the llm_ops11 module stays
+# frozen per the stamp policy). The winnowing md5/fast64 precedent:
+# oracle-clarity tier and production tier, side by side, both gated.
+
+_SMF_TAG = r"<[^>]*>"
+
+_SMF_ORACLE = rf"""
+    WITH s AS (
+      SELECT doc_id,
+             COALESCE(text, '') AS t0,
+             regexp_replace(COALESCE(text, ''), '{_SMF_TAG}', ' ', 'g') AS t1
+      FROM documents
+    ), e AS (
+      SELECT doc_id, t0, t1,
+             replace(replace(replace(replace(replace(t1,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+               '&amp;', '&') AS t2
+      FROM s
+    )
+    SELECT doc_id,
+           trim(regexp_replace(t2, '{_WS}', ' ', 'g'), ' ') AS clean_text,
+           CAST((length(t0) - length(regexp_replace(t0, '{_SMF_TAG}', '', 'g')))
+                AS BIGINT) AS n_tag_chars,
+           CAST(length(t1) - length(t2) AS BIGINT) AS n_entity_chars
+    FROM e ORDER BY doc_id
+    """
+
+
+@query("docs_strip_markup_fused", oracle=_SMF_ORACLE)
+def docs_strip_markup_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping, fused production tier (module comment above):
+    one mapInPandas pass computes clean text, removed-tag chars, and
+    entity shrinkage per document — identical semantics and oracle as
+    the llm_ops11 codegen tier, 1.4-6x faster at 500k docs with a 6x
+    better tail under load. Per-doc projection; the only shuffle is
+    the output sort."""
+    from etl_from_s3_to_postgresql_template_spark.functions.markup import (
+        STRIP_SCHEMA,
+        strip_markup_batches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(strip_markup_batches, STRIP_SCHEMA)
+        .orderBy("doc_id")
+    )

@@ -181,3 +181,44 @@ def test_doremi_matches_oracle_on_planted(spark, tmp_path):
     got = [tuple(r) for r in QUERIES["corpus_mixture_doremi"](spark, sf).collect()]
     want = [tuple(r) for r in _oracle(sf, "corpus_mixture_doremi")]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# docs_strip_markup_fused — the production tier must equal the codegen
+# tier ROW FOR ROW on real markup (the 500k corpus is markup-free, so
+# the cross-tier guarantee lives here)
+# ---------------------------------------------------------------------------
+
+_HTML_DOCS = [
+    ("<p>a</p><p>b</p>", "en", "web"),  # tag removal keeps token boundary
+    ("x &amp;lt; y &amp; z", "en", "web"),  # &amp; decoded LAST
+    ("<a href='q'>link</a>\t\ntext\x0Bmore", "en", "web"),  # ws incl \x0B
+    ("  <b>lead</b> and trail  ", "en", "web"),
+    ("&lt;notatag&gt; &quot;q&quot; &#39;s&#39;", "en", "web"),
+    ("plain text, no markup at all", "en", "web"),
+    (None, None, None),
+    ("", "en", "web"),
+    ("<unclosed tag never ends", "en", "web"),  # no '>' -> nothing removed
+]
+
+
+def test_strip_fused_equals_codegen_tier_on_html(spark, tmp_path):
+    sf = _planted_docs(spark, tmp_path, _HTML_DOCS)
+    fused = [tuple(r) for r in QUERIES["docs_strip_markup_fused"](spark, sf).collect()]
+    codegen = [tuple(r) for r in QUERIES["docs_strip_markup"](spark, sf).collect()]
+    assert fused == codegen
+
+
+def test_strip_fused_matches_oracle_on_html(spark, tmp_path):
+    sf = _planted_docs(spark, tmp_path, _HTML_DOCS)
+    got = [tuple(r) for r in QUERIES["docs_strip_markup_fused"](spark, sf).collect()]
+    want = [tuple(r) for r in _oracle(sf, "docs_strip_markup_fused")]
+    assert got == want
+
+
+def test_strip_fused_hand_computed(spark, tmp_path):
+    sf = _planted_docs(spark, tmp_path, [("<p>a</p> &amp;lt; <b>c</b>", "en", "web")])
+    r = QUERIES["docs_strip_markup_fused"](spark, sf).collect()[0]
+    assert r.clean_text == "a &lt; c"
+    assert r.n_tag_chars == 14  # <p> </p> <b> </b>
+    assert r.n_entity_chars == 4  # '&amp;' -> '&'
