@@ -67,6 +67,8 @@ __all__ = [
     "docs_url_blocklist_gate",
     "corpus_mixture_doremi",
     "docs_strip_markup_fused",
+    "corpus_prep_funnel_web",
+    "docs_ccnet_ppl_buckets",
 ]
 
 #: explicit ASCII whitespace (the llm_ops8 convention; RE2 \s omits \x0B)
@@ -247,8 +249,11 @@ _HOST_SQL = """
       END
 """
 
-_UBG_ORACLE = f"""
-    WITH d AS (
+#: the shared host -> registered-domain -> verdict CTE chain, ending at
+#: `verdict(doc_id, host, registered_domain, blocked)` — ONE definition
+#: consumed by _UBG_ORACLE and the web-funnel oracle (the _UM_BODY
+#: single-definition convention).
+_UBG_BODY = f"""d AS (
       SELECT doc_id, {_HOST_SQL} AS host
       FROM (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS k FROM documents)
     ), lab AS (
@@ -267,26 +272,25 @@ _UBG_ORACLE = f"""
       FROM lab l JOIN suf s ON s.n_labels = 2 AND s.suffix = l.last2
     ), best AS (
       SELECT doc_id, MAX(n_labels) AS bn FROM cand GROUP BY doc_id
-    )
-    SELECT l.doc_id, l.host,
-           CASE WHEN b.bn = 2 THEN l.last3 ELSE l.last2 END AS registered_domain,
-           (CASE WHEN b.bn = 2 THEN l.last3 ELSE l.last2 END
-             IN ({", ".join(f"'{b}'" for b in _BLOCKLIST_ROWS)})) AS blocked
-    FROM lab l JOIN best b USING (doc_id)
-    ORDER BY l.doc_id
+    ), verdict AS (
+      SELECT l.doc_id, l.host,
+             CASE WHEN b.bn = 2 THEN l.last3 ELSE l.last2 END AS registered_domain,
+             (CASE WHEN b.bn = 2 THEN l.last3 ELSE l.last2 END
+               IN ({", ".join(f"'{b}'" for b in _BLOCKLIST_ROWS)})) AS blocked
+      FROM lab l JOIN best b USING (doc_id)
+    )"""
+
+_UBG_ORACLE = f"""
+    WITH {_UBG_BODY}
+    SELECT doc_id, host, registered_domain, blocked
+    FROM verdict ORDER BY doc_id
     """
 
 
-@query("docs_url_blocklist_gate", oracle=_UBG_ORACLE)
-def docs_url_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PSL registered-domain extraction + registered-domain blocklist
-    verdict per document (module comment above). Plan shape: per-doc
-    projection -> explode of <= 2 suffix candidates -> BROADCAST join
-    with the suffix table -> max-labels per doc -> BROADCAST left join
-    with the blocklist. No corpus shuffle: the groupBy key is doc_id,
-    which the candidate explode preserves partition-local (AQE folds
-    it map-side; candidates per doc are bounded at 2)."""
-    docs = load_table(spark, sf_dir, "documents")
+def _blocklist_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(doc_id, host, registered_domain, blocked), unordered — the Spark
+    twin of _UBG_BODY's `verdict`, shared by the gate entry and the
+    web-funnel capstone."""
     d = docs.select(
         "doc_id", (F.col("doc_id") % 7).cast("string").alias("k")
     ).select("doc_id", F.expr(_HOST_SQL).alias("host"))
@@ -322,16 +326,25 @@ def docs_url_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     block = spark.createDataFrame(
         [(b,) for b in _BLOCKLIST_ROWS], "registered_domain string"
     ).withColumn("_blocked", F.lit(True))
-    return (
-        reg.join(F.broadcast(block), "registered_domain", "left")
-        .select(
-            "doc_id",
-            "host",
-            "registered_domain",
-            F.coalesce(F.col("_blocked"), F.lit(False)).alias("blocked"),
-        )
-        .orderBy("doc_id")
+    return reg.join(F.broadcast(block), "registered_domain", "left").select(
+        "doc_id",
+        "host",
+        "registered_domain",
+        F.coalesce(F.col("_blocked"), F.lit(False)).alias("blocked"),
     )
+
+
+@query("docs_url_blocklist_gate", oracle=_UBG_ORACLE)
+def docs_url_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSL registered-domain extraction + registered-domain blocklist
+    verdict per document (module comment above). Plan shape: per-doc
+    projection -> explode of <= 2 suffix candidates -> BROADCAST join
+    with the suffix table -> max-labels per doc -> BROADCAST left join
+    with the blocklist. No corpus shuffle: the groupBy key is doc_id,
+    which the candidate explode preserves partition-local (AQE folds
+    it map-side; candidates per doc are bounded at 2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _blocklist_frame(spark, docs).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -458,10 +471,16 @@ def corpus_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ntok(tx).alias("n_tok"),
         F.length(tx).cast("long").alias("n_chars"),
     )
+    # The domains frame feeds EVERY later aggregate (global lambda, max
+    # |excess|, one sum per MW round, the final sum) and each broadcast
+    # materialization would otherwise re-run the corpus scan from
+    # scratch — measured 7.5 s at 5k docs / ~7 corpus scans without the
+    # checkpoint (the llm_ops5/6 multi-subtree precedent). One lazy
+    # local checkpoint pins the bounded per-domain frame instead.
     dom = tk.groupBy("domain").agg(
         F.sum("n_tok").cast("long").alias("n_tokens"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
-    )
+    ).localCheckpoint(eager=False)
     lam = dom.select(
         "domain",
         "n_tokens",
@@ -596,5 +615,263 @@ def docs_strip_markup_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", "text")
         .mapInPandas(strip_markup_batches, STRIP_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_prep_funnel_web
+# ---------------------------------------------------------------------------
+#
+# The ROUND-10 capstone: the RefinedWeb/CCNet macro-pipeline head
+# composed end-to-end — URL blocklist gate (this module) -> markup
+# stripping (the fused production tier's semantics) -> token-count
+# quality gate -> exact dedup on the CLEANED text (keep first) — the
+# order every web pipeline runs, because URL filtering is free (no
+# text touched), stripping changes what dedup sees, and dedup must see
+# post-strip text ('<p>a</p>' and 'a' ARE duplicates). The oracle
+# composes the same stages from the shared CTE bodies.
+#
+# Scale: stage costs are the envelopes of their registered components;
+# the only corpus-bytes shuffle is the dedup key exchange on
+# md5(clean_text) (32 B/doc, not the text) plus the output sort.
+
+_FW_MIN_TOK = 3
+_FW_MAX_TOK = 100_000
+
+_FW_STRIP_SQL = rf"""trim(regexp_replace(
+        replace(replace(replace(replace(replace(
+          regexp_replace(COALESCE(text, ''), '<[^>]*>', ' ', 'g'),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+          '&amp;', '&'),
+        '{_WS}', ' ', 'g'), ' ')"""
+
+_FW_ORACLE = f"""
+    WITH {_UBG_BODY}, strip AS (
+      SELECT doc_id, {_FW_STRIP_SQL} AS clean_text FROM documents
+    ), gated AS (
+      SELECT v.doc_id, v.registered_domain, s.clean_text,
+             CAST(len(list_filter(string_split_regex(s.clean_text, '{_WS}'),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM verdict v JOIN strip s USING (doc_id)
+      WHERE NOT v.blocked
+    ), q AS (
+      SELECT * FROM gated WHERE n_tok BETWEEN {_FW_MIN_TOK} AND {_FW_MAX_TOK}
+    ), r AS (
+      SELECT doc_id, registered_domain, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY md5(clean_text) ORDER BY doc_id)
+               AS rn
+      FROM q
+    )
+    SELECT doc_id, registered_domain, n_tok
+    FROM r WHERE rn = 1 ORDER BY doc_id
+    """
+
+
+@query("corpus_prep_funnel_web", oracle=_FW_ORACLE)
+def corpus_prep_funnel_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus prep funnel (module comment above): URL blocklist ->
+    strip markup -> token gate -> exact dedup keep-first; survivors
+    with their registered domain and post-strip token count. Every
+    stage is the registered component's plan shape; composition is
+    pinned against the component entries in tests."""
+    from pyspark.sql import Window as W
+
+    from etl_from_s3_to_postgresql_template_spark.functions.markup import (
+        STRIP_SCHEMA,
+        strip_markup_batches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    verdict = _blocklist_frame(spark, docs)
+    strip = (
+        docs.select("doc_id", "text")
+        .mapInPandas(strip_markup_batches, STRIP_SCHEMA)
+        .select("doc_id", "clean_text")
+    )
+    gated = (
+        verdict.filter(~F.col("blocked"))
+        .join(strip, "doc_id")
+        .select(
+            "doc_id",
+            "registered_domain",
+            "clean_text",
+            _ntok(F.col("clean_text")).alias("n_tok"),
+        )
+        .filter(F.col("n_tok").between(_FW_MIN_TOK, _FW_MAX_TOK))
+    )
+    rn = F.row_number().over(
+        W.partitionBy(F.md5("clean_text")).orderBy("doc_id")
+    )
+    return (
+        gated.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "registered_domain", "n_tok")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_ccnet_ppl_buckets
+# ---------------------------------------------------------------------------
+#
+# CCNet's head/middle/tail split (Wenzek et al. 2020, "CCNet:
+# Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+# per language, rank documents by LM perplexity and cut the corpus into
+# three quality buckets — the classic perplexity-filter tiering that
+# decides what a pretraining run keeps (head), downsamples (middle), or
+# drops (tail).
+#
+# Score: the corpus's own Laplace-smoothed bigram LM mean log-prob (the
+# docs_bigram_logprob construction, re-declared with this module's
+# explicit-WS tokenizer; higher log-prob == lower perplexity). The
+# 4-decimal rounded score is lifted to an EXACT integer (x 1e4), so the
+# bucket cutoffs are integers and the whole entry hash-exacts.
+#
+# Cutoffs are NOT a per-language NTILE over the document stream (a
+# corpus-scale sort per language — the shape docs_length_quantiles_hist
+# replaced): the (lang, score) HISTOGRAM aggregates first (bounded:
+# distinct 4-decimal scores), the descending cumulative runs on that
+# bounded frame, and the two cut values per language broadcast back —
+# threshold semantics (every doc with score >= cut1 is head, ties
+# included), deterministic on both engines.
+
+_CC_ORACLE = rf"""
+    WITH t AS (
+      SELECT doc_id, COALESCE(lang, '') AS lang,
+             list_filter(string_split_regex(lower(trim(COALESCE(text, ''))),
+                  '{_WS}'), x -> x <> '') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, lang,
+             UNNEST(list_transform(range(len(toks) - 1),
+                    i -> {{'w1': toks[i+1], 'w2': toks[i+2]}})) AS s
+      FROM t WHERE len(toks) >= 2
+    ), doc_pairs AS (
+      SELECT doc_id, lang, s.w1 AS w1, s.w2 AS w2,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM bg GROUP BY 1, 2, 3, 4
+    ), lm AS (
+      SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS pair_cnt
+      FROM doc_pairs GROUP BY 1, 2
+    ), w1_tot AS (
+      SELECT w1, CAST(SUM(pair_cnt) AS BIGINT) AS w1_cnt FROM lm GROUP BY 1
+    ), vocab AS (
+      SELECT CAST(COUNT(DISTINCT w1) AS DOUBLE) AS v FROM lm
+    ), scored AS (
+      SELECT d.doc_id, d.lang,
+             CAST(round(ROUND(CAST(SUM(CAST(d.c * ln((lm.pair_cnt + 1.0)
+                       / (w1_tot.w1_cnt + vocab.v)) AS DECIMAL(38,15)))
+                     AS DOUBLE) / SUM(d.c), 4) * 10000) AS BIGINT) AS lp
+      FROM doc_pairs d
+      JOIN lm USING (w1, w2)
+      JOIN w1_tot USING (w1)
+      CROSS JOIN vocab
+      GROUP BY d.doc_id, d.lang
+    ), hist AS (
+      SELECT lang, lp, CAST(COUNT(*) AS BIGINT) AS c FROM scored GROUP BY 1, 2
+    ), tot AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY 1
+    ), cum AS (
+      SELECT h.lang, h.lp, t.n,
+             CAST(SUM(h.c) OVER (PARTITION BY h.lang ORDER BY h.lp DESC)
+                  AS BIGINT) AS cum
+      FROM hist h JOIN tot t USING (lang)
+    ), cuts AS (
+      SELECT lang,
+             MAX(CASE WHEN cum >= (n + 2) // 3 THEN lp END) AS cut1,
+             MAX(CASE WHEN cum >= (2 * n + 2) // 3 THEN lp END) AS cut2
+      FROM cum GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.lp,
+           CASE WHEN s.lp >= c.cut1 THEN 'head'
+                WHEN s.lp >= c.cut2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN cuts c USING (lang)
+    ORDER BY s.doc_id
+    """
+
+
+@query("docs_ccnet_ppl_buckets", oracle=_CC_ORACLE)
+def docs_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity buckets (module comment above).
+    Plan: the bigram-LM score chain (one extraction pass, LM re-agg'd
+    from the same exchange), score lifted to exact integer, then the
+    bounded (lang, score) histogram -> per-lang descending cumulative
+    ON THE HISTOGRAM -> 2 cut rows per language broadcast back onto the
+    scored stream. No per-language sort of the document stream at any
+    scale."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tx = F.coalesce(F.col("text"), F.lit(""))
+    toks = docs.select(
+        "doc_id",
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+        F.filter(
+            F.split(F.lower(F.trim(tx)), _WS), lambda x: x != ""
+        ).alias("t"),
+    ).where(F.size("t") >= 2)
+    n = F.size("t")
+    bigrams = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.slice("t", 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    doc_pairs = (
+        toks.select("doc_id", "lang", F.explode(bigrams).alias("s"))
+        .groupBy("doc_id", "lang", F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lm = doc_pairs.groupBy("w1", "w2").agg(F.sum("c").alias("pair_cnt"))
+    w1_tot = lm.groupBy("w1").agg(F.sum("pair_cnt").alias("w1_cnt"))
+    vocab = lm.agg(F.countDistinct("w1").cast("double").alias("v"))
+    # decimal accumulation: exact, order-free (the llm_ops2 convention)
+    avg_lp = F.round(
+        F.sum(
+            (
+                F.col("c")
+                * F.log((F.col("pair_cnt") + 1.0) / (F.col("w1_cnt") + F.col("v")))
+            ).cast("decimal(38,15)")
+        ).cast("double")
+        / F.sum("c"),
+        4,
+    )
+    # scored feeds the histogram, the cuts broadcast, AND the final
+    # assignment join — without the checkpoint each consumer re-runs
+    # the whole bigram-LM chain (the llm_ops5/6 multi-subtree
+    # precedent). 1 row/doc, ~20 B: cheap to pin, 3 chain evals saved.
+    scored = (
+        doc_pairs.join(lm, ["w1", "w2"])
+        .join(w1_tot, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "lang")
+        .agg(F.round(avg_lp * 10000).cast("long").alias("lp"))
+        .localCheckpoint(eager=False)
+    )
+    hist = scored.groupBy("lang", "lp").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = hist.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    cum = (
+        hist.join(tot, "lang")
+        .withColumn(
+            "cum",
+            F.sum("c").over(W.partitionBy("lang").orderBy(F.desc("lp"))).cast("long"),
+        )
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.max(F.when(F.expr("cum >= (n + 2) div 3"), F.col("lp"))).alias("cut1"),
+        F.max(F.when(F.expr("cum >= (2 * n + 2) div 3"), F.col("lp"))).alias("cut2"),
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "lp",
+            F.when(F.col("lp") >= F.col("cut1"), F.lit("head"))
+            .when(F.col("lp") >= F.col("cut2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
         .orderBy("doc_id")
     )

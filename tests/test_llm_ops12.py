@@ -222,3 +222,110 @@ def test_strip_fused_hand_computed(spark, tmp_path):
     assert r.clean_text == "a &lt; c"
     assert r.n_tag_chars == 14  # <p> </p> <b> </b>
     assert r.n_entity_chars == 4  # '&amp;' -> '&'
+
+
+# ---------------------------------------------------------------------------
+# corpus_prep_funnel_web — composition must equal its components
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_web_composition_matches_components(spark, tmp_path):
+    """Survivors = not-blocked AND token-gate AND first-of-clean-text —
+    recomputed from the component entries, row for row."""
+    rows = [("<p>hello world one</p>", "en", "web")] * 3 + [
+        ("plain doc %d words here" % i, "en", "web") for i in range(12)
+    ] + [("tiny", "en", "web")]  # 1 token -> fails the gate
+    sf = _planted_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in QUERIES["corpus_prep_funnel_web"](spark, sf).collect()}
+    gate = {r["doc_id"]: r for r in QUERIES["docs_url_blocklist_gate"](spark, sf).collect()}
+    strip = {r["doc_id"]: r for r in QUERIES["docs_strip_markup_fused"](spark, sf).collect()}
+    seen = set()
+    expect = {}
+    for i in sorted(strip):
+        if gate[i]["blocked"]:
+            continue
+        clean = strip[i]["clean_text"]
+        ntok = len(clean.split())
+        if not (3 <= ntok <= 100_000):
+            continue
+        if clean in seen:
+            continue
+        seen.add(clean)
+        expect[i] = (gate[i]["registered_domain"], ntok)
+    assert {i: (r["registered_domain"], r["n_tok"]) for i, r in out.items()} == expect
+    # the three <p>hello world one</p> duplicates: doc 1 is blocked
+    # (tracker.net), docs 0 and 2 dedup on CLEANED text -> only doc 0
+    assert 0 in out and 1 not in out and 2 not in out
+
+
+def test_funnel_web_matches_oracle_on_planted(spark, tmp_path):
+    rows = [
+        ("<b>dup</b> text body here", "en", "web"),
+        ("dup text body here", "en", "web"),  # post-strip duplicate of 0
+    ] + [(f"doc {i} alpha beta gamma", "en", "web") for i in range(2, 40)]
+    sf = _planted_docs(spark, tmp_path, rows)
+    got = [tuple(r) for r in QUERIES["corpus_prep_funnel_web"](spark, sf).collect()]
+    want = [tuple(r) for r in _oracle(sf, "corpus_prep_funnel_web")]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# docs_ccnet_ppl_buckets
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_buckets_sizes_and_order(spark, tmp_path):
+    """30 docs, one lang, distinct scores -> exact 10/10/10 split with
+    head holding the HIGHEST log-prob (lowest perplexity) docs."""
+    # repeated common bigrams score high; rare word-salad scores low
+    rows = []
+    for i in range(30):
+        if i < 10:
+            rows.append(("the cat sat on the mat " * 5, "en", "web"))
+        elif i < 20:
+            rows.append((f"the cat sat on uniq{i} mat " * 3, "en", "web"))
+        else:
+            rows.append((f"zq{i} xv{i} qq{i} jj{i} ww{i} kk{i}", "en", "web"))
+    sf = _planted_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in QUERIES["docs_ccnet_ppl_buckets"](spark, sf).collect()}
+    assert len(out) == 30
+    by_bucket = {}
+    for r in out.values():
+        by_bucket.setdefault(r["bucket"], []).append(r["lp"])
+    assert {b: len(v) for b, v in by_bucket.items()} == {"head": 10, "middle": 10, "tail": 10}
+    assert min(by_bucket["head"]) >= max(by_bucket["middle"]) >= min(by_bucket["middle"])
+    assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
+
+
+def test_ccnet_buckets_ties_go_to_better_bucket(spark, tmp_path):
+    """All docs identical -> one score value -> threshold semantics put
+    EVERY doc in head (ties at the cut are included, never split)."""
+    rows = [("same words repeated here", "en", "web")] * 9
+    sf = _planted_docs(spark, tmp_path, rows)
+    out = QUERIES["docs_ccnet_ppl_buckets"](spark, sf).collect()
+    assert len(out) == 9 and all(r["bucket"] == "head" for r in out)
+
+
+def test_ccnet_buckets_per_lang_and_short_docs_excluded(spark, tmp_path):
+    rows = [
+        ("the cat sat on the mat again and again", "en", "web"),
+        ("one", "en", "web"),  # < 2 tokens -> no bigrams -> excluded
+        ("der hund lief durch den wald der hund", "de", "web"),
+        (None, "fr", "web"),  # empty -> excluded
+    ]
+    sf = _planted_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in QUERIES["docs_ccnet_ppl_buckets"](spark, sf).collect()}
+    assert set(out) == {0, 2}
+    assert out[0]["lang"] == "en" and out[2]["lang"] == "de"
+
+
+def test_ccnet_buckets_match_oracle_on_planted(spark, tmp_path):
+    rows = [
+        ((("common words here " * (1 + i % 5)) + f"rare{i % 7} " * (i % 3)),
+         f"l{i % 2}", "web")
+        for i in range(50)
+    ] + [(None, None, None)]
+    sf = _planted_docs(spark, tmp_path, rows)
+    got = [tuple(r) for r in QUERIES["docs_ccnet_ppl_buckets"](spark, sf).collect()]
+    want = [tuple(r) for r in _oracle(sf, "docs_ccnet_ppl_buckets")]
+    assert got == want
