@@ -89,6 +89,15 @@ DOCS_HEAVY = [
     # Arrow kernel + integer micro-unit gates) — tracked from its first
     # round.
     "docs_gopher_repetition",
+    # r10 additions: the fused markup-strip production tier (kept over
+    # the codegen chain on a measured same-session A/B), the web-prep
+    # funnel capstone (URL gate -> strip -> token gate -> dedup), and
+    # the CCNet perplexity buckets (bigram LM + histogram cutoffs) —
+    # the round's three heaviest new plans, tracked from their first
+    # round.
+    "docs_strip_markup_fused",
+    "corpus_prep_funnel_web",
+    "docs_ccnet_ppl_buckets",
 ]
 
 

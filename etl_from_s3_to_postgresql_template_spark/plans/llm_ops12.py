@@ -472,15 +472,23 @@ def corpus_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(tx).cast("long").alias("n_chars"),
     )
     # The domains frame feeds EVERY later aggregate (global lambda, max
-    # |excess|, one sum per MW round, the final sum) and each broadcast
-    # materialization would otherwise re-run the corpus scan from
-    # scratch — measured 7.5 s at 5k docs / ~7 corpus scans without the
-    # checkpoint (the llm_ops5/6 multi-subtree precedent). One lazy
-    # local checkpoint pins the bounded per-domain frame instead.
+    # Everything after the corpus scan runs on the bounded domains
+    # frame, so every global reduction (global lambda, max |excess|,
+    # one sum per MW round, the final sum) is a WINDOW over the whole
+    # frame — the UniMax single-partition-window precedent (a
+    # driver-scale frame by construction) — NOT an agg + broadcast
+    # crossJoin per step: the broadcast form materialized ~8 separate
+    # jobs, each re-running the corpus scan (measured 7.5 s at 5k docs
+    # before a checkpoint, 19.6 s at 500k thunk-timed with one), while
+    # the window form is ONE lazy single-job plan (measured 2.0 s at
+    # 500k — a 10x structural win, SCALING.md round-10).
+    from pyspark.sql import Window as W
+
+    _all = W.partitionBy(F.lit(0))
     dom = tk.groupBy("domain").agg(
         F.sum("n_tok").cast("long").alias("n_tokens"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
-    ).localCheckpoint(eager=False)
+    )
     lam = dom.select(
         "domain",
         "n_tokens",
@@ -491,27 +499,31 @@ def corpus_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("long")
         .alias("lambda_micro"),
+        F.sum("n_tokens").over(_all).cast("long").alias("_tot_tok"),
+        F.sum("sum_chars").over(_all).cast("long").alias("_tot_chars"),
     )
-    glob = dom.agg(
-        F.when(
-            F.sum("n_tokens") > 0,
-            F.expr("(1000000 * sum(sum_chars)) div sum(n_tokens)"),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("lambda_g")
-    )
-    exc = lam.crossJoin(F.broadcast(glob)).select(
+    exc = lam.select(
         "domain",
         "n_tokens",
         "lambda_micro",
-        (F.col("lambda_micro") - F.col("lambda_g")).alias("excess_micro"),
+        (
+            F.col("lambda_micro")
+            - F.when(
+                F.col("_tot_tok") > 0,
+                F.expr("(1000000 * _tot_chars) div _tot_tok"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        ).alias("excess_micro"),
     )
-    mx = exc.agg(
-        F.max(F.abs(F.col("excess_micro"))).cast("long").alias("m"),
-        F.count(F.lit(1)).cast("long").alias("k"),
-    )
-    w = exc.crossJoin(F.broadcast(mx)).select(
+    w = exc.select(
+        "domain",
+        "n_tokens",
+        "lambda_micro",
+        "excess_micro",
+        F.count(F.lit(1)).over(_all).cast("long").alias("k"),
+        F.max(F.abs(F.col("excess_micro"))).over(_all).cast("long").alias("m"),
+    ).select(
         "domain",
         "n_tokens",
         "lambda_micro",
@@ -528,14 +540,12 @@ def corpus_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_DM_ROUNDS):
         u = w.withColumn("u", F.expr("(w * (1000000 + e)) div 1000000").cast("long"))
-        tot = u.agg(F.sum("u").cast("long").alias("s"))
         w = (
-            u.crossJoin(F.broadcast(tot))
+            u.withColumn("s", F.sum("u").over(_all).cast("long"))
             .withColumn("w", F.expr("(u * (k * 1000000)) div s").cast("long"))
             .drop("u", "s")
         )
-    fin_tot = w.agg(F.sum("w").cast("long").alias("sw"))
-    fin = w.crossJoin(F.broadcast(fin_tot)).select(
+    fin = w.withColumn("sw", F.sum("w").over(_all).cast("long")).select(
         "domain",
         "n_tokens",
         "lambda_micro",

@@ -82,7 +82,15 @@ K_INDEPENDENT = [
 #: DataFrame into _time would leave that work outside the timed region
 #: and understate the scale ratio — these are timed as thunks that
 #: rebuild the plan (and so re-run the eager jobs) every pass.
-EAGER_PLANS = {"embedding_kmeans_micro"}
+#: also thunk-timed: plans whose internal localCheckpoint(eager=False)
+#: would otherwise be materialized once in the warm pass and silently
+#: reused by the timed pass (r10: the checkpoint covers the whole heavy
+#: chain in these two — a DataFrame-reuse measurement would time only
+#: the post-checkpoint tail)
+EAGER_PLANS = {
+    "embedding_kmeans_micro",
+    "docs_ccnet_ppl_buckets",
+}
 
 
 def _time(df, warms: int = 1) -> float:
