@@ -50,7 +50,10 @@ _ODD = "nation_odd_2024-01-01.csv"
 def _fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize nation as the two named csv files (once per sf).
     v1 in the path cache-busts stale layouts (the core_ops convention,
-    plans/core_ops.py:139)."""
+    plans/core_ops.py:139). Written ATOMICALLY (review r10): a staging
+    dir is renamed into place only after both files are complete, so a
+    killed first run can never leave a partial fixture that later runs
+    silently accept."""
     out = f"/tmp/spark_graft_p2k3_v1/{os.path.basename(sf_dir.rstrip('/'))}"
     if not os.path.exists(out):
         rows = (
@@ -59,14 +62,21 @@ def _fixture_dir(spark: SparkSession, sf_dir: str) -> str:
             .orderBy("n_nationkey")
             .collect()  # 25 rows at any sf — fixture-sized by nature
         )
-        os.makedirs(out, exist_ok=True)
+        stage = f"{out}.staging.{os.getpid()}"
+        os.makedirs(stage, exist_ok=True)
         for name, keep in ((_EVEN, 0), (_ODD, 1)):
-            with open(os.path.join(out, name), "w", newline="") as fh:
+            with open(os.path.join(stage, name), "w", newline="") as fh:
                 w = csv.writer(fh)
                 w.writerow(["n_nationkey", "n_name", "n_regionkey"])
                 for r in rows:
                     if r.n_nationkey % 2 == keep:
                         w.writerow([r.n_nationkey, r.n_name, r.n_regionkey])
+        try:
+            os.rename(stage, out)
+        except OSError:  # concurrent winner already renamed — use theirs
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
     return out
 
 

@@ -287,50 +287,69 @@ _UBG_ORACLE = f"""
     """
 
 
-def _blocklist_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    """(doc_id, host, registered_domain, blocked), unordered — the Spark
-    twin of _UBG_BODY's `verdict`, shared by the gate entry and the
-    web-funnel capstone."""
-    d = docs.select(
-        "doc_id", (F.col("doc_id") % 7).cast("string").alias("k")
-    ).select("doc_id", F.expr(_HOST_SQL).alias("host"))
-    lab = d.select(
+def _blocklist_frame(
+    spark: SparkSession, docs: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, host, registered_domain, blocked [, *carry]), unordered —
+    the Spark twin of _UBG_BODY's `verdict`, shared by the gate entry
+    and the web-funnel capstone. ``carry`` threads extra doc columns
+    through unchanged (broadcast joins keep rows intact, so carrying
+    e.g. ``text`` is free).
+
+    Shape (review r10): the candidates are exactly the last-1 and
+    last-2 label tails, so longest-match is TWO broadcast LEFT joins
+    (2-label suffixes first) + a coalesce — a pure per-row projection.
+    The first form exploded candidates into a groupBy(doc_id) + a
+    corpus-vs-corpus join-back: two corpus-scale exchanges and an SMJ
+    that the 'no corpus shuffle' claim pretended away. Hosts matching
+    NO suffix are dropped (the relational oracle's inner join does the
+    same)."""
+    lab = docs.select(
         "doc_id",
+        *carry,
+        (F.col("doc_id") % 7).cast("string").alias("k"),
+    ).select(
+        "doc_id",
+        *carry,
+        F.expr(_HOST_SQL).alias("host"),
+    ).select(
+        "doc_id",
+        *carry,
         "host",
         F.regexp_extract("host", r"([^.]+)$", 1).alias("last1"),
         F.regexp_extract("host", r"([^.]+\.[^.]+)$", 1).alias("last2"),
         F.regexp_extract("host", r"([^.]+\.[^.]+\.[^.]+)$", 1).alias("last3"),
     )
     suf = spark.createDataFrame(_PSL_ROWS, "suffix string, n_labels int")
-    cand = lab.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.struct(F.col("last1").alias("tail"), F.lit(1).alias("n")),
-                F.struct(F.col("last2").alias("tail"), F.lit(2).alias("n")),
-            )
-        ).alias("c"),
-    ).select("doc_id", F.col("c.tail").alias("cand_tail"), F.col("c.n").alias("cand_n"))
-    hits = cand.join(
-        F.broadcast(suf),
-        (F.col("cand_tail") == F.col("suffix")) & (F.col("cand_n") == F.col("n_labels")),
+    s2 = suf.filter("n_labels = 2").select(
+        F.col("suffix").alias("last2"), F.lit(True).alias("_hit2")
     )
-    best = hits.groupBy("doc_id").agg(F.max("n_labels").alias("bn"))
-    reg = lab.join(best, "doc_id").select(
-        "doc_id",
-        "host",
-        F.when(F.col("bn") == 2, F.col("last3"))
-        .otherwise(F.col("last2"))
-        .alias("registered_domain"),
+    s1 = suf.filter("n_labels = 1").select(
+        F.col("suffix").alias("last1"), F.lit(True).alias("_hit1")
     )
     block = spark.createDataFrame(
         [(b,) for b in _BLOCKLIST_ROWS], "registered_domain string"
     ).withColumn("_blocked", F.lit(True))
-    return reg.join(F.broadcast(block), "registered_domain", "left").select(
-        "doc_id",
-        "host",
-        "registered_domain",
-        F.coalesce(F.col("_blocked"), F.lit(False)).alias("blocked"),
+    return (
+        lab.join(F.broadcast(s2), "last2", "left")
+        .join(F.broadcast(s1), "last1", "left")
+        .filter(F.col("_hit2").isNotNull() | F.col("_hit1").isNotNull())
+        .select(
+            "doc_id",
+            *carry,
+            "host",
+            F.when(F.col("_hit2"), F.col("last3"))
+            .otherwise(F.col("last2"))
+            .alias("registered_domain"),
+        )
+        .join(F.broadcast(block), "registered_domain", "left")
+        .select(
+            "doc_id",
+            *carry,
+            "host",
+            "registered_domain",
+            F.coalesce(F.col("_blocked"), F.lit(False)).alias("blocked"),
+        )
     )
 
 
@@ -338,11 +357,10 @@ def _blocklist_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
 def docs_url_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSL registered-domain extraction + registered-domain blocklist
     verdict per document (module comment above). Plan shape: per-doc
-    projection -> explode of <= 2 suffix candidates -> BROADCAST join
-    with the suffix table -> max-labels per doc -> BROADCAST left join
-    with the blocklist. No corpus shuffle: the groupBy key is doc_id,
-    which the candidate explode preserves partition-local (AQE folds
-    it map-side; candidates per doc are bounded at 2)."""
+    projection -> two BROADCAST left joins against the split suffix
+    table (2-label tails first, longest match wins by coalesce) ->
+    BROADCAST left join with the blocklist. Genuinely no corpus
+    shuffle: scan, three broadcast joins, project, output sort."""
     docs = load_table(spark, sf_dir, "documents")
     return _blocklist_frame(spark, docs).orderBy("doc_id")
 
@@ -376,6 +394,21 @@ _DM_ETA_MICRO = 500_000  # eta = 0.5
 _DM_SMOOTH_MICRO = 200_000  # DoReMi's uniform smoothing, 0.2
 _DM_ROUNDS = 4
 
+
+def _ratio_micro(c: str, t: str, d: str) -> str:
+    """(1e6 * c) integer-divided by t WITHOUT forming 1e6 * c — the
+    overflow-free two-stage decomposition (review r10, the share_micro
+    class): c = q*t + r gives (c*1e6) div t = q*1e6 + (r*1e6) div t,
+    and the 1e6 factor is applied as 1e3 * 1e3 because r < t can reach
+    corpus-scale token counts (~2.5e13 at 100 TB) where r*1e6 itself
+    would wrap int64. Exact for any c, t with t < ~9.2e15. ``d`` is
+    the division keyword ('div' Spark, '//' DuckDB)."""
+    return (
+        f"(({c}) {d} ({t})) * 1000000"
+        f" + ((({c}) % ({t})) * 1000 {d} ({t})) * 1000"
+        f" + (((({c}) % ({t})) * 1000 % ({t})) * 1000) {d} ({t})"
+    )
+
 _DM_BODY = rf"""tk AS (
       SELECT COALESCE(source, '') || '/' || COALESCE(lang, '') AS domain,
              CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '{_WS}'),
@@ -389,14 +422,19 @@ _DM_BODY = rf"""tk AS (
       FROM tk GROUP BY domain
     ), lam AS (
       SELECT domain, n_tokens,
-             CAST(CASE WHEN n_tokens > 0 THEN 1000000 * sum_chars // n_tokens
+             CAST(CASE WHEN n_tokens > 0
+                  THEN {_ratio_micro('sum_chars', 'n_tokens', '//')}
                   ELSE 0 END AS BIGINT) AS lambda_micro
       FROM dom
-    ), gl AS (
-      SELECT CAST(CASE WHEN SUM(n_tokens) > 0
-                  THEN 1000000 * SUM(sum_chars) // SUM(n_tokens)
-                  ELSE 0 END AS BIGINT) AS lambda_g
+    ), gt AS (
+      SELECT CAST(SUM(sum_chars) AS BIGINT) AS tc,
+             CAST(SUM(n_tokens) AS BIGINT) AS tt
       FROM dom
+    ), gl AS (
+      SELECT CAST(CASE WHEN tt > 0
+                  THEN {_ratio_micro('tc', 'tt', '//')}
+                  ELSE 0 END AS BIGINT) AS lambda_g
+      FROM gt
     ), exc AS (
       SELECT domain, n_tokens, lambda_micro,
              lambda_micro - (SELECT lambda_g FROM gl) AS excess_micro
@@ -494,7 +532,7 @@ def corpus_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.when(
             F.col("n_tokens") > 0,
-            F.expr("(1000000 * sum_chars) div n_tokens"),
+            F.expr(_ratio_micro("sum_chars", "n_tokens", "div")),
         )
         .otherwise(F.lit(0))
         .cast("long")
@@ -510,7 +548,7 @@ def corpus_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lambda_micro")
             - F.when(
                 F.col("_tot_tok") > 0,
-                F.expr("(1000000 * _tot_chars) div _tot_tok"),
+                F.expr(_ratio_micro("_tot_chars", "_tot_tok", "div")),
             )
             .otherwise(F.lit(0))
             .cast("long")
@@ -586,21 +624,39 @@ def corpus_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SMF_TAG = r"<[^>]*>"
 
-_SMF_ORACLE = rf"""
+
+# The strip chain as shared SQL snippets — ONE definition consumed by
+# _SMF_ORACLE and the web-funnel oracle below (the _UBG_BODY
+# single-definition convention), so an entity/whitespace edit cannot
+# drift between the standalone tier and the funnel's dedup input.
+def _sm_t1_sql(src: str) -> str:
+    return f"regexp_replace({src}, '{_SMF_TAG}', ' ', 'g')"
+
+
+def _sm_ent_sql(src: str) -> str:
+    return (
+        "replace(replace(replace(replace(replace(" + src + ","
+        " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''),"
+        " '&amp;', '&')"
+    )
+
+
+def _sm_clean_sql(src: str) -> str:
+    return f"trim(regexp_replace({src}, '{_WS}', ' ', 'g'), ' ')"
+
+
+_SMF_ORACLE = f"""
     WITH s AS (
       SELECT doc_id,
              COALESCE(text, '') AS t0,
-             regexp_replace(COALESCE(text, ''), '{_SMF_TAG}', ' ', 'g') AS t1
+             {_sm_t1_sql("COALESCE(text, '')")} AS t1
       FROM documents
     ), e AS (
-      SELECT doc_id, t0, t1,
-             replace(replace(replace(replace(replace(t1,
-               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-               '&amp;', '&') AS t2
+      SELECT doc_id, t0, t1, {_sm_ent_sql('t1')} AS t2
       FROM s
     )
     SELECT doc_id,
-           trim(regexp_replace(t2, '{_WS}', ' ', 'g'), ' ') AS clean_text,
+           {_sm_clean_sql('t2')} AS clean_text,
            CAST((length(t0) - length(regexp_replace(t0, '{_SMF_TAG}', '', 'g')))
                 AS BIGINT) AS n_tag_chars,
            CAST(length(t1) - length(t2) AS BIGINT) AS n_entity_chars
@@ -649,12 +705,9 @@ def docs_strip_markup_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FW_MIN_TOK = 3
 _FW_MAX_TOK = 100_000
 
-_FW_STRIP_SQL = rf"""trim(regexp_replace(
-        replace(replace(replace(replace(replace(
-          regexp_replace(COALESCE(text, ''), '<[^>]*>', ' ', 'g'),
-          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-          '&amp;', '&'),
-        '{_WS}', ' ', 'g'), ' ')"""
+#: the funnel's clean-text expression — built from the SAME snippets as
+#: _SMF_ORACLE (review r10: it was a verbatim re-spelling before)
+_FW_STRIP_SQL = _sm_clean_sql(_sm_ent_sql(_sm_t1_sql("COALESCE(text, '')")))
 
 _FW_ORACLE = f"""
     WITH {_UBG_BODY}, strip AS (
@@ -682,32 +735,45 @@ _FW_ORACLE = f"""
 def corpus_prep_funnel_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-corpus prep funnel (module comment above): URL blocklist ->
     strip markup -> token gate -> exact dedup keep-first; survivors
-    with their registered domain and post-strip token count. Every
-    stage is the registered component's plan shape; composition is
-    pinned against the component entries in tests."""
+    with their registered domain and post-strip token count.
+
+    Shape (review r10): the verdict is a pure broadcast-join projection
+    carrying ``text`` through, so the blocklist filter runs BEFORE the
+    Python strip kernel — blocked documents (40% of the fixture) never
+    cross the Arrow boundary, honoring 'URL filtering is free'. The
+    kernel passes registered_domain through its batches, so the whole
+    funnel is ONE corpus pass with zero corpus joins; the only
+    exchanges are the dedup key shuffle and the output sort."""
     from pyspark.sql import Window as W
 
-    from etl_from_s3_to_postgresql_template_spark.functions.markup import (
-        STRIP_SCHEMA,
-        strip_markup_batches,
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        _blocklist_frame(spark, docs, carry=("text",))
+        .filter(~F.col("blocked"))
+        .select("doc_id", "registered_domain", "text")
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    verdict = _blocklist_frame(spark, docs)
-    strip = (
-        docs.select("doc_id", "text")
-        .mapInPandas(strip_markup_batches, STRIP_SCHEMA)
-        .select("doc_id", "clean_text")
-    )
-    gated = (
-        verdict.filter(~F.col("blocked"))
-        .join(strip, "doc_id")
-        .select(
-            "doc_id",
-            "registered_domain",
-            "clean_text",
-            _ntok(F.col("clean_text")).alias("n_tok"),
+    def _strip_carry(batches):
+        import pandas as pd
+
+        from etl_from_s3_to_postgresql_template_spark.functions.markup import (
+            strip_one,
         )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "registered_domain": pdf["registered_domain"].values,
+                    "clean_text": [strip_one(t)[0] for t in pdf["text"].fillna("")],
+                }
+            )
+
+    gated = (
+        kept.mapInPandas(
+            _strip_carry, "doc_id long, registered_domain string, clean_text string"
+        )
+        .withColumn("n_tok", _ntok(F.col("clean_text")))
         .filter(F.col("n_tok").between(_FW_MIN_TOK, _FW_MAX_TOK))
     )
     rn = F.row_number().over(

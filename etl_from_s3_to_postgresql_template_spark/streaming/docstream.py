@@ -47,8 +47,10 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = f"{sf_dir}/documents.parquet"
     actual = spark.read.parquet(table).schema
     expected = T.StructType.fromDDL(_DOCS_SCHEMA)
-    got = [(f.name, f.dataType) for f in actual.fields]
-    want = [(f.name, f.dataType) for f in expected.fields]
+    # sorted: the streaming source resolves columns BY NAME, so a
+    # reordered-but-identical physical layout is not drift (review r10)
+    got = sorted((f.name, f.dataType) for f in actual.fields)
+    want = sorted((f.name, f.dataType) for f in expected.fields)
     if got != want:
         raise ValueError(
             f"documents schema drift: files carry {got}, stream declares {want}"

@@ -329,3 +329,43 @@ def test_ccnet_buckets_match_oracle_on_planted(spark, tmp_path):
     got = [tuple(r) for r in QUERIES["docs_ccnet_ppl_buckets"](spark, sf).collect()]
     want = [tuple(r) for r in _oracle(sf, "docs_ccnet_ppl_buckets")]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# _ratio_micro — the overflow-free (1e6 * c) div t (review r10)
+# ---------------------------------------------------------------------------
+
+from etl_from_s3_to_postgresql_template_spark.plans.llm_ops12 import _ratio_micro
+
+
+def test_ratio_micro_identity_in_range(spark):
+    rows = [
+        (c, t)
+        for c in [0, 1, 7, 999_999, 10**12, 9_223_372_036_854]
+        for t in [1, 2, 3, 97, 10**9]
+    ]
+    df = spark.createDataFrame(rows, "c long, t long")
+    bad = df.selectExpr(
+        f"{_ratio_micro('c', 't', 'div')} AS decomp",
+        "(1000000 * c) div t AS naive",
+    ).filter("decomp <> naive")
+    assert bad.count() == 0
+
+
+def test_ratio_micro_exact_past_naive_overflow(spark):
+    """100 TB scale: c = 1e14 chars, t = 2.5e13 tokens — 1e6 * c wraps
+    int64; the decomposed form returns the true quotient on Spark, and
+    the DuckDB spelling agrees."""
+    import duckdb as _duck
+
+    c, t = 100_000_000_000_000, 25_000_000_000_000
+    true = c * 1_000_000 // t
+    df = spark.createDataFrame([(c, t)], "c long, t long")
+    naive, decomp = df.selectExpr(
+        "(1000000 * c) div t AS n", f"{_ratio_micro('c', 't', 'div')} AS d"
+    ).first()
+    assert decomp == true and naive != true
+    got = _duck.connect().execute(
+        f"SELECT {_ratio_micro(str(c), str(t), '//')}"
+    ).fetchone()[0]
+    assert got == true

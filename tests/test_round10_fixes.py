@@ -158,3 +158,18 @@ def test_docstream_matching_schema_still_streams(spark, tmp_path):
         "doc_id long, text string, lang string, source string, n_chars long",
     ).write.parquet(f"{sf}/documents.parquet")
     assert stream_documents(spark, sf).isStreaming
+
+
+def test_docstream_reordered_columns_accepted(spark, tmp_path):
+    """The parquet streaming source resolves columns BY NAME, so a
+    reordered-but-identical physical layout is not drift (review r10)."""
+    from etl_from_s3_to_postgresql_template_spark.streaming.docstream import (
+        stream_documents,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [("t", 0, "en", 1, "s")],
+        "text string, doc_id long, lang string, n_chars long, source string",
+    ).write.parquet(f"{sf}/documents.parquet")
+    assert stream_documents(spark, sf).isStreaming

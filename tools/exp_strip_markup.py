@@ -25,12 +25,8 @@ cross-plan session contamination is documented in SCALING.md).
 from __future__ import annotations
 
 import json
-import re
 import sys
 import time
-from collections.abc import Iterator
-
-import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -40,46 +36,18 @@ from pyspark.sql import functions as F
 from etl_from_s3_to_postgresql_template_spark.plans import QUERIES
 from etl_from_s3_to_postgresql_template_spark.session import get_spark
 
-_TAG_RE = re.compile(r"<[^>]*>")
-_WS_RE = re.compile(r"[ \t\n\x0B\f\r]+")
-_ENTS = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"))
-
-_OUT_SCHEMA = "doc_id long, clean_text string, n_tag_chars long, n_entity_chars long"
-
-
-def _strip_one(t0: str) -> tuple[str, int, int]:
-    tag_chars = 0
-
-    def repl(m: re.Match) -> str:
-        nonlocal tag_chars
-        tag_chars += m.end() - m.start()
-        return " "
-
-    t1 = _TAG_RE.sub(repl, t0)
-    t2 = t1
-    for ent, ch in _ENTS:
-        t2 = t2.replace(ent, ch)
-    clean = _WS_RE.sub(" ", t2).strip(" ")
-    return clean, tag_chars, len(t1) - len(t2)
-
-
-def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        texts = pdf["text"].fillna("")
-        out = [_strip_one(t) for t in texts]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].values,
-                "clean_text": [o[0] for o in out],
-                "n_tag_chars": [o[1] for o in out],
-                "n_entity_chars": [o[2] for o in out],
-            }
-        )
+# The measured kernel IS the shipped one (review r10: an earlier
+# private copy here would have silently diverged from the registered
+# tier on any future functions/markup.py edit).
+from etl_from_s3_to_postgresql_template_spark.functions.markup import (  # noqa: E402
+    STRIP_SCHEMA,
+    strip_markup_batches,
+)
 
 
 def kernel_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    return docs.mapInPandas(_kernel, _OUT_SCHEMA).orderBy("doc_id")
+    return docs.mapInPandas(strip_markup_batches, STRIP_SCHEMA).orderBy("doc_id")
 
 
 def _fingerprint(df: DataFrame) -> tuple[int, int]:

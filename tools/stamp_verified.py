@@ -89,13 +89,22 @@ def green_names(path: Path) -> set[str]:
     return out
 
 
+_SNAP_CACHE: dict[str, dict[str, str]] = {}
+
+
 def snapshot_fingerprints(ref: str) -> dict[str, str]:
+    # memoized per ref: the default branch stamps many CORRECTNESS
+    # files at ONE ref and would otherwise archive+untar+fingerprint
+    # the tree once per file (review r10)
+    if ref in _SNAP_CACHE:
+        return _SNAP_CACHE[ref]
     with tempfile.TemporaryDirectory() as td:
         tar = subprocess.run(
             ["git", "-C", "/root/repo", "archive", ref], capture_output=True, check=True
         )
         subprocess.run(["tar", "-x", "-C", td], input=tar.stdout, check=True)
-        return provenance.fingerprint_all(td)
+        _SNAP_CACHE[ref] = provenance.fingerprint_all(td)
+    return _SNAP_CACHE[ref]
 
 
 def main() -> int:
