@@ -55,6 +55,17 @@ def strip_one(t0: str) -> tuple[str, int, int]:
     return clean, tag_chars, len(t1) - len(t2)
 
 
+def strip_clean_only(t0: str) -> str:
+    """clean_text alone — the counts-free variant for consumers that
+    discard n_tag_chars/n_entity_chars (review r10: the accumulating
+    tag callback costs one Python call per tag occurrence, pure waste
+    when only the cleaned text is used)."""
+    t2 = _TAG_RE.sub(" ", t0)
+    for ent, ch in _ENTS:
+        t2 = t2.replace(ent, ch)
+    return _WS_RE.sub(" ", t2).strip(" ")
+
+
 def strip_markup_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas generator over (doc_id, text) batches."""
     for pdf in batches:

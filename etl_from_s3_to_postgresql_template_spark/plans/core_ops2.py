@@ -54,14 +54,27 @@ def _fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     dir is renamed into place only after both files are complete, so a
     killed first run can never leave a partial fixture that later runs
     silently accept."""
-    out = f"/tmp/spark_graft_p2k3_v1/{os.path.basename(sf_dir.rstrip('/'))}"
+    rows = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()  # 25 rows at any sf — fixture-sized by nature
+    )
+    # Cache key includes a CONTENT digest (review r10): a basename-only
+    # key served stale csvs if the source table was ever regenerated
+    # with different rows — the oracle reads the live parquet, so the
+    # fixture must track it. The collect above is 25 rows; recomputing
+    # it per call is cheaper than any staleness.
+    import hashlib
+
+    digest = hashlib.md5(
+        repr([(r.n_nationkey, r.n_name, r.n_regionkey) for r in rows]).encode()
+    ).hexdigest()[:12]
+    out = (
+        f"/tmp/spark_graft_p2k3_v1/"
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{digest}"
+    )
     if not os.path.exists(out):
-        rows = (
-            load_table(spark, sf_dir, "nation")
-            .select("n_nationkey", "n_name", "n_regionkey")
-            .orderBy("n_nationkey")
-            .collect()  # 25 rows at any sf — fixture-sized by nature
-        )
         stage = f"{out}.staging.{os.getpid()}"
         os.makedirs(stage, exist_ok=True)
         for name, keep in ((_EVEN, 0), (_ODD, 1)):

@@ -509,7 +509,6 @@ def corpus_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ntok(tx).alias("n_tok"),
         F.length(tx).cast("long").alias("n_chars"),
     )
-    # The domains frame feeds EVERY later aggregate (global lambda, max
     # Everything after the corpus scan runs on the bounded domains
     # frame, so every global reduction (global lambda, max |excess|,
     # one sum per MW round, the final sum) is a WINDOW over the whole
@@ -757,7 +756,7 @@ def corpus_prep_funnel_web(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         from etl_from_s3_to_postgresql_template_spark.functions.markup import (
-            strip_one,
+            strip_clean_only,
         )
 
         for pdf in batches:
@@ -765,7 +764,9 @@ def corpus_prep_funnel_web(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"].values,
                     "registered_domain": pdf["registered_domain"].values,
-                    "clean_text": [strip_one(t)[0] for t in pdf["text"].fillna("")],
+                    "clean_text": [
+                        strip_clean_only(t) for t in pdf["text"].fillna("")
+                    ],
                 }
             )
 

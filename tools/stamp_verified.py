@@ -55,15 +55,15 @@ from etl_from_s3_to_postgresql_template_spark.plans import provenance
 META_FILE = provenance.STAMPS_FILE.with_name("_verified_stamps_meta.json")
 
 
-def file_kind(path: Path) -> str:
+def file_kind(data: dict) -> str:
     """driver CORRECTNESS_rN.json is flat {name: rec}; the local
     checker's --json artifact wraps records under "entries"."""
-    data = json.loads(path.read_text())
     return "local_sweep" if isinstance(data.get("entries"), dict) else "driver"
 
 
-def green_names(path: Path) -> set[str]:
-    data = json.loads(path.read_text())
+def green_names(path: Path, data: dict | None = None) -> set[str]:
+    if data is None:
+        data = json.loads(path.read_text())
     # two on-disk shapes: driver CORRECTNESS_rN.json is flat
     # {name: rec}; check_correctness --json wraps records under
     # "entries" with run metadata alongside
@@ -116,8 +116,9 @@ def main() -> int:
     def overlay(ref: str, fname: str) -> None:
         snap_fp = snapshot_fingerprints(ref)
         path = Path(fname)
-        kind = file_kind(path)
-        names = green_names(path)
+        data = json.loads(path.read_text())  # parsed once for kind + names
+        kind = file_kind(data)
+        names = green_names(path, data)
         for n in sorted(names):
             if n in snap_fp:
                 stamps[n] = snap_fp[n]
