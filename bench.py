@@ -98,6 +98,7 @@ DOCS_HEAVY = [
     "docs_strip_markup_fused",
     "corpus_prep_funnel_web",
     "docs_ccnet_ppl_buckets",
+    "docs_ccnet_ppl_buckets_hashed",
 ]
 
 

@@ -369,3 +369,38 @@ def test_ratio_micro_exact_past_naive_overflow(spark):
         f"SELECT {_ratio_micro(str(c), str(t), '//')}"
     ).fetchone()[0]
     assert got == true
+
+
+# ---------------------------------------------------------------------------
+# docs_ccnet_ppl_buckets_hashed — production tier
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_hashed_matches_exact_on_planted(spark, tmp_path):
+    """At planted scale (hundreds of distinct bigrams vs 2^20 buckets)
+    collisions are absent, so the hashed tier must reproduce the exact
+    tier row for row."""
+    rows = []
+    for i in range(30):
+        if i < 10:
+            rows.append(("the cat sat on the mat " * 5, "en", "web"))
+        elif i < 20:
+            rows.append((f"the cat sat on uniq{i} mat " * 3, "en", "web"))
+        else:
+            rows.append((f"zq{i} xv{i} qq{i} jj{i} ww{i} kk{i}", "en", "web"))
+    sf = _planted_docs(spark, tmp_path, rows)
+    hashed = [tuple(r) for r in QUERIES["docs_ccnet_ppl_buckets_hashed"](spark, sf).collect()]
+    exact = [tuple(r) for r in QUERIES["docs_ccnet_ppl_buckets"](spark, sf).collect()]
+    assert hashed == exact
+
+
+def test_ccnet_hashed_matches_oracle_on_planted(spark, tmp_path):
+    rows = [
+        ((("common words here " * (1 + i % 5)) + f"rare{i % 7} " * (i % 3)),
+         f"l{i % 2}", "web")
+        for i in range(50)
+    ] + [(None, None, None)]
+    sf = _planted_docs(spark, tmp_path, rows)
+    got = [tuple(r) for r in QUERIES["docs_ccnet_ppl_buckets_hashed"](spark, sf).collect()]
+    want = [tuple(r) for r in _oracle(sf, "docs_ccnet_ppl_buckets_hashed")]
+    assert got == want

@@ -90,6 +90,7 @@ K_INDEPENDENT = [
 EAGER_PLANS = {
     "embedding_kmeans_micro",
     "docs_ccnet_ppl_buckets",
+    "docs_ccnet_ppl_buckets_hashed",
 }
 
 
