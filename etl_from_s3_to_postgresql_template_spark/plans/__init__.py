@@ -68,8 +68,21 @@ def _rotate_unverified_first() -> None:
         else set()
     )
     valid = provenance.verified_names()
+    # Within the driver-green-and-untouched tier, order by the AGE of the
+    # driver evidence (stamp ledger's driver_round, recorded by
+    # tools/stamp_verified.py from the CORRECTNESS_rN file names) so the
+    # bounded prefix re-ratifies oldest-evidence entries first at NAME
+    # granularity — module import order alone wastes prefix slots when a
+    # module mixes just-ratified and stale-vintage entries (query_pack:
+    # 21 r10 + 5 r1). Missing ledger/round -> 0 (oldest, checked first).
+    meta_file = provenance.STAMPS_FILE.with_name("_verified_stamps_meta.json")
+    meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
+    vintage = {n: m.get("driver_round", 0) for n, m in meta.items()}
     tier = {n: (0 if n not in stamped else (2 if n in valid else 1)) for n in registry.QUERIES}
-    ordered = sorted(registry.QUERIES, key=lambda n: (tier[n],))  # stable sort
+    ordered = sorted(  # stable: registration order breaks ties
+        registry.QUERIES,
+        key=lambda n: (tier[n], vintage.get(n, 0) if tier[n] == 2 else 0),
+    )
     for mapping in (registry.QUERIES, registry.ORACLE):
         snapshot = {n: mapping[n] for n in ordered if n in mapping}
         mapping.clear()

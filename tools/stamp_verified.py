@@ -42,6 +42,7 @@ readers (plans/provenance.py) are unchanged.
 from __future__ import annotations
 
 import json
+import re
 import subprocess
 import sys
 import tempfile
@@ -118,11 +119,24 @@ def main() -> int:
         path = Path(fname)
         data = json.loads(path.read_text())  # parsed once for kind + names
         kind = file_kind(data)
+        # driver_round: the round number of the LATEST driver ratification,
+        # parsed from the driver file name. plans/__init__ sorts the
+        # driver-green tier oldest-evidence-first on this, so the bounded
+        # per-round prefix drains the re-ratification debt optimally
+        # (module import order alone wastes slots on just-ratified entries
+        # sharing a module with stale ones). A local_sweep overlay keeps
+        # the prior driver_round — it refreshes the stamp, not the driver
+        # evidence.
+        rnd_m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", path.name)
+        rnd = int(rnd_m.group(1)) if (kind == "driver" and rnd_m) else None
         names = green_names(path, data)
         for n in sorted(names):
             if n in snap_fp:
                 stamps[n] = snap_fp[n]
-                meta[n] = {"kind": kind, "ref": ref, "file": path.name}
+                prev = meta.get(n, {}).get("driver_round")
+                best = max(r for r in (prev, rnd, 0) if r is not None)
+                meta[n] = {"kind": kind, "ref": ref, "file": path.name,
+                           "driver_round": best}
             else:
                 missing.add(n)
         print(f"  {fname} @ {ref} [{kind}]: {len(names)} green")
