@@ -90,6 +90,13 @@ def _fixture_dir(spark: SparkSession, sf_dir: str) -> str:
             import shutil
 
             shutil.rmtree(stage, ignore_errors=True)
+            # Only a real concurrent winner excuses the failure: if the
+            # target still doesn't exist the rename failed for another
+            # reason (cross-device /tmp, permissions) and returning the
+            # path would defer to a confusing downstream CSV-read error
+            # (ADVICE r10).
+            if not os.path.exists(out):
+                raise
     return out
 
 
@@ -163,7 +170,8 @@ def audit_log_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = _CaptureSink()
     config = PipelineConfig(source_dir=root, table_name="nation_day")
     process_day(spark, config, "2024-01-01", sink=sink)
-    assert sink.audit is not None  # process_day always audits when sinked
+    if sink.audit is None:  # survives python -O, unlike assert (ADVICE r10)
+        raise RuntimeError("process_day completed without writing an audit row")
     return sink.audit.select(
         "files_processed",
         "files_merged",

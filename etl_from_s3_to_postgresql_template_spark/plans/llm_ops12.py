@@ -396,19 +396,31 @@ _DM_SMOOTH_MICRO = 200_000  # DoReMi's uniform smoothing, 0.2
 _DM_ROUNDS = 4
 
 
-def _ratio_micro(c: str, t: str, d: str) -> str:
-    """(1e6 * c) integer-divided by t WITHOUT forming 1e6 * c — the
-    overflow-free two-stage decomposition (review r10, the share_micro
-    class): c = q*t + r gives (c*1e6) div t = q*1e6 + (r*1e6) div t,
-    and the 1e6 factor is applied as 1e3 * 1e3 because r < t can reach
-    corpus-scale token counts (~2.5e13 at 100 TB) where r*1e6 itself
-    would wrap int64. Exact for any c, t with t < ~9.2e15. ``d`` is
+def _mul_div_staged(x: str, f1: int, f2: int, t: str, d: str) -> str:
+    """(x * f1 * f2) integer-divided by t WITHOUT forming the full
+    product — the overflow-free staged decomposition (review r10, the
+    share_micro class): x = q*t + r gives (x*f1*f2) div t =
+    q*f1*f2 + (r*f1*f2) div t, and the constant factor is applied in
+    two stages because |r| < |t| can reach corpus scale where r*f1*f2
+    itself would wrap int64. Truncating div/% satisfy a = (a div b)*b
+    + a%b on BOTH engines (Spark div, DuckDB //), so the identity
+    holds for negative x too. Exact whenever |x| fits int64,
+    |t| * f1 < ~9.2e18, and (x div t) * f1 * f2 fits int64. ``d`` is
     the division keyword ('div' Spark, '//' DuckDB)."""
     return (
-        f"(({c}) {d} ({t})) * 1000000"
-        f" + ((({c}) % ({t})) * 1000 {d} ({t})) * 1000"
-        f" + (((({c}) % ({t})) * 1000 % ({t})) * 1000) {d} ({t})"
+        f"((({x}) {d} ({t})) * {f1 * f2}"
+        f" + ((({x}) % ({t})) * {f1} {d} ({t})) * {f2}"
+        f" + (((({x}) % ({t})) * {f1} % ({t})) * {f2}) {d} ({t}))"
     )
+
+
+def _ratio_micro(c: str, t: str, d: str) -> str:
+    """(1e6 * c) integer-divided by t without forming 1e6 * c — the
+    f1 = f2 = 1000 staging of :func:`_mul_div_staged`. Exact iff BOTH
+    preconditions hold (ADVICE r10): t < ~9.2e15 (so the remainder
+    stage r*1000 stays in int64) AND c div t <= ~9.2e12 (so the
+    quotient stage q*1e6 stays in int64)."""
+    return _mul_div_staged(c, 1000, 1000, t, d)
 
 _DM_BODY = rf"""tk AS (
       SELECT COALESCE(source, '') || '/' || COALESCE(lang, '') AS domain,
@@ -425,47 +437,58 @@ _DM_BODY = rf"""tk AS (
       SELECT domain, n_tokens,
              CAST(CASE WHEN n_tokens > 0
                   THEN {_ratio_micro('sum_chars', 'n_tokens', '//')}
-                  ELSE 0 END AS BIGINT) AS lambda_micro
+                  ELSE 0 END AS BIGINT) AS lambda_micro,
+             CAST(SUM(n_tokens) OVER () AS BIGINT) AS tot_tok,
+             CAST(SUM(sum_chars) OVER () AS BIGINT) AS tot_chars
       FROM dom
-    ), gt AS (
-      SELECT CAST(SUM(sum_chars) AS BIGINT) AS tc,
-             CAST(SUM(n_tokens) AS BIGINT) AS tt
-      FROM dom
-    ), gl AS (
-      SELECT CAST(CASE WHEN tt > 0
-                  THEN {_ratio_micro('tc', 'tt', '//')}
-                  ELSE 0 END AS BIGINT) AS lambda_g
-      FROM gt
     ), exc AS (
       SELECT domain, n_tokens, lambda_micro,
-             lambda_micro - (SELECT lambda_g FROM gl) AS excess_micro
+             CAST(lambda_micro - CASE WHEN tot_tok > 0
+                  THEN {_ratio_micro('tot_chars', 'tot_tok', '//')}
+                  ELSE 0 END AS BIGINT) AS excess_micro
       FROM lam
     ), mx AS (
-      SELECT CAST(MAX(ABS(excess_micro)) AS BIGINT) AS m,
-             CAST(COUNT(*) AS BIGINT) AS k
+      SELECT domain, n_tokens, lambda_micro, excess_micro,
+             CAST(MAX(ABS(excess_micro)) OVER () AS BIGINT) AS m,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k
       FROM exc
     ), e AS (
-      SELECT domain, n_tokens, lambda_micro, excess_micro,
-             CAST(CASE WHEN (SELECT m FROM mx) > 0
-                  THEN excess_micro * {_DM_ETA_MICRO} // (SELECT m FROM mx)
+      SELECT domain, n_tokens, lambda_micro, excess_micro, k,
+             CAST(CASE WHEN m > 0
+                  THEN {_mul_div_staged('excess_micro', 1000, _DM_ETA_MICRO // 1000,
+                                        'm', '//')}
                   ELSE 0 END AS BIGINT) AS e
-      FROM exc
+      FROM mx
     ), r0 AS (
       SELECT *, CAST(1000000 AS BIGINT) AS w FROM e
     )"""
 
 
 def _dm_round_sql(i: int) -> str:
+    # MW update: (w * (1e6+e)) div 1e6 staged over w = q*1e6 + r so the
+    # product never forms — overflow-free for any k <= ~6.1e12 (w <= k*1e6,
+    # so q <= k and q*(1e6+e) <= 1.5e6*k). Renorm: (u * k * 1e6) div s with
+    # the 1e6 staged; the residual u*k product is guarded loudly (ADVICE
+    # r10) — exact for k <= ~2.4e6 domains (u <= s <= 1.5*k*1e6), vs the
+    # naive form's silent wrap at k ~ 2.4e3 under worst-case concentration.
     prev = f"r{i - 1}"
     return f"""u{i} AS (
-      SELECT domain, n_tokens, lambda_micro, excess_micro, e,
-             CAST(w * (1000000 + e) // 1000000 AS BIGINT) AS u
+      SELECT domain, n_tokens, lambda_micro, excess_micro, e, k,
+             CAST((w // 1000000) * (1000000 + e)
+                  + ((w % 1000000) * (1000000 + e)) // 1000000
+                  AS BIGINT) AS u
       FROM {prev}
-    ), r{i} AS (
-      SELECT domain, n_tokens, lambda_micro, excess_micro, e,
-             CAST(u * ((SELECT k FROM mx) * 1000000)
-                  // (SELECT SUM(u) FROM u{i}) AS BIGINT) AS w
+    ), s{i} AS (
+      SELECT domain, n_tokens, lambda_micro, excess_micro, e, k, u,
+             CAST(SUM(u) OVER () AS BIGINT) AS s
       FROM u{i}
+    ), r{i} AS (
+      SELECT domain, n_tokens, lambda_micro, excess_micro, e, k,
+             CAST(CASE WHEN u > 9223372036854775807 // (k * 1000)
+                  THEN CAST(error('doremi renorm u*k would overflow int64') AS BIGINT)
+                  ELSE {_mul_div_staged('u * k', 1000, 1000, 's', '//')}
+                  END AS BIGINT) AS w
+      FROM s{i}
     )"""
 
 
@@ -474,15 +497,18 @@ _DM_ORACLE = (
     + _DM_BODY
     + ", "
     + ", ".join(_dm_round_sql(i) for i in range(1, _DM_ROUNDS + 1))
-    + f""", fin AS (
-      SELECT domain, n_tokens, lambda_micro, excess_micro,
-             CAST(w * 1000000 // (SELECT SUM(w) FROM r{_DM_ROUNDS}) AS BIGINT)
-               AS weight_micro
+    + f""", sw AS (
+      SELECT domain, n_tokens, lambda_micro, excess_micro, k, w,
+             CAST(SUM(w) OVER () AS BIGINT) AS sw
       FROM r{_DM_ROUNDS}
+    ), fin AS (
+      SELECT domain, n_tokens, lambda_micro, excess_micro, k,
+             CAST({_ratio_micro('w', 'sw', '//')} AS BIGINT) AS weight_micro
+      FROM sw
     )
     SELECT domain, n_tokens, lambda_micro, excess_micro, weight_micro,
            CAST((1000000 - {_DM_SMOOTH_MICRO}) * weight_micro // 1000000
-                + {_DM_SMOOTH_MICRO} // (SELECT k FROM mx) AS BIGINT)
+                + {_DM_SMOOTH_MICRO} // k AS BIGINT)
              AS mixture_micro
     FROM fin ORDER BY domain
     """
@@ -569,18 +595,31 @@ def corpus_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         F.when(
             F.col("m") > 0,
-            F.expr(f"(excess_micro * {_DM_ETA_MICRO}) div m"),
+            F.expr(_mul_div_staged("excess_micro", 1000, _DM_ETA_MICRO // 1000, "m", "div")),
         )
         .otherwise(F.lit(0))
         .cast("long")
         .alias("e"),
         F.lit(1_000_000).cast("long").alias("w"),
     )
+    # Staged forms mirror _dm_round_sql (same identities, 'div' keyword):
+    # the MW update never forms w*(1e6+e); the renorm never forms
+    # u*k*1e6, and its residual u*k product fails loudly instead of
+    # wrapping (exact for k <= ~2.4e6 domains — ADVICE r10).
+    _mw_update = (
+        "(w div 1000000) * (1000000 + e)"
+        " + ((w % 1000000) * (1000000 + e)) div 1000000"
+    )
+    _renorm = (
+        "CASE WHEN u > 9223372036854775807 div (k * 1000)"
+        " THEN CAST(raise_error('doremi renorm u*k would overflow int64') AS BIGINT)"
+        f" ELSE {_mul_div_staged('u * k', 1000, 1000, 's', 'div')} END"
+    )
     for _ in range(_DM_ROUNDS):
-        u = w.withColumn("u", F.expr("(w * (1000000 + e)) div 1000000").cast("long"))
+        u = w.withColumn("u", F.expr(_mw_update).cast("long"))
         w = (
             u.withColumn("s", F.sum("u").over(_all).cast("long"))
-            .withColumn("w", F.expr("(u * (k * 1000000)) div s").cast("long"))
+            .withColumn("w", F.expr(_renorm).cast("long"))
             .drop("u", "s")
         )
     fin = w.withColumn("sw", F.sum("w").over(_all).cast("long")).select(
@@ -588,7 +627,7 @@ def corpus_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "lambda_micro",
         "excess_micro",
-        F.expr("(w * 1000000) div sw").cast("long").alias("weight_micro"),
+        F.expr(_ratio_micro("w", "sw", "div")).cast("long").alias("weight_micro"),
         "k",
     )
     return fin.select(

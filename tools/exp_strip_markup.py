@@ -91,7 +91,6 @@ def main() -> None:
             pairs.append(pair)
         print(json.dumps({"mode": "ab", "corpus": corpus, "calib": calib, "pairs": pairs}))
         return
-    passes = []
     mk = lambda: QUERIES[_ARMS[mode]](spark, corpus)  # noqa: E731
     passes = [_time(mk, warms=1) for _ in range(3)]
     print(
