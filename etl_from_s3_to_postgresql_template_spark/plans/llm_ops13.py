@@ -1,0 +1,457 @@
+"""Round-11 module: the last production-tier white space named by
+VERDICT r10 (items 3-5).
+
+1. ``docs_ccnet_ppl_score_external`` — CCNet scoring against an
+   EXTERNAL language model (Wenzek et al. 2020, "CCNet: Extracting
+   High Quality Monolingual Datasets from Web Crawl Data"). The
+   registered exact/hashed tiers (llm_ops12) build their LM from the
+   stream they score; production CCNet trains the LM on a curated
+   reference corpus (Wikipedia) and scores the crawl against it. Here
+   the held-out slice ``doc_id % 10 == 0`` stands in for the curated
+   corpus: its bigram LM folds into two BOUNDED md5-bucket tables
+   (2^20 rows max, ~16 MB — the docs_ccnet_ppl_buckets_hashed
+   convention, re-declared below per the module-coupling policy) which
+   BROADCAST, so the scored stream (``doc_id % 10 != 0``) is scored
+   entirely map-side: zero LM-construction shuffle from the scored
+   stream, zero scored-stream shuffle before the per-doc aggregate —
+   the SCALING.md:1705 shape. Bigrams absent from the LM back off to
+   add-one smoothing over the bucket vocabulary (LEFT joins +
+   COALESCE(0) on BOTH engines).
+2. ``docs_bloom_paragraph_dedup`` (+ ``_gate``) — Dolma-style
+   memory-bounded probabilistic paragraph dedup (Soldaini et al. 2024,
+   Dolma §4.1: Bloom-filter paragraph dedup when even bucketed MinHash
+   is too heavy). Spark's ``bloom_filter_agg`` is not in the public
+   function registry, so the filter is built from FIRST-CLASS
+   DataFrame ops: k=7 double-hashed bit positions per paragraph
+   (Kirsch–Mitzenmacher: pos_j = (h1 + j*h2) & (m-1), xxhash64 both),
+   OR-folded into a bit-packed words table via bit_or(shiftleft) —
+   2^20 bits = 16 Ki words = 128 KB, trivially BROADCAST. Probing is k
+   broadcast joins + bit tests: whole-stage codegen, no Python, and
+   the probe stream never shuffles until its per-doc summary. The
+   bitset is deterministic (fixed xxhash64 seeds; OR is
+   order-independent), but no SQL oracle can replicate xxhash64, so
+   the dedup itself is rows-only by design and the GATE is the
+   oracle-paired quality check (the similarity_lsh_recall_gate
+   pattern, llm_ops3.py:82): a Bloom filter has NO false negatives, so
+   every true duplicate must be flagged (n_missed = 0 — structural),
+   and the false-positive rate among true non-duplicates must stay
+   under 5% (target fpp at fixture load is ~1e-10; the margin covers
+   /tmp stress corpora). Sizing rule at 100 TB: m ~ 16 bits per
+   expected paragraph per shard, filter per shard, OR-merge across
+   shards (bit_or is associative) — the words-table shape is the
+   merge.
+3. ``project_extract_date_range`` — the X1k date_range struct
+   end-to-end (reference ``etl_pipeline.py:181-189``: both endpoints
+   of ``YYYY-MM-DD_to_YYYY-MM-DD``), pairing
+   functions/dates.py:extract_date_range_col with a ground-truth
+   oracle over synthesized filenames (the core_ops _synth_filenames
+   convention) — the last reference scalar without a registered
+   driver-visible query.
+
+Scale notes (100 TB): the CCNet external tier scans the corpus once;
+only per-doc score rows and the bounded LM-bucket partial aggregates
+ever shuffle. The Bloom build shuffles k positions per REFERENCE
+paragraph collapsed map-side to <= 16 Ki words per task; the probe
+stream shuffles only its per-doc summary. The date-range projection is
+a pure per-row expression chain (no shuffle but the final sort).
+
+Reference scope: the reference pipeline has no CCNet or dedup surface;
+the date_range struct is reference parity (etl_pipeline.py:181-189).
+
+New module by policy (VERDICT r8 item 1): stamped modules stay frozen;
+the CCNet helpers are re-declared, not imported, so llm_ops12's
+fingerprints are untouched.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_from_s3_to_postgresql_template_spark.functions.dates import (
+    extract_date_range_col,
+)
+from etl_from_s3_to_postgresql_template_spark.plans.registry import query
+from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+__all__ = [
+    "docs_ccnet_ppl_score_external",
+    "docs_bloom_paragraph_dedup",
+    "docs_bloom_paragraph_dedup_gate",
+    "project_extract_date_range",
+]
+
+# explicit whitespace class — RE2 \s omits \x0B (the repo convention)
+_WS = r"[ \t\n\x0B\f\r]+"
+
+
+# ---------------------------------------------------------------------------
+# docs_ccnet_ppl_score_external
+# ---------------------------------------------------------------------------
+# Helpers re-declared from llm_ops12 (same text, independent fingerprint).
+
+_CCX_B = 1_048_576  # 2^20 buckets per LM table
+
+_CCX_TOKS_SQL = rf"""t AS (
+      SELECT doc_id, COALESCE(lang, '') AS lang,
+             list_filter(string_split_regex(lower(trim(COALESCE(text, ''))),
+                  '{_WS}'), x -> x <> '') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, lang,
+             UNNEST(list_transform(range(len(toks) - 1),
+                    i -> {{'w1': toks[i+1], 'w2': toks[i+2]}})) AS s
+      FROM t WHERE len(toks) >= 2
+    )"""
+
+_CCX_CUTS_SQL = """hist AS (
+      SELECT lang, lp, CAST(COUNT(*) AS BIGINT) AS c FROM scored GROUP BY 1, 2
+    ), tot AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY 1
+    ), cum AS (
+      SELECT h.lang, h.lp, t.n,
+             CAST(SUM(h.c) OVER (PARTITION BY h.lang ORDER BY h.lp DESC)
+                  AS BIGINT) AS cum
+      FROM hist h JOIN tot t USING (lang)
+    ), cuts AS (
+      SELECT lang,
+             MAX(CASE WHEN cum >= (n + 2) // 3 THEN lp END) AS cut1,
+             MAX(CASE WHEN cum >= (2 * n + 2) // 3 THEN lp END) AS cut2
+      FROM cum GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.lp,
+           CASE WHEN s.lp >= c.cut1 THEN 'head'
+                WHEN s.lp >= c.cut2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN cuts c USING (lang)
+    ORDER BY s.doc_id"""
+
+
+def _ccx_bucket_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT % {_CCX_B}"
+
+
+def _ccx_bigram_occurrences(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, w1, w2) — one row per bigram OCCURRENCE."""
+    tx = F.coalesce(F.col("text"), F.lit(""))
+    toks = docs.select(
+        "doc_id",
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+        F.filter(F.split(F.lower(F.trim(tx)), _WS), lambda x: x != "").alias("t"),
+    ).where(F.size("t") >= 2)
+    n = F.size("t")
+    bigrams = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.slice("t", 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return toks.select("doc_id", "lang", F.explode(bigrams).alias("s")).select(
+        "doc_id", "lang", F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2")
+    )
+
+
+def _ccx_assign_buckets(scored: DataFrame) -> DataFrame:
+    """histogram -> cutoffs -> head/middle/tail over (doc_id, lang, lp);
+    the window runs ON THE HISTOGRAM (bounded), never the doc stream."""
+    from pyspark.sql import Window as W
+
+    hist = scored.groupBy("lang", "lp").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = hist.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    cum = hist.join(tot, "lang").withColumn(
+        "cum",
+        F.sum("c").over(W.partitionBy("lang").orderBy(F.desc("lp"))).cast("long"),
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.max(F.when(F.expr("cum >= (n + 2) div 3"), F.col("lp"))).alias("cut1"),
+        F.max(F.when(F.expr("cum >= (2 * n + 2) div 3"), F.col("lp"))).alias("cut2"),
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "lp",
+            F.when(F.col("lp") >= F.col("cut1"), F.lit("head"))
+            .when(F.col("lp") >= F.col("cut2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CCX_ORACLE = rf"""
+    WITH {_CCX_TOKS_SQL}, lm_occ AS (
+      SELECT {_ccx_bucket_sql("s.w1 || ' ' || s.w2")} AS b12,
+             {_ccx_bucket_sql("s.w1")} AS b1
+      FROM bg WHERE doc_id % 10 = 0
+    ), lm12 AS (
+      SELECT b12, CAST(COUNT(*) AS BIGINT) AS pair_cnt FROM lm_occ GROUP BY b12
+    ), lm1 AS (
+      SELECT b1, CAST(COUNT(*) AS BIGINT) AS w1_cnt FROM lm_occ GROUP BY b1
+    ), vocab AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM lm1
+    ), occ AS (
+      SELECT doc_id, lang,
+             {_ccx_bucket_sql("s.w1 || ' ' || s.w2")} AS b12,
+             {_ccx_bucket_sql("s.w1")} AS b1
+      FROM bg WHERE doc_id % 10 <> 0
+    ), scored AS (
+      SELECT o.doc_id, o.lang,
+             CAST(round(ROUND(CAST(SUM(CAST(ln((COALESCE(lm12.pair_cnt, 0) + 1.0)
+                       / (COALESCE(lm1.w1_cnt, 0) + vocab.v)) AS DECIMAL(38,15)))
+                     AS DOUBLE) / COUNT(*), 4) * 10000) AS BIGINT) AS lp
+      FROM occ o
+      LEFT JOIN lm12 USING (b12)
+      LEFT JOIN lm1 USING (b1)
+      CROSS JOIN vocab
+      GROUP BY o.doc_id, o.lang
+    ), {_CCX_CUTS_SQL}
+    """
+
+
+@query("docs_ccnet_ppl_score_external", oracle=_CCX_ORACLE)
+def docs_ccnet_ppl_score_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity buckets scored against an EXTERNAL LM (module
+    comment above): LM bucket tables built from the held-out reference
+    slice only, broadcast; the scored stream never feeds the LM and is
+    scored map-side (left joins, add-one backoff for unseen bigrams).
+    At 100 TB the supplied-LM tables are loaded once and broadcast —
+    the crawl contributes zero LM-construction shuffle."""
+    occ_all = _ccx_bigram_occurrences(load_table(spark, sf_dir, "documents"))
+
+    def _bucket(col: Column) -> Column:
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % _CCX_B
+
+    occ_all = occ_all.select(
+        "doc_id",
+        "lang",
+        _bucket(F.concat(F.col("w1"), F.lit(" "), F.col("w2"))).alias("b12"),
+        _bucket(F.col("w1")).alias("b1"),
+    )
+    lm_occ = occ_all.where(F.col("doc_id") % 10 == 0)
+    occ = occ_all.where(F.col("doc_id") % 10 != 0)
+    lm12 = lm_occ.groupBy("b12").agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
+    lm1 = lm_occ.groupBy("b1").agg(F.count(F.lit(1)).cast("long").alias("w1_cnt"))
+    vocab = lm1.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    # decimal accumulation: exact, order-free (the llm_ops2 convention)
+    avg_lp = F.round(
+        F.sum(
+            F.log(
+                (F.coalesce(F.col("pair_cnt"), F.lit(0)) + 1.0)
+                / (F.coalesce(F.col("w1_cnt"), F.lit(0)) + F.col("v"))
+            ).cast("decimal(38,15)")
+        ).cast("double")
+        / F.count(F.lit(1)),
+        4,
+    )
+    # scored feeds the histogram, the cuts broadcast, AND the final
+    # assignment join (the llm_ops5/6 multi-subtree precedent)
+    scored = (
+        occ.join(F.broadcast(lm12), "b12", "left")
+        .join(F.broadcast(lm1), "b1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "lang")
+        .agg(F.round(avg_lp * 10000).cast("long").alias("lp"))
+        .localCheckpoint(eager=False)
+    )
+    return _ccx_assign_buckets(scored)
+
+
+# ---------------------------------------------------------------------------
+# docs_bloom_paragraph_dedup (+ gate)
+# ---------------------------------------------------------------------------
+
+_BF_BITS = 1 << 20  # m: bitset size (16 Ki packed words = 128 KB broadcast)
+_BF_MASK = _BF_BITS - 1
+_BF_K = 7  # hash functions — optimal near m/n ~ 10-16 bits/item
+
+
+def _paragraphs(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, par): newline-split, trimmed, empties dropped —
+    the Dolma paragraph unit (docs_line_dedup's line convention)."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    return (
+        docs.select("doc_id", F.posexplode(F.split(text, "\n", -1)).alias("pos", "raw"))
+        .select("doc_id", "pos", F.trim(F.col("raw")).alias("par"))
+        .where(F.col("par") != "")
+    )
+
+
+def _bf_positions(par: Column) -> list[Column]:
+    """k double-hashed bit positions (Kirsch-Mitzenmacher): pos_j =
+    (h1 + j*h2) & (m-1). Long overflow wraps deterministically (ANSI
+    off per registry confs); & with m-1 is non-negative for any sign."""
+    h1 = F.xxhash64(par)
+    h2 = F.xxhash64(par, F.lit(1))
+    return [(h1 + F.lit(j) * h2).bitwiseAND(F.lit(_BF_MASK)) for j in range(_BF_K)]
+
+
+def _bf_words(ref_pars: DataFrame) -> DataFrame:
+    """OR-fold the reference paragraphs' bit positions into the packed
+    (wi, w) words table — <= m/64 rows, partial-aggregated map-side
+    (bit_or combines associatively), always broadcastable."""
+    pos = ref_pars.select(
+        F.explode(F.array(*_bf_positions(F.col("par")))).alias("p")
+    )
+    return pos.groupBy(F.expr("shiftright(p, 6)").alias("wi")).agg(
+        F.expr("bit_or(shiftleft(1L, cast((p & 63) as int)))").alias("w")
+    )
+
+
+def _bf_flag_probe(probe_pars: DataFrame, words: DataFrame) -> DataFrame:
+    """Append might_contain as `dup`: k broadcast joins + bit tests —
+    whole-stage codegen, the probe stream never shuffles here."""
+    out = probe_pars
+    for j, pos in enumerate(_bf_positions(F.col("par"))):
+        out = out.withColumn(f"_p{j}", pos)
+    flags = []
+    for j in range(_BF_K):
+        wj = words.select(F.col("wi").alias(f"_wi{j}"), F.col("w").alias(f"_w{j}"))
+        out = out.join(
+            F.broadcast(wj), F.expr(f"shiftright(_p{j}, 6)") == F.col(f"_wi{j}"), "left"
+        )
+        flags.append(
+            F.expr(f"coalesce(_w{j} & shiftleft(1L, cast((_p{j} & 63) as int)), 0L) != 0")
+        )
+    dup = reduce(lambda a, b: a & b, flags)
+    keep = [c for c in probe_pars.columns]
+    return out.select(*keep, dup.alias("dup"))
+
+
+@query("docs_bloom_paragraph_dedup")
+def docs_bloom_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style Bloom paragraph dedup (module comment above): filter
+    built over the even-doc_id half (standing in for previously
+    processed shards), odd-half paragraphs probed map-side; per-doc
+    summary (doc_id, n_paragraphs, n_flagged_dup). Rows-only by design
+    (xxhash64 has no SQL twin); quality is oracle-gated by
+    docs_bloom_paragraph_dedup_gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    pars = _paragraphs(docs)
+    words = _bf_words(pars.where(F.col("doc_id") % 2 == 0))
+    probe = _bf_flag_probe(pars.where(F.col("doc_id") % 2 == 1), words)
+    return (
+        probe.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
+            F.sum(F.col("dup").cast("long")).cast("long").alias("n_flagged_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BF_GATE_ORACLE = """
+    WITH pars AS (
+      SELECT doc_id, TRIM(p) AS par
+      FROM (SELECT doc_id, UNNEST(string_split(COALESCE(text, ''), chr(10))) AS p
+            FROM documents)
+      WHERE TRIM(p) <> ''
+    ), ref AS (
+      SELECT DISTINCT par FROM pars WHERE doc_id % 2 = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_paragraphs,
+           CAST(SUM(CASE WHEN r.par IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_dup,
+           CAST(0 AS BIGINT) AS n_missed,
+           TRUE AS fp_ok
+    FROM (SELECT par FROM pars WHERE doc_id % 2 = 1) p
+    LEFT JOIN ref r USING (par)
+    """
+
+
+@query("docs_bloom_paragraph_dedup_gate", oracle=_BF_GATE_ORACLE)
+def docs_bloom_paragraph_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-paired quality gate for the rows-only Bloom tier: a Bloom
+    filter has NO false negatives, so every true duplicate (exact
+    paragraph match against the reference half — which the oracle
+    counts independently) must be flagged (n_missed = 0), and measured
+    false positives among true non-duplicates stay under 5% (target
+    fpp at fixture load ~1e-10)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pars = _paragraphs(docs)
+    ref_pars = pars.where(F.col("doc_id") % 2 == 0)
+    words = _bf_words(ref_pars)
+    probe = _bf_flag_probe(pars.where(F.col("doc_id") % 2 == 1), words)
+    truth = probe.join(
+        F.broadcast(ref_pars.select(F.col("par").alias("_rpar")).distinct()),
+        probe.par == F.col("_rpar"),
+        "left",
+    ).select("dup", F.col("_rpar").isNotNull().alias("is_dup"))
+    return truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe_paragraphs"),
+        F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_true_dup"),
+        F.sum((F.col("is_dup") & ~F.col("dup")).cast("long"))
+        .cast("long")
+        .alias("n_missed"),
+        (
+            F.sum((F.col("dup") & ~F.col("is_dup")).cast("long")) * 20
+            <= F.sum((~F.col("is_dup")).cast("long"))
+        ).alias("fp_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# project_extract_date_range
+# ---------------------------------------------------------------------------
+
+_DR_ORACLE = """
+    SELECT o_orderkey,
+           CASE
+             WHEN o_orderkey % 3 = 0 THEN
+               'report_' || strftime(o_orderdate, '%Y-%m-%d') || '_to_'
+                 || strftime(o_orderdate + to_days(CAST(o_orderkey % 30 AS INT)),
+                             '%Y-%m-%d') || '.csv'
+             WHEN o_orderkey % 3 = 1 THEN
+               'sales_' || strftime(o_orderdate, '%Y-%m-%d') || '.csv'
+             ELSE 'notes.txt'
+           END AS filename,
+           CASE WHEN o_orderkey % 3 = 0
+                THEN strftime(o_orderdate, '%Y-%m-%d') END AS start_date,
+           CASE WHEN o_orderkey % 3 = 0
+                THEN strftime(o_orderdate + to_days(CAST(o_orderkey % 30 AS INT)),
+                              '%Y-%m-%d') END AS end_date
+    FROM orders ORDER BY o_orderkey
+    """
+
+
+@query("project_extract_date_range", oracle=_DR_ORACLE)
+def project_extract_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1k end-to-end: the date_range struct (reference
+    etl_pipeline.py:181-189 — BOTH endpoints of
+    'YYYY-MM-DD_to_YYYY-MM-DD') extracted by
+    functions.dates.extract_date_range_col over synthesized filenames;
+    non-range filenames yield NULL fields (reference: pattern absent
+    from the results dict). The oracle knows ground truth by
+    construction (the core_ops _synth_filenames convention). Pure
+    per-row projection — no shuffle but the output sort."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    end_d = F.date_add(d, (F.col("o_orderkey") % 30).cast("int"))
+    fn = (
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.concat(
+                F.lit("report_"),
+                F.date_format(d, "yyyy-MM-dd"),
+                F.lit("_to_"),
+                F.date_format(end_d, "yyyy-MM-dd"),
+                F.lit(".csv"),
+            ),
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.concat(F.lit("sales_"), F.date_format(d, "yyyy-MM-dd"), F.lit(".csv")),
+        )
+        .otherwise(F.lit("notes.txt"))
+    )
+    files = o.select("o_orderkey", fn.alias("filename"))
+    rng = extract_date_range_col("filename")
+    return files.select(
+        "o_orderkey",
+        "filename",
+        F.date_format(rng["start_date"], "yyyy-MM-dd").alias("start_date"),
+        F.date_format(rng["end_date"], "yyyy-MM-dd").alias("end_date"),
+    ).orderBy("o_orderkey")

@@ -1,0 +1,185 @@
+"""llm_ops13: CCNet external-LM tier, Bloom paragraph dedup, X1k range."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from etl_from_s3_to_postgresql_template_spark.plans import ORACLE, QUERIES
+from etl_from_s3_to_postgresql_template_spark.plans.llm_ops13 import (
+    _BF_K,
+    _bf_flag_probe,
+    _bf_words,
+    _paragraphs,
+)
+
+
+def _write_docs(spark, tmp_path, rows):
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def _oracle_docs(sf, name):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    return [tuple(r) for r in con.execute(ORACLE[name]).fetchall()]
+
+
+# ---------------------------------------------------------------------------
+# Bloom paragraph dedup
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_planted(spark, tmp_path):
+    """Every probe paragraph textually present in the reference half MUST
+    be flagged — a Bloom filter cannot miss."""
+    ref_lines = [f"common paragraph {i}" for i in range(50)]
+    rows = [(0, "\n".join(ref_lines[:25]), "en", "web", 1),
+            (2, "\n".join(ref_lines[25:]), "en", "web", 1),
+            # probe doc 1: all duplicates of reference paragraphs
+            (1, "\n".join(ref_lines[::5]), "en", "web", 1),
+            # probe doc 3: all fresh paragraphs
+            (3, "\n".join(f"unique paragraph {i}" for i in range(10)), "en", "web", 1)]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in QUERIES["docs_bloom_paragraph_dedup"](spark, sf).collect()}
+    assert out[1].n_paragraphs == 10
+    assert out[1].n_flagged_dup == 10  # no false negatives, structural
+    assert out[3].n_paragraphs == 10
+    # fpp at this load is ~1e-10: no false positives expected
+    assert out[3].n_flagged_dup == 0
+
+
+def test_bloom_gate_matches_oracle_planted(spark, tmp_path):
+    rows = [(0, "alpha\nbeta\ngamma", "en", "web", 1),
+            (1, "beta\nalpha\nfresh one\nfresh two", "en", "web", 1),
+            (2, "delta", "en", "web", 1),
+            (3, "delta\nanother fresh", "en", "web", 1)]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = [tuple(r) for r in QUERIES["docs_bloom_paragraph_dedup_gate"](spark, sf).collect()]
+    want = _oracle_docs(sf, "docs_bloom_paragraph_dedup_gate")
+    assert got == want
+    (n_probe, n_true, n_missed, fp_ok) = got[0]
+    assert (n_probe, n_true, n_missed, fp_ok) == (6, 3, 0, True)
+
+
+def test_bloom_words_table_bounded_and_mergeable(spark):
+    """The packed words table never exceeds m/64 rows (broadcastable by
+    construction) and OR-merging two shard filters equals the filter of
+    the union — the cross-shard merge shape."""
+    a = spark.createDataFrame([(i, 0, f"p{i}") for i in range(200)], "doc_id long, pos int, par string")
+    b = spark.createDataFrame([(i, 0, f"q{i}") for i in range(200)], "doc_id long, pos int, par string")
+    wa, wb = _bf_words(a), _bf_words(b)
+    assert wa.count() <= (1 << 20) // 64
+    merged = (
+        wa.unionByName(wb)
+        .groupBy("wi")
+        .agg(F.expr("bit_or(w)").alias("w"))
+    )
+    direct = _bf_words(a.unionByName(b))
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_bloom_probe_plan_is_broadcast_only(spark, tmp_path):
+    """The probe path must contain no shuffle of the probe stream before
+    its per-doc aggregate: every join is a BroadcastHashJoin."""
+    rows = [(i, f"line {i}\nline {i+1}", "en", "web", 1) for i in range(20)]
+    sf = _write_docs(spark, tmp_path, rows)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pars = _paragraphs(docs)
+    words = _bf_words(pars.where(F.col("doc_id") % 2 == 0))
+    probe = _bf_flag_probe(pars.where(F.col("doc_id") % 2 == 1), words)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == _BF_K
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# CCNet external-LM tier
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_external_planted_oracle_parity(spark, tmp_path):
+    rows = (
+        # LM corpus (doc_id % 10 == 0): clean repeated English
+        [(0, "the cat sat on the mat", "en", "web", 1),
+         (10, "the cat ran on the mat", "en", "web", 1),
+         (20, "the dog sat on the rug", "en", "web", 1)]
+        # scored stream: one in-distribution, one gibberish, one short (excluded)
+        + [(1, "the cat sat on the rug", "en", "web", 1),
+           (2, "zxq qqv jjk wop vvz nnm", "en", "web", 1),
+           (3, "single", "en", "web", 1),
+           (4, None, "en", "web", 0)]
+    )
+    sf = _write_docs(spark, tmp_path, rows)
+    got = [tuple(r) for r in QUERIES["docs_ccnet_ppl_score_external"](spark, sf).collect()]
+    want = _oracle_docs(sf, "docs_ccnet_ppl_score_external")
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert set(by_id) == {1, 2}  # <2 tokens and NULL text excluded; LM slice not scored
+    # in-distribution text scores higher (less negative lp) than gibberish
+    assert by_id[1][2] > by_id[2][2]
+
+
+def test_ccnet_external_lm_slice_never_scored(spark, tmp_path):
+    rows = [(i, "alpha beta gamma delta", "en", "web", 1) for i in range(30)]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = QUERIES["docs_ccnet_ppl_score_external"](spark, sf)
+    ids = [r.doc_id for r in out.collect()]
+    assert all(i % 10 != 0 for i in ids)
+    assert len(ids) == 27
+
+
+def test_ccnet_external_plan_broadcasts_lm(spark, tmp_path):
+    """The LM tables must reach the scored stream as broadcast joins —
+    the zero-LM-shuffle production claim."""
+    rows = [(i, f"w{i} w{i+1} w{i+2} common tail", "en", "web", 1) for i in range(40)]
+    sf = _write_docs(spark, tmp_path, rows)
+    df = QUERIES["docs_ccnet_ppl_score_external"](spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2  # lm12 + lm1 onto the stream
+
+
+# ---------------------------------------------------------------------------
+# X1k date range
+# ---------------------------------------------------------------------------
+
+
+def test_date_range_struct_extraction_unit(spark):
+    from etl_from_s3_to_postgresql_template_spark.functions.dates import (
+        extract_date_range_col,
+    )
+
+    df = spark.createDataFrame(
+        [("report_2024-01-05_to_2024-02-10.csv",),
+         ("sales_2024-01-05.csv",),
+         ("report_2024-13-05_to_2024-02-10.csv",)],  # invalid month -> NULL (ANSI off)
+        "filename string",
+    )
+    rng = extract_date_range_col("filename")
+    rows = df.select(
+        F.date_format(rng["start_date"], "yyyy-MM-dd").alias("s"),
+        F.date_format(rng["end_date"], "yyyy-MM-dd").alias("e"),
+    ).collect()
+    assert (rows[0].s, rows[0].e) == ("2024-01-05", "2024-02-10")
+    assert (rows[1].s, rows[1].e) == (None, None)
+    assert (rows[2].s, rows[2].e) == (None, "2024-02-10")
+
+
+def test_date_range_query_oracle_parity_sf0001(spark):
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in QUERIES["project_extract_date_range"](spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(ORACLE["project_extract_date_range"]).fetchall()]
+    assert got == want
