@@ -74,6 +74,13 @@ K_INDEPENDENT = [
     "similarity_hard_negatives",
     "embedding_pca_project",
     "corpus_coreset_kcenter",
+    # round-11 additions: external-LM CCNet scoring (bounded broadcast
+    # LM from the held-out slice) and Bloom paragraph dedup (128 KB
+    # packed bitset, k broadcast joins — NB the registered fixture-sized
+    # m saturates at the big corpus; this times the plan shape, and
+    # production sizes m ~16 bits/paragraph per shard)
+    "docs_ccnet_ppl_score_external",
+    "docs_bloom_paragraph_dedup",
 ]
 
 
@@ -91,6 +98,7 @@ EAGER_PLANS = {
     "embedding_kmeans_micro",
     "docs_ccnet_ppl_buckets",
     "docs_ccnet_ppl_buckets_hashed",
+    "docs_ccnet_ppl_score_external",
 }
 
 
