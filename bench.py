@@ -99,6 +99,13 @@ DOCS_HEAVY = [
     "corpus_prep_funnel_web",
     "docs_ccnet_ppl_buckets",
     "docs_ccnet_ppl_buckets_hashed",
+    # r11 additions, tracked from their first round: the external-LM
+    # CCNet production tier (bounded broadcast LM from the held-out
+    # slice, zero LM-construction shuffle from the scored stream) and
+    # the Bloom paragraph-dedup tier (128 KB packed bitset, k broadcast
+    # joins).
+    "docs_ccnet_ppl_score_external",
+    "docs_bloom_paragraph_dedup",
 ]
 
 

@@ -5,18 +5,13 @@
 submodules for their registration side effects.
 """
 
-# Registration order = the order the driver's correctness gate walks the
-# registry (it verifies a bounded prefix per round). NEW modules first
-# (never driver-seen — tier 0 regardless, but explicit is better), then
-# the VERIFIED modules ordered by the AGE of their driver evidence,
-# oldest first (round 10): with the whole registry stamped, the ~31
-# prefix slots left after tier-0/1 should re-ratify the entries whose
-# driver runs are oldest — core_ops/query_pack (r1),
-# llm_ops/corpus_ops/streaming_ops/multimodal_ops (r2), then r3-r8
-# vintages; the modules the r9 driver run just ratified (llm_ops9/10,
-# multimodal_ops2, tpch2/ext rotation entries) register last. The
-# fingerprint tiers in _rotate_unverified_first still dominate: any
-# edited module jumps the queue no matter where it imports.
+# Registration order matters only as a TIE-BREAK since round 11: the
+# rotation below orders the driver-green tier by per-NAME driver-evidence
+# age (the stamp ledger's driver_round), so module import order no longer
+# decides which entries reach the driver's bounded prefix. Import order is
+# kept newest-module-first for readability; the fingerprint tiers in
+# _rotate_unverified_first still dominate — any edited module jumps the
+# queue no matter where it imports.
 from etl_from_s3_to_postgresql_template_spark.plans import registry
 from etl_from_s3_to_postgresql_template_spark.plans import llm_ops13  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import llm_ops12  # noqa: F401
