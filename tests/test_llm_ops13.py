@@ -149,6 +149,39 @@ def test_ccnet_external_plan_broadcasts_lm(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# CCNet fast (xxhash64) tier + agreement gate
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_fast_tier_identical_on_collision_free_corpus(spark, tmp_path):
+    """With a small planted vocabulary neither bucketing collides, so the
+    xxhash64 tier must reproduce the md5 tier row for row (lp included)."""
+    from etl_from_s3_to_postgresql_template_spark.plans.llm_ops13 import (
+        _bucket_fast,
+        _bucket_md5,
+        _ccx_self_lm_buckets,
+    )
+
+    rows = [(i, f"tok{i % 7} tok{(i + 1) % 7} tok{(i + 2) % 7} common", "en", "web", 1)
+            for i in range(40)]
+    sf = _write_docs(spark, tmp_path, rows)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    fast = sorted(tuple(r) for r in _ccx_self_lm_buckets(docs, _bucket_fast).collect())
+    md5t = sorted(tuple(r) for r in _ccx_self_lm_buckets(docs, _bucket_md5).collect())
+    assert fast == md5t
+
+
+def test_ccnet_agreement_gate_matches_oracle(spark, tmp_path):
+    rows = [(i, f"w{i % 11} w{(i + 3) % 11} w{(i + 5) % 11}", "en", "web", 1)
+            for i in range(30)] + [(30, "single", "en", "web", 1)]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = [tuple(r) for r in QUERIES["docs_ccnet_ppl_agreement_gate"](spark, sf).collect()]
+    want = _oracle_docs(sf, "docs_ccnet_ppl_agreement_gate")
+    assert got == want
+    assert got[0] == (30, True)  # the 1-token doc is not scoreable
+
+
+# ---------------------------------------------------------------------------
 # X1k date range
 # ---------------------------------------------------------------------------
 
