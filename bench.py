@@ -106,6 +106,7 @@ DOCS_HEAVY = [
     # joins).
     "docs_ccnet_ppl_score_external",
     "docs_bloom_paragraph_dedup",
+    "docs_ccnet_ppl_buckets_fast",
 ]
 
 

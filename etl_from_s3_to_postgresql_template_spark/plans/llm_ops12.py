@@ -454,7 +454,11 @@ _DM_BODY = rf"""tk AS (
       FROM exc
     ), e AS (
       SELECT domain, n_tokens, lambda_micro, excess_micro, k,
-             CAST(CASE WHEN m > 0
+             CAST(CASE
+                  WHEN m > 9223372036854775807 // 1000
+                  THEN CAST(error('doremi e-step remainder stage would overflow int64')
+                            AS BIGINT)
+                  WHEN m > 0
                   THEN {_mul_div_staged('excess_micro', 1000, _DM_ETA_MICRO // 1000,
                                         'm', '//')}
                   ELSE 0 END AS BIGINT) AS e
@@ -593,7 +597,15 @@ def corpus_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lambda_micro",
         "excess_micro",
         "k",
-        F.when(
+        F.when(  # staged remainder (x%m)*1000 needs m <= BIGMAX/1000:
+            # fail loudly past it (review r11), like the renorm guard
+            F.col("m") > 9223372036854775807 // 1000,
+            F.expr(
+                "CAST(raise_error('doremi e-step remainder stage would"
+                " overflow int64') AS BIGINT)"
+            ),
+        )
+        .when(
             F.col("m") > 0,
             F.expr(_mul_div_staged("excess_micro", 1000, _DM_ETA_MICRO // 1000, "m", "div")),
         )

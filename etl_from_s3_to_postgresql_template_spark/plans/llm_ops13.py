@@ -275,10 +275,16 @@ def docs_ccnet_ppl_score_external(spark: SparkSession, sf_dir: str) -> DataFrame
 # (the winnowing exact/fast tier-agreement convention).
 
 
-def _ccx_self_lm_buckets(docs: DataFrame, bucket) -> DataFrame:
+def _ccx_self_lm_buckets(docs_or_occ: DataFrame, bucket) -> DataFrame:
     """Self-LM hashed CCNet chain (llm_ops12's hashed tier shape,
-    re-declared) parameterized by the bucket expression."""
-    occ = _ccx_bigram_occurrences(docs).select(
+    re-declared) parameterized by the bucket expression. Accepts either
+    a documents frame or a pre-extracted (doc_id, lang, w1, w2)
+    occurrence frame — the agreement gate shares ONE tokenize+explode
+    pass between its two tiers (review r11)."""
+    src = docs_or_occ
+    if "w1" not in src.columns:
+        src = _ccx_bigram_occurrences(src)
+    occ = src.select(
         "doc_id",
         "lang",
         bucket(F.concat(F.col("w1"), F.lit(" "), F.col("w2"))).alias("b12"),
@@ -346,17 +352,22 @@ def docs_ccnet_ppl_agreement_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     A collapse to chance-level agreement (~33%) is what the gate
     catches: a broken bucket expression, not collision noise."""
     docs = load_table(spark, sf_dir, "documents")
-    fast = _ccx_self_lm_buckets(docs, _bucket_fast).select(
+    # one tokenize+bigram-explode pass feeds BOTH tiers (checkpointed:
+    # two consuming subtrees would otherwise re-run it — the llm_ops5/6
+    # multi-subtree precedent)
+    occ = _ccx_bigram_occurrences(docs).localCheckpoint(eager=False)
+    fast = _ccx_self_lm_buckets(occ, _bucket_fast).select(
         "doc_id", F.col("bucket").alias("b_fast")
     )
-    md5t = _ccx_self_lm_buckets(docs, _bucket_md5).select(
+    md5t = _ccx_self_lm_buckets(occ, _bucket_md5).select(
         "doc_id", F.col("bucket").alias("b_md5")
     )
     return fast.join(md5t, "doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        (
+        F.coalesce(  # empty scoreable set: vacuously TRUE (oracle literal)
             F.sum((F.col("b_fast") != F.col("b_md5")).cast("long")) * 5
-            <= F.count(F.lit(1))
+            <= F.count(F.lit(1)),
+            F.lit(True),
         ).alias("agree_ok"),
     )
 
@@ -454,8 +465,8 @@ _BF_GATE_ORACLE = """
       SELECT DISTINCT par FROM pars WHERE doc_id % 2 = 0
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_paragraphs,
-           CAST(SUM(CASE WHEN r.par IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_true_dup,
+           CAST(COALESCE(SUM(CASE WHEN r.par IS NOT NULL THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_true_dup,
            CAST(0 AS BIGINT) AS n_missed,
            TRUE AS fp_ok
     FROM (SELECT par FROM pars WHERE doc_id % 2 = 1) p
@@ -481,15 +492,20 @@ def docs_bloom_paragraph_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFra
         probe.par == F.col("_rpar"),
         "left",
     ).select("dup", F.col("_rpar").isNotNull().alias("is_dup"))
+    # empty probe stream: sums are NULL on 0 rows — coalesce to the
+    # oracle's vacuous constants (0 dups, 0 missed, fp trivially ok)
     return truth.agg(
         F.count(F.lit(1)).cast("long").alias("n_probe_paragraphs"),
-        F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_true_dup"),
-        F.sum((F.col("is_dup") & ~F.col("dup")).cast("long"))
+        F.coalesce(F.sum(F.col("is_dup").cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_true_dup"),
+        F.coalesce(F.sum((F.col("is_dup") & ~F.col("dup")).cast("long")), F.lit(0))
         .cast("long")
         .alias("n_missed"),
-        (
+        F.coalesce(
             F.sum((F.col("dup") & ~F.col("is_dup")).cast("long")) * 20
-            <= F.sum((~F.col("is_dup")).cast("long"))
+            <= F.sum((~F.col("is_dup")).cast("long")),
+            F.lit(True),
         ).alias("fp_ok"),
     )
 

@@ -148,6 +148,27 @@ def test_ccnet_external_plan_broadcasts_lm(spark, tmp_path):
     assert plan.count("BroadcastHashJoin") >= 2  # lm12 + lm1 onto the stream
 
 
+def test_bloom_gate_empty_probe_matches_oracle(spark, tmp_path):
+    """No odd-doc_id paragraphs: both engines must return the vacuous
+    constants (0 dups, 0 missed, fp trivially ok), not NULLs (review r11)."""
+    rows = [(0, "alpha\nbeta", "en", "web", 1), (2, "gamma", "en", "web", 1)]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = [tuple(r) for r in QUERIES["docs_bloom_paragraph_dedup_gate"](spark, sf).collect()]
+    want = _oracle_docs(sf, "docs_bloom_paragraph_dedup_gate")
+    assert got == want
+    assert got[0] == (0, 0, 0, True)
+
+
+def test_ccnet_agreement_gate_empty_scoreable_matches_oracle(spark, tmp_path):
+    """No doc has >= 2 tokens: agree_ok is vacuously TRUE on both engines."""
+    rows = [(0, "single", "en", "web", 1), (1, None, "en", "web", 0)]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = [tuple(r) for r in QUERIES["docs_ccnet_ppl_agreement_gate"](spark, sf).collect()]
+    want = _oracle_docs(sf, "docs_ccnet_ppl_agreement_gate")
+    assert got == want
+    assert got[0] == (0, True)
+
+
 # ---------------------------------------------------------------------------
 # CCNet fast (xxhash64) tier + agreement gate
 # ---------------------------------------------------------------------------

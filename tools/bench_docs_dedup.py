@@ -81,6 +81,7 @@ K_INDEPENDENT = [
     # production sizes m ~16 bits/paragraph per shard)
     "docs_ccnet_ppl_score_external",
     "docs_bloom_paragraph_dedup",
+    "docs_ccnet_ppl_buckets_fast",
 ]
 
 
@@ -99,6 +100,7 @@ EAGER_PLANS = {
     "docs_ccnet_ppl_buckets",
     "docs_ccnet_ppl_buckets_hashed",
     "docs_ccnet_ppl_score_external",
+    "docs_ccnet_ppl_buckets_fast",
 }
 
 

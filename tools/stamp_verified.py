@@ -126,7 +126,13 @@ def main() -> int:
         # (module import order alone wastes slots on just-ratified entries
         # sharing a module with stale ones). A local_sweep overlay keeps
         # the prior driver_round — it refreshes the stamp, not the driver
-        # evidence.
+        # evidence. NB the two halves of a meta entry answer different
+        # questions: kind/ref/file describe the artifact the ACTIVE stamp
+        # rests on (later pairs override, like the stamp itself), while
+        # driver_round is the newest driver evidence across ALL rounds
+        # (max) — if files are passed out of round order they legitimately
+        # diverge; source changes since that evidence are still caught by
+        # the fingerprint (tier 1), never by vintage.
         rnd_m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", path.name)
         rnd = int(rnd_m.group(1)) if (kind == "driver" and rnd_m) else None
         names = green_names(path, data)
