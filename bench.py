@@ -101,9 +101,10 @@ DOCS_HEAVY = [
     "docs_ccnet_ppl_buckets_hashed",
     # r11 additions, tracked from their first round: the external-LM
     # CCNet production tier (bounded broadcast LM from the held-out
-    # slice, zero LM-construction shuffle from the scored stream) and
-    # the Bloom paragraph-dedup tier (128 KB packed bitset, k broadcast
-    # joins).
+    # slice, zero LM-construction shuffle from the scored stream), the
+    # Bloom paragraph-dedup tier (128 KB packed bitset, k broadcast
+    # joins), and the late-added xxhash64 CCNet bucket tier (the
+    # production hash; 2.5x the md5 tier's 500k throughput).
     "docs_ccnet_ppl_score_external",
     "docs_bloom_paragraph_dedup",
     "docs_ccnet_ppl_buckets_fast",

@@ -71,7 +71,7 @@ def _rotate_unverified_first() -> None:
     # granularity — module import order alone wastes prefix slots when a
     # module mixes just-ratified and stale-vintage entries (query_pack:
     # 21 r10 + 5 r1). Missing ledger/round -> 0 (oldest, checked first).
-    meta_file = provenance.STAMPS_FILE.with_name("_verified_stamps_meta.json")
+    meta_file = provenance.META_FILE
     meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
     vintage = {n: m.get("driver_round", 0) for n, m in meta.items()}
     tier = {n: (0 if n not in stamped else (2 if n in valid else 1)) for n in registry.QUERIES}

@@ -487,8 +487,11 @@ def docs_bloom_paragraph_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFra
     ref_pars = pars.where(F.col("doc_id") % 2 == 0)
     words = _bf_words(ref_pars)
     probe = _bf_flag_probe(pars.where(F.col("doc_id") % 2 == 1), words)
+    # no broadcast hint: the distinct reference TEXT frame grows with the
+    # corpus (unlike the 128 KB words table) — let Spark's size-based
+    # planning fall back to a shuffle join past the threshold (review r11)
     truth = probe.join(
-        F.broadcast(ref_pars.select(F.col("par").alias("_rpar")).distinct()),
+        ref_pars.select(F.col("par").alias("_rpar")).distinct(),
         probe.par == F.col("_rpar"),
         "left",
     ).select("dup", F.col("_rpar").isNotNull().alias("is_dup"))

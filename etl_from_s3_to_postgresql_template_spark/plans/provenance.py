@@ -38,6 +38,11 @@ _IMPORT_RE = re.compile(
 _QUERY_RE = re.compile(r"@query\(\s*\n?\s*[\"']([A-Za-z0-9_]+)[\"']")
 
 STAMPS_FILE = Path(__file__).with_name("_verified_stamps.json")
+#: provenance ledger beside the stamps ({name: {kind, ref, file,
+#: driver_round}} — see tools/stamp_verified.py). Shared constant so the
+#: writer (stamp_verified) and the reader (plans/__init__'s vintage
+#: rotation) cannot drift apart on the filename.
+META_FILE = STAMPS_FILE.with_name("_verified_stamps_meta.json")
 
 
 def _pkg_root(root: str | Path | None = None) -> Path:

@@ -75,10 +75,11 @@ K_INDEPENDENT = [
     "embedding_pca_project",
     "corpus_coreset_kcenter",
     # round-11 additions: external-LM CCNet scoring (bounded broadcast
-    # LM from the held-out slice) and Bloom paragraph dedup (128 KB
-    # packed bitset, k broadcast joins — NB the registered fixture-sized
-    # m saturates at the big corpus; this times the plan shape, and
-    # production sizes m ~16 bits/paragraph per shard)
+    # LM from the held-out slice), Bloom paragraph dedup (128 KB packed
+    # bitset, k broadcast joins — NB the registered fixture-sized m
+    # saturates at the big corpus; this times the plan shape, and
+    # production sizes m ~16 bits/paragraph per shard), and the
+    # late-added xxhash64 CCNet bucket tier (the production hash)
     "docs_ccnet_ppl_score_external",
     "docs_bloom_paragraph_dedup",
     "docs_ccnet_ppl_buckets_fast",

@@ -53,7 +53,7 @@ sys.path.insert(0, "/root/repo")
 from etl_from_s3_to_postgresql_template_spark.plans import provenance
 
 
-META_FILE = provenance.STAMPS_FILE.with_name("_verified_stamps_meta.json")
+META_FILE = provenance.META_FILE
 
 
 def file_kind(data: dict) -> str:
