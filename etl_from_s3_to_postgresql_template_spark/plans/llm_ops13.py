@@ -78,6 +78,8 @@ from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
 
 __all__ = [
     "docs_ccnet_ppl_score_external",
+    "docs_ccnet_ppl_score_external_perlang",
+    "docs_ccnet_sample_headmiddle",
     "docs_ccnet_ppl_buckets_fast",
     "docs_ccnet_ppl_agreement_gate",
     "docs_bloom_paragraph_dedup",
@@ -260,6 +262,164 @@ def docs_ccnet_ppl_score_external(spark: SparkSession, sf_dir: str) -> DataFrame
         .localCheckpoint(eager=False)
     )
     return _ccx_assign_buckets(scored)
+
+
+# ---------------------------------------------------------------------------
+# docs_ccnet_ppl_score_external_perlang + docs_ccnet_sample_headmiddle
+# ---------------------------------------------------------------------------
+# Production CCNet trains ONE LM PER LANGUAGE (Wenzek et al. 2020 §3.3)
+# and then keeps the head, samples the middle, drops the tail (§4.4).
+# The per-lang tier keys the LM bucket tables by (lang, bucket) — the
+# union of per-lang tables is the same bounded size as the pooled
+# tier's, still broadcast — and scores only documents whose language
+# HAS an LM (inner join on the per-lang vocab: CCNet does not score a
+# language it has no reference model for). The sampler composes the
+# per-lang scoring end-to-end: head kept, middle kept on a
+# deterministic md5 coin (1 in 3 — cross-engine-exact, the repo's md5
+# convention), tail dropped.
+
+
+def _ccx_external_perlang_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, lp) for every scoreable stream doc whose language
+    has an LM — per-language external-LM scoring, all LM tables
+    broadcast, stream scored map-side."""
+    occ_all = _ccx_bigram_occurrences(docs).select(
+        "doc_id",
+        "lang",
+        _bucket_md5(F.concat(F.col("w1"), F.lit(" "), F.col("w2"))).alias("b12"),
+        _bucket_md5(F.col("w1")).alias("b1"),
+    )
+    lm_occ = occ_all.where(F.col("doc_id") % 10 == 0)
+    occ = occ_all.where(F.col("doc_id") % 10 != 0)
+    lm12 = lm_occ.groupBy("lang", "b12").agg(
+        F.count(F.lit(1)).cast("long").alias("pair_cnt")
+    )
+    lm1 = lm_occ.groupBy("lang", "b1").agg(
+        F.count(F.lit(1)).cast("long").alias("w1_cnt")
+    )
+    vocab = lm1.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("v"))
+    avg_lp = F.round(
+        F.sum(
+            F.log(
+                (F.coalesce(F.col("pair_cnt"), F.lit(0)) + 1.0)
+                / (F.coalesce(F.col("w1_cnt"), F.lit(0)) + F.col("v"))
+            ).cast("decimal(38,15)")
+        ).cast("double")
+        / F.count(F.lit(1)),
+        4,
+    )
+    return (
+        occ.join(F.broadcast(lm12), ["lang", "b12"], "left")
+        .join(F.broadcast(lm1), ["lang", "b1"], "left")
+        .join(F.broadcast(vocab), "lang")  # inner: unscoreable langs drop
+        .groupBy("doc_id", "lang")
+        .agg(F.round(avg_lp * 10000).cast("long").alias("lp"))
+        .localCheckpoint(eager=False)
+    )
+
+
+_CCP_SCORED_SQL = rf"""lm_occ AS (
+      SELECT lang,
+             {_ccx_bucket_sql("s.w1 || ' ' || s.w2")} AS b12,
+             {_ccx_bucket_sql("s.w1")} AS b1
+      FROM bg WHERE doc_id % 10 = 0
+    ), lm12 AS (
+      SELECT lang, b12, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+      FROM lm_occ GROUP BY lang, b12
+    ), lm1 AS (
+      SELECT lang, b1, CAST(COUNT(*) AS BIGINT) AS w1_cnt
+      FROM lm_occ GROUP BY lang, b1
+    ), vocab AS (
+      SELECT lang, CAST(COUNT(*) AS DOUBLE) AS v FROM lm1 GROUP BY lang
+    ), occ AS (
+      SELECT doc_id, lang,
+             {_ccx_bucket_sql("s.w1 || ' ' || s.w2")} AS b12,
+             {_ccx_bucket_sql("s.w1")} AS b1
+      FROM bg WHERE doc_id % 10 <> 0
+    ), scored AS (
+      SELECT o.doc_id, o.lang,
+             CAST(round(ROUND(CAST(SUM(CAST(ln((COALESCE(lm12.pair_cnt, 0) + 1.0)
+                       / (COALESCE(lm1.w1_cnt, 0) + vocab.v)) AS DECIMAL(38,15)))
+                     AS DOUBLE) / COUNT(*), 4) * 10000) AS BIGINT) AS lp
+      FROM occ o
+      LEFT JOIN lm12 USING (lang, b12)
+      LEFT JOIN lm1 USING (lang, b1)
+      JOIN vocab USING (lang)
+      GROUP BY o.doc_id, o.lang
+    )"""
+
+_CCP_ORACLE = rf"""
+    WITH {_CCX_TOKS_SQL}, {_CCP_SCORED_SQL}, {_CCX_CUTS_SQL}
+    """
+
+
+@query("docs_ccnet_ppl_score_external_perlang", oracle=_CCP_ORACLE)
+def docs_ccnet_ppl_score_external_perlang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language external-LM CCNet buckets (module comment above):
+    one LM per language from the held-out slice, all tables still
+    bounded and broadcast, stream scored map-side; languages without an
+    LM are not scored (CCNet semantics). Terciles are per-language as
+    in every tier."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _ccx_assign_buckets(_ccx_external_perlang_scored(docs))
+
+
+#: deterministic 1-in-3 md5 coin on doc_id — identical on both engines
+_CCS_COIN_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 3 = 0"
+
+_CCS_ORACLE = rf"""
+    WITH {_CCX_TOKS_SQL}, {_CCP_SCORED_SQL}, bkt AS (
+      SELECT s.doc_id, s.lang, s.lp,
+             CASE WHEN s.lp >= c.cut1 THEN 'head'
+                  WHEN s.lp >= c.cut2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM scored s JOIN (
+        SELECT lang,
+               MAX(CASE WHEN cum >= (n + 2) // 3 THEN lp END) AS cut1,
+               MAX(CASE WHEN cum >= (2 * n + 2) // 3 THEN lp END) AS cut2
+        FROM (
+          SELECT h.lang, h.lp, t.n,
+                 CAST(SUM(h.c) OVER (PARTITION BY h.lang ORDER BY h.lp DESC)
+                      AS BIGINT) AS cum
+          FROM (SELECT lang, lp, CAST(COUNT(*) AS BIGINT) AS c
+                FROM scored GROUP BY 1, 2) h
+          JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+                FROM scored GROUP BY 1) t USING (lang)
+        ) cum GROUP BY lang
+      ) c USING (lang)
+    )
+    SELECT doc_id, lang, lp, bucket,
+           (bucket = 'head' OR (bucket = 'middle' AND {_CCS_COIN_SQL})) AS kept
+    FROM bkt ORDER BY doc_id
+    """
+
+
+@query("docs_ccnet_sample_headmiddle", oracle=_CCS_ORACLE)
+def docs_ccnet_sample_headmiddle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet selection stage end-to-end (Wenzek et al. 2020 §4.4):
+    per-language external-LM scoring -> tercile buckets -> keep head,
+    keep 1/3 of middle on a deterministic md5 coin, drop tail. The
+    kept flag is emitted (not filtered) so the oracle checks every
+    decision; a production run filters on it — a pure projection, so
+    Catalyst collapses the difference."""
+    docs = load_table(spark, sf_dir, "documents")
+    bkt = _ccx_assign_buckets(_ccx_external_perlang_scored(docs))
+    coin = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 3
+        == 0
+    )
+    return bkt.select(
+        "doc_id",
+        "lang",
+        "lp",
+        "bucket",
+        (
+            (F.col("bucket") == "head")
+            | ((F.col("bucket") == "middle") & coin)
+        ).alias("kept"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -148,6 +148,70 @@ def test_ccnet_external_plan_broadcasts_lm(spark, tmp_path):
     assert plan.count("BroadcastHashJoin") >= 2  # lm12 + lm1 onto the stream
 
 
+def test_ccnet_perlang_unmodeled_language_not_scored(spark, tmp_path):
+    """A stream doc whose language has NO LM in the held-out slice is
+    dropped (CCNet does not score a language it has no model for);
+    modeled languages score against their OWN LM only."""
+    rows = [
+        (0, "the cat sat on the mat", "en", "web", 1),   # en LM
+        (10, "the dog sat on the mat", "en", "web", 1),  # en LM
+        (1, "the cat sat on the rug", "en", "web", 1),   # scored vs en
+        (2, "der hund sitzt auf der matte", "de", "web", 1),  # no de LM
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = [tuple(r) for r in QUERIES["docs_ccnet_ppl_score_external_perlang"](spark, sf).collect()]
+    want = _oracle_docs(sf, "docs_ccnet_ppl_score_external_perlang")
+    assert got == want
+    assert [r[0] for r in got] == [1]  # de doc dropped, LM docs not scored
+
+
+def test_ccnet_perlang_lms_are_isolated(spark, tmp_path):
+    """Identical text in two languages must get identical lp only if both
+    language LMs are identical — a doc never scores against another
+    language's counts. Planted: en LM is dense for the probe text, fr LM
+    is disjoint from it, so the fr probe's lp must be lower (all-unseen
+    backoff) than the en probe's."""
+    rows = [
+        (0, "alpha beta gamma delta", "en", "web", 1),
+        (20, "omega psi chi phi", "fr", "web", 1),
+        (1, "alpha beta gamma delta", "en", "web", 1),  # seen bigrams in en
+        (3, "alpha beta gamma delta", "fr", "web", 1),  # unseen in fr LM
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.doc_id: r.lp for r in QUERIES["docs_ccnet_ppl_score_external_perlang"](spark, sf).collect()}
+    assert set(out) == {1, 3}
+    assert out[1] > out[3]
+
+
+def test_ccnet_sample_headmiddle_semantics(spark, tmp_path):
+    """All head docs kept, no tail doc kept, middle kept iff the md5 coin
+    hits — and the whole frame matches the oracle hash-exactly."""
+    # graded LM overlap: doc i carries i gibberish bigrams appended to a
+    # fully-modeled prefix, so lp strictly decreases with i and every
+    # tercile is populated
+    base = "the cat sat on the mat"
+    rows = [(0, base + " and then the cat slept", "en", "web", 1),
+            (10, "the dog sat on the mat and the dog slept", "en", "web", 1)]
+    rows += [
+        (i, base + " " + " ".join(f"zz{i}x{j}" for j in range(i)), "en", "web", 1)
+        for i in range(1, 10)
+    ] + [
+        (i, base + " " + " ".join(f"qq{i}x{j}" for j in range(i)), "en", "web", 1)
+        for i in range(11, 20)
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = [tuple(r) for r in QUERIES["docs_ccnet_sample_headmiddle"](spark, sf).collect()]
+    want = _oracle_docs(sf, "docs_ccnet_sample_headmiddle")
+    assert got == want
+    for doc_id, lang, lp, bucket, kept in got:
+        if bucket == "head":
+            assert kept
+        elif bucket == "tail":
+            assert not kept
+    assert any(b == "head" for _, _, _, b, _ in got)
+    assert any(b == "tail" for _, _, _, b, _ in got)
+
+
 def test_bloom_gate_empty_probe_matches_oracle(spark, tmp_path):
     """No odd-doc_id paragraphs: both engines must return the vacuous
     constants (0 dups, 0 missed, fp trivially ok), not NULLs (review r11)."""
