@@ -210,6 +210,43 @@ def test_doremi_query_unchanged_at_fixture_scale(spark):
     assert got == want
 
 
+def _trunc_div(a: int, b: int) -> int:
+    """Truncating division (Spark div / DuckDB // semantics), which
+    Python's floor // differs from on negatives."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_mul_div_staged_random_batch_matches_bigint_truth(spark):
+    """500 seeded-random (x, t) pairs spanning the full int64 magnitude
+    range, positive and negative x: the staged form must equal Python's
+    unbounded-precision truncating (x*f1*f2)/t on Spark AND DuckDB
+    wherever the staged preconditions hold."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(11)
+    f1, f2 = 1000, 500
+    rows = []
+    while len(rows) < 500:
+        x = rng.randrange(-(2**62), 2**62)
+        t = rng.randrange(1, 2**53)  # t*f1 < 2^63 precondition
+        if abs(_trunc_div(x, t)) * f1 * f2 < 2**63:  # quotient-stage bound
+            rows.append((x, t))
+    truth = {(x, t): _trunc_div(x * f1 * f2, t) for x, t in rows}
+    staged = _mul_div_staged("x", f1, f2, "t", "div")
+    df = spark.createDataFrame(rows, "x long, t long")
+    got = df.selectExpr("x", "t", f"{staged} AS s").collect()
+    assert all(r.s == truth[(r.x, r.t)] for r in got)
+    staged_dd = _mul_div_staged("x", f1, f2, "t", "//")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v (x BIGINT, t BIGINT)")
+    con.executemany("INSERT INTO v VALUES (?, ?)", rows)
+    for x, t, s in con.execute(f"SELECT x, t, {staged_dd} FROM v").fetchall():
+        assert s == truth[(x, t)]
+
+
 # ---------------------------------------------------------------------------
 # 3. _fixture_dir rename failure surfaces
 # ---------------------------------------------------------------------------
