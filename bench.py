@@ -108,6 +108,9 @@ DOCS_HEAVY = [
     "docs_ccnet_ppl_score_external",
     "docs_bloom_paragraph_dedup",
     "docs_ccnet_ppl_buckets_fast",
+    # second r11 batch: the per-language external-LM tier (the
+    # production CCNet shape; the selection stage composes it)
+    "docs_ccnet_ppl_score_external_perlang",
 ]
 
 

@@ -83,6 +83,7 @@ K_INDEPENDENT = [
     "docs_ccnet_ppl_score_external",
     "docs_bloom_paragraph_dedup",
     "docs_ccnet_ppl_buckets_fast",
+    "docs_ccnet_ppl_score_external_perlang",
 ]
 
 
@@ -102,6 +103,7 @@ EAGER_PLANS = {
     "docs_ccnet_ppl_buckets_hashed",
     "docs_ccnet_ppl_score_external",
     "docs_ccnet_ppl_buckets_fast",
+    "docs_ccnet_ppl_score_external_perlang",
 }
 
 
