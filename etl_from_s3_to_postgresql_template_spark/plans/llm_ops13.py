@@ -24,22 +24,23 @@ VERDICT r10 (items 3-5).
    function registry, so the filter is built from FIRST-CLASS
    DataFrame ops: k=7 double-hashed bit positions per paragraph
    (Kirsch–Mitzenmacher: pos_j = (h1 + j*h2) & (m-1), xxhash64 both),
-   OR-folded into a bit-packed words table via bit_or(shiftleft) —
-   2^20 bits = 16 Ki words = 128 KB, trivially BROADCAST. Probing is k
-   broadcast joins + bit tests: whole-stage codegen, no Python, and
-   the probe stream never shuffles until its per-doc summary. The
-   bitset is deterministic (fixed xxhash64 seeds; OR is
-   order-independent), but no SQL oracle can replicate xxhash64, so
-   the dedup itself is rows-only by design and the GATE is the
-   oracle-paired quality check (the similarity_lsh_recall_gate
-   pattern, llm_ops3.py:82): a Bloom filter has NO false negatives, so
-   every true duplicate must be flagged (n_missed = 0 — structural),
-   and the false-positive rate among true non-duplicates must stay
-   under 5% (target fpp at fixture load is ~1e-10; the margin covers
-   /tmp stress corpora). Sizing rule at 100 TB: m ~ 16 bits per
-   expected paragraph per shard, filter per shard, OR-merge across
-   shards (bit_or is associative) — the words-table shape is the
-   merge.
+   OR-folded into a bit-packed words table via bit_or(shiftleft),
+   SIZED from the reference shard (next pow2 >= 16 bits/paragraph,
+   clamped 2^20..2^27 bits = 128 KB..16 MB packed — one bounded scalar
+   count() sizes it; a pipeline that knows its shard size passes n
+   instead), always BROADCAST. Probing is k broadcast joins + bit
+   tests: whole-stage codegen, no Python, and the probe stream never
+   shuffles until its per-doc summary. The bitset is deterministic
+   (fixed xxhash64 seeds; OR is order-independent), but no SQL oracle
+   can replicate xxhash64, so the dedup itself is rows-only by design
+   and the GATE is the oracle-paired quality check (the
+   similarity_lsh_recall_gate pattern, llm_ops3.py:82): a Bloom filter
+   has NO false negatives, so every true duplicate must be flagged
+   (n_missed = 0 — structural), and the false-positive rate among true
+   non-duplicates must stay under 5% (target fpp at the 16-bit/item
+   sizing is ~1e-3). Cross-shard at 100 TB: one filter per shard,
+   OR-merge across shards (bit_or is associative) — the words-table
+   shape is the merge.
 3. ``project_extract_date_range`` — the X1k date_range struct
    end-to-end (reference ``etl_pipeline.py:181-189``: both endpoints
    of ``YYYY-MM-DD_to_YYYY-MM-DD``), pairing
@@ -536,9 +537,19 @@ def docs_ccnet_ppl_agreement_gate(spark: SparkSession, sf_dir: str) -> DataFrame
 # docs_bloom_paragraph_dedup (+ gate)
 # ---------------------------------------------------------------------------
 
-_BF_BITS = 1 << 20  # m: bitset size (16 Ki packed words = 128 KB broadcast)
-_BF_MASK = _BF_BITS - 1
+_BF_MIN_BITS = 1 << 20  # m floor: 16 Ki packed words = 128 KB broadcast
+_BF_MAX_BITS = 1 << 27  # m ceiling: 2 Mi words = 16 MB — still broadcastable
 _BF_K = 7  # hash functions — optimal near m/n ~ 10-16 bits/item
+
+
+def _bf_bits_for(n_items: int) -> int:
+    """Bitset size for n expected items: next power of two >= 16n
+    (fpp ~ 1e-3 at k=7), clamped to [2^20, 2^27]. Power of two keeps
+    position extraction a mask. The count that feeds this is a bounded
+    scalar action over the REFERENCE shard only (the documented
+    bounded-scalar-collect class); a production pipeline that knows its
+    shard size passes it instead."""
+    return max(_BF_MIN_BITS, min(_BF_MAX_BITS, 1 << max(0, (16 * max(1, n_items) - 1).bit_length())))
 
 
 def _paragraphs(docs: DataFrame) -> DataFrame:
@@ -552,32 +563,34 @@ def _paragraphs(docs: DataFrame) -> DataFrame:
     )
 
 
-def _bf_positions(par: Column) -> list[Column]:
+def _bf_positions(par: Column, bits: int) -> list[Column]:
     """k double-hashed bit positions (Kirsch-Mitzenmacher): pos_j =
     (h1 + j*h2) & (m-1). Long overflow wraps deterministically (ANSI
     off per registry confs); & with m-1 is non-negative for any sign."""
     h1 = F.xxhash64(par)
     h2 = F.xxhash64(par, F.lit(1))
-    return [(h1 + F.lit(j) * h2).bitwiseAND(F.lit(_BF_MASK)) for j in range(_BF_K)]
+    return [(h1 + F.lit(j) * h2).bitwiseAND(F.lit(bits - 1)) for j in range(_BF_K)]
 
 
-def _bf_words(ref_pars: DataFrame) -> DataFrame:
+def _bf_words(ref_pars: DataFrame, bits: int = _BF_MIN_BITS) -> DataFrame:
     """OR-fold the reference paragraphs' bit positions into the packed
     (wi, w) words table — <= m/64 rows, partial-aggregated map-side
     (bit_or combines associatively), always broadcastable."""
     pos = ref_pars.select(
-        F.explode(F.array(*_bf_positions(F.col("par")))).alias("p")
+        F.explode(F.array(*_bf_positions(F.col("par"), bits))).alias("p")
     )
     return pos.groupBy(F.expr("shiftright(p, 6)").alias("wi")).agg(
         F.expr("bit_or(shiftleft(1L, cast((p & 63) as int)))").alias("w")
     )
 
 
-def _bf_flag_probe(probe_pars: DataFrame, words: DataFrame) -> DataFrame:
+def _bf_flag_probe(
+    probe_pars: DataFrame, words: DataFrame, bits: int = _BF_MIN_BITS
+) -> DataFrame:
     """Append might_contain as `dup`: k broadcast joins + bit tests —
     whole-stage codegen, the probe stream never shuffles here."""
     out = probe_pars
-    for j, pos in enumerate(_bf_positions(F.col("par"))):
+    for j, pos in enumerate(_bf_positions(F.col("par"), bits)):
         out = out.withColumn(f"_p{j}", pos)
     flags = []
     for j in range(_BF_K):
@@ -602,9 +615,13 @@ def docs_bloom_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (xxhash64 has no SQL twin); quality is oracle-gated by
     docs_bloom_paragraph_dedup_gate."""
     docs = load_table(spark, sf_dir, "documents")
-    pars = _paragraphs(docs)
-    words = _bf_words(pars.where(F.col("doc_id") % 2 == 0))
-    probe = _bf_flag_probe(pars.where(F.col("doc_id") % 2 == 1), words)
+    # checkpointed: the sizing count, the filter build, and the probe all
+    # consume the paragraph frame
+    pars = _paragraphs(docs).localCheckpoint(eager=False)
+    ref = pars.where(F.col("doc_id") % 2 == 0)
+    bits = _bf_bits_for(ref.count())  # bounded scalar action, sizes m
+    words = _bf_words(ref, bits)
+    probe = _bf_flag_probe(pars.where(F.col("doc_id") % 2 == 1), words, bits)
     return (
         probe.groupBy("doc_id")
         .agg(
@@ -643,10 +660,11 @@ def docs_bloom_paragraph_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFra
     false positives among true non-duplicates stay under 5% (target
     fpp at fixture load ~1e-10)."""
     docs = load_table(spark, sf_dir, "documents")
-    pars = _paragraphs(docs)
+    pars = _paragraphs(docs).localCheckpoint(eager=False)
     ref_pars = pars.where(F.col("doc_id") % 2 == 0)
-    words = _bf_words(ref_pars)
-    probe = _bf_flag_probe(pars.where(F.col("doc_id") % 2 == 1), words)
+    bits = _bf_bits_for(ref_pars.count())
+    words = _bf_words(ref_pars, bits)
+    probe = _bf_flag_probe(pars.where(F.col("doc_id") % 2 == 1), words, bits)
     # no broadcast hint: the distinct reference TEXT frame grows with the
     # corpus (unlike the 128 KB words table) — let Spark's size-based
     # planning fall back to a shuffle join past the threshold (review r11)

@@ -69,6 +69,21 @@ def test_bloom_gate_matches_oracle_planted(spark, tmp_path):
     assert (n_probe, n_true, n_missed, fp_ok) == (6, 3, 0, True)
 
 
+def test_bloom_bits_sizing():
+    from etl_from_s3_to_postgresql_template_spark.plans.llm_ops13 import (
+        _BF_MAX_BITS,
+        _BF_MIN_BITS,
+        _bf_bits_for,
+    )
+
+    assert _bf_bits_for(0) == _BF_MIN_BITS
+    assert _bf_bits_for(100) == _BF_MIN_BITS  # floor
+    n = 2_000_000
+    bits = _bf_bits_for(n)
+    assert bits >= 16 * n and bits & (bits - 1) == 0  # pow2, >= 16 bits/item
+    assert _bf_bits_for(10**9) == _BF_MAX_BITS  # ceiling
+
+
 def test_bloom_words_table_bounded_and_mergeable(spark):
     """The packed words table never exceeds m/64 rows (broadcastable by
     construction) and OR-merging two shard filters equals the filter of
