@@ -153,6 +153,22 @@ def test_ccnet_external_lm_slice_never_scored(spark, tmp_path):
     assert len(ids) == 27
 
 
+def test_ccnet_external_empty_lm_slice_parity(spark, tmp_path):
+    """No scoreable doc in the LM slice: the pooled tier degrades to
+    NULL lp -> 'tail' IDENTICALLY on both engines (1/0 -> NULL Spark,
+    inf -> NULL-through-round DuckDB path verified r11 review); the
+    per-lang tier drops everything (no language has an LM)."""
+    rows = [(0, "single", "en", "web", 1),
+            (1, "the cat sat", "en", "web", 1),
+            (2, "the dog ran", "en", "web", 1)]
+    sf = _write_docs(spark, tmp_path, rows)
+    for name in ("docs_ccnet_ppl_score_external",
+                 "docs_ccnet_ppl_score_external_perlang"):
+        got = [tuple(r) for r in QUERIES[name](spark, sf).collect()]
+        assert got == _oracle_docs(sf, name)
+    assert [r[0] for r in QUERIES["docs_ccnet_ppl_score_external_perlang"](spark, sf).collect()] == []
+
+
 def test_ccnet_external_plan_broadcasts_lm(spark, tmp_path):
     """The LM tables must reach the scored stream as broadcast joins —
     the zero-LM-shuffle production claim."""
