@@ -84,6 +84,7 @@ __all__ = [
     "docs_ccnet_ppl_buckets_fast",
     "docs_ccnet_ppl_agreement_gate",
     "docs_bloom_paragraph_dedup",
+    "docs_bloom_paragraph_clean",
     "docs_bloom_paragraph_dedup_gate",
     "project_extract_date_range",
 ]
@@ -627,6 +628,51 @@ def docs_bloom_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
             F.sum(F.col("dup").cast("long")).cast("long").alias("n_flagged_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("docs_bloom_paragraph_clean")
+def docs_bloom_paragraph_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable form of the Bloom tier (the docs_line_dedup /
+    docs_exactsubstr_clean convention): probe documents with every
+    Bloom-flagged paragraph REMOVED — doc-local reconstruction via
+    array_except over the line-index sequence + element_at slicing,
+    untouched lines (including blank ones, which are never probed)
+    pass through verbatim. Rows-only like the summary tier; the gate
+    bounds the flags' quality. Documents never shuffle whole except as
+    their own output rows: the paragraph stream carries positions, the
+    removals regroup per doc as position lists, and the one
+    text-bearing exchange is the doc-level join-back + output sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    pars = _paragraphs(docs).localCheckpoint(eager=False)
+    ref = pars.where(F.col("doc_id") % 2 == 0)
+    bits = _bf_bits_for(ref.count())
+    words = _bf_words(ref, bits)
+    probe = _bf_flag_probe(pars.where(F.col("doc_id") % 2 == 1), words, bits)
+    stats = probe.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
+        F.sum(F.col("dup").cast("long")).cast("long").alias("n_removed"),
+        # collect_list skips the NULLs the un-flagged rows produce
+        F.collect_list(F.when(F.col("dup"), F.col("pos") + 1)).alias("rm"),
+    )
+    text = F.coalesce(F.col("text"), F.lit(""))
+    base = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", text.alias("text"))
+    parts = F.split(F.col("text"), "\n", -1)
+    kept_idx = F.array_except(
+        F.sequence(F.lit(1), F.size(parts)),
+        F.coalesce(F.col("rm"), F.array().cast("array<int>")),
+    )
+    return (
+        base.join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_paragraphs"), F.lit(0)).cast("long").alias("n_paragraphs"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+            F.concat_ws(
+                "\n", F.transform(kept_idx, lambda i: F.element_at(parts, i))
+            ).alias("cleaned_text"),
         )
         .orderBy("doc_id")
     )

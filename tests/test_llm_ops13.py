@@ -56,6 +56,25 @@ def test_bloom_no_false_negatives_planted(spark, tmp_path):
     assert out[3].n_flagged_dup == 0
 
 
+def test_bloom_clean_removes_flagged_paragraphs(spark, tmp_path):
+    """Flagged paragraphs disappear from the text, everything else —
+    including blank lines, which are never probed — passes through
+    verbatim; counts agree with the summary tier."""
+    rows = [(0, "dup one\ndup two", "en", "web", 1),
+            (2, "dup three", "en", "web", 1),
+            (1, "dup one\nkeep a\n\ndup three\nkeep b", "en", "web", 1),
+            (3, "all fresh here", "en", "web", 1)]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in QUERIES["docs_bloom_paragraph_clean"](spark, sf).collect()}
+    assert out[1].n_paragraphs == 4 and out[1].n_removed == 2
+    assert out[1].cleaned_text == "keep a\n\nkeep b"
+    assert out[3].n_removed == 0 and out[3].cleaned_text == "all fresh here"
+    summary = {r.doc_id: r for r in QUERIES["docs_bloom_paragraph_dedup"](spark, sf).collect()}
+    for d in (1, 3):
+        assert summary[d].n_paragraphs == out[d].n_paragraphs
+        assert summary[d].n_flagged_dup == out[d].n_removed
+
+
 def test_bloom_gate_matches_oracle_planted(spark, tmp_path):
     rows = [(0, "alpha\nbeta\ngamma", "en", "web", 1),
             (1, "beta\nalpha\nfresh one\nfresh two", "en", "web", 1),
