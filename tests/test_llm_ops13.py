@@ -317,6 +317,74 @@ def test_ccnet_agreement_gate_matches_oracle(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# seeded-random semantic pins
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_flags_equal_exact_membership_random_corpus(spark, tmp_path):
+    """Seeded-random multi-line corpus: at fixture load (~200 items in
+    2^20 bits) the probability of ANY false positive is ~1e-22, so the
+    Bloom flags must equal exact reference-set membership paragraph for
+    paragraph — and the run is deterministic, so this never flakes."""
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(40)]
+    mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))
+    pool = [mk(rng.randrange(3, 8)) for _ in range(60)]
+    rows = []
+    for d in range(40):
+        lines = [rng.choice(pool) if rng.random() < 0.5 else mk(rng.randrange(3, 8))
+                 for _ in range(rng.randrange(1, 6))]
+        rows.append((d, "\n".join(lines), "en", "web", 1))
+    sf = _write_docs(spark, tmp_path, rows)
+
+    from etl_from_s3_to_postgresql_template_spark.plans.llm_ops13 import (
+        _bf_bits_for,
+        _bf_flag_probe,
+        _bf_words,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pars = _paragraphs(docs)
+    ref = pars.where(F.col("doc_id") % 2 == 0)
+    bits = _bf_bits_for(ref.count())
+    flagged = _bf_flag_probe(pars.where(F.col("doc_id") % 2 == 1), _bf_words(ref, bits), bits)
+    ref_set = {r.par for r in ref.collect()}
+    for r in flagged.collect():
+        assert r.dup == (r.par in ref_set), (r.doc_id, r.par)
+
+
+def test_ccnet_tercile_threshold_invariants_random_corpus(spark, tmp_path):
+    """Seeded-random corpus: per language, the cumulative-threshold cut
+    semantics guarantee |head| >= (n+2)//3 and |head|+|middle| >=
+    (2n+2)//3 (ties can only inflate the upper buckets, never starve
+    them) and every scored doc gets exactly one bucket."""
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(17)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 12))),
+         rng.choice(["en", "de"]), "web", 1)
+        for d in range(60)
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = QUERIES["docs_ccnet_ppl_buckets_fast"](spark, sf).collect()
+    per_lang = defaultdict(list)
+    for r in out:
+        per_lang[r.lang].append(r.bucket)
+    assert sum(len(v) for v in per_lang.values()) == len(out)
+    for lang, buckets in per_lang.items():
+        n = len(buckets)
+        head = buckets.count("head")
+        middle = buckets.count("middle")
+        assert head >= (n + 2) // 3, (lang, n, head)
+        assert head + middle >= (2 * n + 2) // 3, (lang, n, head, middle)
+
+
+# ---------------------------------------------------------------------------
 # X1k date range
 # ---------------------------------------------------------------------------
 
