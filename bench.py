@@ -113,6 +113,20 @@ DOCS_HEAVY = [
     "docs_ccnet_ppl_score_external_perlang",
 ]
 
+# Cross-engine REFERENCE twins (VERDICT r11 item 5): timed for
+# round-over-round comparability but NOT production numbers — each is
+# the md5/exact oracle-parity tier of a family whose production tier is
+# benched alongside it. docs_ccnet_ppl_buckets is the known
+# 9.4-GB-shuffle-at-500k self-LM exact tier superseded by
+# _hashed/_fast/_score_external; the md5 winnowing tiers pay a per-gram
+# Python md5 loop the fast64 production tiers never run. Echoed in the
+# JSON line so the artifact is self-describing.
+REFERENCE_ONLY = [
+    "docs_ccnet_ppl_buckets",
+    "doc_winnowing_fingerprints",
+    "dedup_winnowing_pairs",
+]
+
 
 def _calibrate() -> float:
     """Fixed single-core busy loop (~1 s on an unloaded box). Reported as
@@ -182,6 +196,9 @@ def main() -> None:
                 # single-core busy-loop seconds on this host at bench time;
                 # divide `value` by this to compare rounds on a shared box
                 "calib_loop_sec": calib,
+                # oracle-parity twins, not production tiers — read the
+                # family's production number instead (REFERENCE_ONLY doc)
+                "reference_only": REFERENCE_ONLY,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -392,6 +392,15 @@ def docs_url_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixture K is 97.
 
 _DM_ETA_MICRO = 500_000  # eta = 0.5
+# Staging precondition (ADVICE r11): the e-step passes
+# _DM_ETA_MICRO // 1000 as the second staged factor of _mul_div_staged,
+# which is exact only when 1000 divides eta exactly — a retune to a
+# non-multiple would silently floor the effective learning rate. Fail
+# loudly at import instead.
+assert _DM_ETA_MICRO % 1000 == 0, (
+    "_DM_ETA_MICRO must be a multiple of 1000: the e-step stages it as "
+    "1000 * (_DM_ETA_MICRO // 1000); a non-multiple silently changes eta"
+)
 _DM_SMOOTH_MICRO = 200_000  # DoReMi's uniform smoothing, 0.2
 _DM_ROUNDS = 4
 

@@ -104,6 +104,14 @@ EAGER_PLANS = {
     "docs_ccnet_ppl_score_external",
     "docs_ccnet_ppl_buckets_fast",
     "docs_ccnet_ppl_score_external_perlang",
+    # ADVICE r11: the Bloom tiers run a construction-time sizing
+    # ref.count() AND wrap the whole paragraph-extraction chain in an
+    # internal localCheckpoint(eager=False) — DataFrame-reuse timing
+    # would let the warm pass materialize the checkpoint and the timed
+    # pass silently read it, understating tokenize/explode cost (the
+    # exact r10 hazard this set documents). Thunk-timed like the rest.
+    "docs_bloom_paragraph_dedup",
+    "docs_bloom_paragraph_clean",
 }
 
 
