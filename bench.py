@@ -111,6 +111,12 @@ DOCS_HEAVY = [
     # second r11 batch: the per-language external-LM tier (the
     # production CCNet shape; the selection stage composes it)
     "docs_ccnet_ppl_score_external_perlang",
+    # r12 additions, tracked from their first round: the composed
+    # production funnel (Bloom clean -> per-lang CCNet -> selection ->
+    # quality gates, zero corpus-to-corpus joins) and the cross-shard
+    # Bloom merge (the 100 TB deployment shape).
+    "corpus_prep_funnel4_bloom",
+    "docs_bloom_merge_shards",
 ]
 
 # Cross-engine REFERENCE twins (VERDICT r11 item 5): timed for

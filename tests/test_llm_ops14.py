@@ -197,3 +197,29 @@ def test_merge_gate_on_fixture_matches_oracle(spark):
     want = _oracle_docs(sf, "docs_bloom_merge_shards_gate")
     assert got == want
     assert got[0][2] == 0  # n_missed: structural
+
+
+def test_merged_probe_plan_is_broadcast_only(spark, tmp_path):
+    """Probing the MERGED filter keeps the single-shard guarantee: no
+    shuffle of the probe stream before its per-doc aggregate — every
+    probe join is a BroadcastHashJoin, and the merge itself never
+    touches corpus-scale data (words tables only)."""
+    from etl_from_s3_to_postgresql_template_spark.plans.llm_ops14 import (
+        _BF_K,
+        _bf_flag_probe,
+    )
+
+    rows = [(i, f"line {i}\nline {i+1}", "en", "web", 1) for i in range(21)]
+    sf = _write_docs(spark, tmp_path, rows)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pars = _paragraphs(docs)
+    bits = _bf_bits_for(pars.where(F.col("doc_id") % 3 != 2).count())
+    merged = _bf_merge_words(
+        _bf_words(pars.where(F.col("doc_id") % 3 == 0), bits),
+        _bf_words(pars.where(F.col("doc_id") % 3 == 1), bits),
+    )
+    probe = _bf_flag_probe(pars.where(F.col("doc_id") % 3 == 2), merged, bits)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == _BF_K
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan

@@ -84,6 +84,11 @@ K_INDEPENDENT = [
     "docs_bloom_paragraph_dedup",
     "docs_ccnet_ppl_buckets_fast",
     "docs_ccnet_ppl_score_external_perlang",
+    # round-12 additions: the composed production funnel (Bloom clean ->
+    # per-lang CCNet -> selection -> quality gates) and the cross-shard
+    # Bloom merge (per-shard filters OR-merged, third shard probed)
+    "corpus_prep_funnel4_bloom",
+    "docs_bloom_merge_shards",
 ]
 
 
@@ -112,6 +117,9 @@ EAGER_PLANS = {
     # exact r10 hazard this set documents). Thunk-timed like the rest.
     "docs_bloom_paragraph_dedup",
     "docs_bloom_paragraph_clean",
+    # r12: same checkpoint+sizing-count shape as the single-shard tiers
+    "corpus_prep_funnel4_bloom",
+    "docs_bloom_merge_shards",
 }
 
 
