@@ -511,12 +511,26 @@ def docs_ccnet_ppl_agreement_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     shifts that tier's OWN tercile cut by one histogram step, flipping
     every boundary doc — measured 92-96% agreement at fixture scale,
     where per-doc lp differs only for docs containing a collided pair.
-    The 90% floor sits just under the measured band (VERDICT r11 item
-    4 tightened it from the original 80%): one cut-step flip moves at
-    most the boundary docs of one tercile (< ~8% here), while a
-    systematically broken bucket expression collapses agreement toward
-    the ~33% chance level — the gate now catches a regression that
-    mis-buckets even one doc in ten."""
+    The 90% floor sits just under the measured band at the DRIVER
+    fixture scales (VERDICT r11 item 4 tightened it from the original
+    80%): one cut-step flip moves at most the boundary docs of one
+    tercile, while a systematically broken bucket expression collapses
+    agreement toward the ~33% chance level — the gate now catches a
+    regression that mis-buckets even one doc in ten.
+
+    Scale contract (measured r12): agreement is 95.6% at sf0.001 and
+    92.2% at sf0.01 — the scales this gate is oracle-checked at — but
+    degrades with corpus growth at the FIXED B = 2^20 bucket count
+    (86.1% at sf0.1; 93.2% even when both tiers share the md5 tier's
+    cuts, isolating per-doc scoring from cut-shift amplification),
+    because the fraction of docs containing >= 1 collided bigram grows
+    with the distinct-pair count. That is collision arithmetic, not a
+    defect: a production deployment sizes B with the vocabulary
+    (B ~ 16x distinct unigrams, the _bf_bits_for convention), which
+    pins the collided-doc fraction — and therefore this band — flat.
+    The registered tiers keep B fixed because the md5 oracle twin
+    bakes B into cross-engine SQL; the gate's contract is the driver
+    fixture scales."""
     docs = load_table(spark, sf_dir, "documents")
     # one tokenize+bigram-explode pass feeds BOTH tiers (checkpointed:
     # two consuming subtrees would otherwise re-run it — the llm_ops5/6
