@@ -13,6 +13,7 @@ submodules for their registration side effects.
 # _rotate_unverified_first still dominate — any edited module jumps the
 # queue no matter where it imports.
 from etl_from_s3_to_postgresql_template_spark.plans import registry
+from etl_from_s3_to_postgresql_template_spark.plans import llm_ops15  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import llm_ops14  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import llm_ops13  # noqa: F401
 from etl_from_s3_to_postgresql_template_spark.plans import llm_ops12  # noqa: F401

@@ -1,0 +1,732 @@
+"""Round-12 extension module (second session): three LLM-pipeline
+operator families that round out existing groups with their
+published-production variants.
+
+1. ``corpus_bigram_lm_kn`` — interpolated Kneser-Ney smoothing over the
+   bigram LM (Kneser & Ney 1995; Chen & Goodman 1998 eq. 4.ledger) — the
+   smoother KenLM ships and CCNet's quality LM actually uses, extending
+   ``corpus_bigram_lm`` (add-one) and the CCNet family (llm_ops12/13):
+
+     p_KN(w2|w1) = max(c(w1,w2) - d, 0) / c(w1)
+                 + d * N1+(w1,*) / c(w1) * N1+(*,w2) / T        (d = 3/4)
+
+   where N1+(w1,*) = distinct continuations of w1, N1+(*,w2) = distinct
+   left-contexts of w2 (the continuation count), T = distinct bigram
+   types. All four stats come from ONE aggregated (w1, w2, c12) pairs
+   frame: two windows over the pairs frame (vocab-squared-bounded, never
+   the corpus) and one broadcast scalar total — the repo's
+   windows-not-broadcasts rule on bounded frames. The probability is
+   emitted in exact integer micro-units via the staged truncating-div
+   convention (llm_ops12 ``_mul_div_staged`` rationale): each stage
+   guards its own int64 bound with a loud ``raise_error`` (never a
+   silent wrap), and the oracle runs the IDENTICAL staging so the two
+   engines agree bit-for-bit:
+
+     pc_micro  = (1e6 * N1+(*,w2)) div T
+     t1_micro  = (1e6 * max(4*c12 - 3, 0)) div (4 * c1)
+     t2_micro  = (3 * N1+(w1,*) * pc_micro) div (4 * c1)
+     pkn_micro = t1_micro + t2_micro          -- off the true rational
+                                              -- by < 2 micro (2 truncs)
+
+   Scale: at 100 TB the unbucketed type counts outgrow int64 guards by
+   design — the production tier is the SAME expression over the 2^20
+   md5/xxhash64 bucket space (llm_ops13 CCNet convention), which caps T
+   and every N1+; this exact-vocabulary tier is the cross-engine oracle
+   twin, like docs_ccnet_ppl_buckets is for the hashed/fast tiers.
+
+2. ``similarity_topk_matryoshka`` (+ ``_recall_gate``) — two-stage
+   coarse-to-fine retrieval over Matryoshka-style prefix dimensions
+   (Kusupati et al. 2022: MRL embeddings are trained so that dimension
+   prefixes are themselves usable embeddings): stage 1 ranks by cosine
+   on the FIRST 32 of 64 dims and keeps 100 candidates per query;
+   stage 2 rescores only those candidates at full dimensionality. Both
+   stages are deterministic (round-6 cosine, id tie-break — the
+   operators/similarity.py discipline), so unlike the xxhash64 LSH/IVF
+   tiers this ANN production shape is FULLY oracle-paired: DuckDB runs
+   the identical two-stage SQL. The gate certifies recall@10 against
+   the exact brute-force ranking (floor measured at both fixture SFs).
+   Scale: stage 1 is the only corpus-wide pass and touches 32/64 of the
+   vector bytes (a real deployment stores the prefix as its own column
+   so the scan prunes to it); stage 2 computes |Q| * 100 full dots
+   instead of |Q| * N — the 100 TB win. No shuffle on the candidate
+   side: queries broadcast, ranking is a per-query window.
+
+3. ``docs_quality_domain_cut`` — per-domain quality normalization
+   (the anti-domain-bias selection step web pipelines run so one
+   over-represented domain's style doesn't dominate what a global
+   quality threshold keeps — cf. C4 / RefinedWeb per-host treatment):
+   score every doc with the hashed linear classifier margin
+   (functions/text.py::hashed_margin_col — the docs_quality_classifier
+   model, bit-stable across engines), then keep a doc iff its score
+   reaches its OWN domain's median. The median comes from a per-domain
+   score histogram with the cumulative window ON THE HISTOGRAM
+   (llm_ops13 tercile-cut shape — scores are 1e4-rounded so the
+   histogram collapses far below doc-count), and the bounded cuts
+   frame broadcasts back onto the doc stream. Token-less docs score
+   NULL and are never kept.
+
+Reference scope: the reference pipeline (etl_pipeline.py, 734-line
+pandas/boto3 ETL) has no LM/ANN/quality surface; these extend the
+north-star extension families (SURVEY.md section 2 E1/E2/E4).
+
+New module by policy (VERDICT r8 item 1): prior rounds' plan helpers
+are re-declared here, not imported, so their fingerprints stay
+decoupled; shared library code (functions/, operators/) imports as
+usual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_from_s3_to_postgresql_template_spark.plans.registry import query
+from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+
+__all__ = [
+    "corpus_bigram_lm_kn",
+    "corpus_bigram_lm_kn_bucketed",
+    "docs_ccnet_ppl_score_kn",
+    "similarity_topk_matryoshka",
+    "similarity_matryoshka_recall_gate",
+    "docs_quality_domain_cut",
+]
+
+# explicit whitespace class — RE2 \s omits \x0B (the repo convention)
+_WS = r"[ \t\n\x0B\f\r]+"
+
+_BIGMAX = 9223372036854775807
+
+# ---------------------------------------------------------------------------
+# corpus_bigram_lm_kn
+# ---------------------------------------------------------------------------
+
+_KN_TOP = 30
+
+# staged KN arithmetic (module comment) — shared between the Spark
+# F.expr and the DuckDB oracle so both engines run the same integer
+# program; each stage fails loudly past its int64 precondition (Spark
+# would otherwise wrap silently with ANSI off; DuckDB errors natively,
+# so the CASE keeps the two engines' failure behavior aligned too).
+_KN_PC = (
+    "CASE WHEN n1p_w2 > {max} {div} 1000000"
+    "  THEN {err}('kn p_cont stage would overflow int64')"
+    "  ELSE (1000000 * n1p_w2) {div} t END"
+)
+_KN_T1 = (
+    "CASE WHEN pair_cnt > {max} {div} 4000000"
+    "  THEN {err}('kn discount stage would overflow int64')"
+    "  ELSE (1000000 * greatest(4 * pair_cnt - 3, CAST(0 AS BIGINT)))"
+    "       {div} (4 * w1_cnt) END"
+)
+_KN_T2 = (
+    "CASE WHEN n1p_w1 > {max} {div} 3000000"
+    "  THEN {err}('kn backoff stage would overflow int64')"
+    "  ELSE (3 * n1p_w1 * pc_micro) {div} (4 * w1_cnt) END"
+)
+
+
+def _kn_spark_expr(tmpl: str) -> str:
+    # Spark needs the raise_error wrapped in a CAST to type-check the CASE
+    body = tmpl.format(max=_BIGMAX, div="div", err="__ERR__")
+    return body.replace(
+        "__ERR__('", "CAST(raise_error('"
+    ).replace("overflow int64')", "overflow int64') AS BIGINT)")
+
+
+def _kn_duck_expr(tmpl: str) -> str:
+    return tmpl.format(max=_BIGMAX, div="//", err="error")
+
+
+_KN_ORACLE = rf"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(trim(COALESCE(text, ''))),
+                  '{_WS}'), x -> x <> '') AS t
+      FROM documents
+    ), bg AS (
+      SELECT UNNEST(list_transform(range(len(t) - 1),
+                    i -> {{'w1': t[i+1], 'w2': t[i+2]}})) AS s
+      FROM toks WHERE len(t) >= 2
+    ), pairs AS (
+      SELECT s.w1 AS w1, s.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+      FROM bg GROUP BY 1, 2
+    ), stats AS (
+      SELECT w1, w2, pair_cnt,
+             CAST(SUM(pair_cnt) OVER (PARTITION BY w1) AS BIGINT) AS w1_cnt,
+             CAST(COUNT(*) OVER (PARTITION BY w1) AS BIGINT) AS n1p_w1,
+             CAST(COUNT(*) OVER (PARTITION BY w2) AS BIGINT) AS n1p_w2,
+             CAST(COUNT(*) OVER () AS BIGINT) AS t
+      FROM pairs
+    ), pc AS (
+      SELECT *, {_kn_duck_expr(_KN_PC)} AS pc_micro FROM stats
+    )
+    SELECT w1, w2, pair_cnt, w1_cnt, n1p_w1, n1p_w2,
+           CAST({_kn_duck_expr(_KN_T1)}
+                + {_kn_duck_expr(_KN_T2)} AS BIGINT) AS pkn_micro
+    FROM pc
+    ORDER BY pair_cnt DESC, w1, w2
+    LIMIT {_KN_TOP}
+    """
+
+
+@query("corpus_bigram_lm_kn", oracle=_KN_ORACLE)
+def corpus_bigram_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (module comment): the top-30
+    bigrams by raw count with their KN-smoothed probability in exact
+    integer micro-units. One corpus tokenize -> one (w1,w2) groupBy;
+    every LM statistic after that lives on the aggregated pairs frame
+    (two windows + one broadcast scalar total), so the corpus is read
+    once and shuffled once — the count shuffle any bigram LM needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(
+            F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), _WS),
+            lambda x: x != "",
+        ).alias("t")
+    ).where(F.size("t") >= 2)
+    n = F.size("t")
+    bigrams = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.slice("t", 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = (
+        toks.select(F.explode(bigrams).alias("s"))
+        .groupBy(F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
+    )
+    stats = pairs.select(
+        "w1",
+        "w2",
+        "pair_cnt",
+        F.sum("pair_cnt").over(W.partitionBy("w1")).cast("long").alias("w1_cnt"),
+        F.count(F.lit(1)).over(W.partitionBy("w1")).cast("long").alias("n1p_w1"),
+        F.count(F.lit(1)).over(W.partitionBy("w2")).cast("long").alias("n1p_w2"),
+    ).crossJoin(
+        F.broadcast(pairs.agg(F.count(F.lit(1)).cast("long").alias("t")))
+    )
+    pc = stats.withColumn("pc_micro", F.expr(_kn_spark_expr(_KN_PC)).cast("long"))
+    return (
+        pc.select(
+            "w1",
+            "w2",
+            "pair_cnt",
+            "w1_cnt",
+            "n1p_w1",
+            "n1p_w2",
+            (
+                F.expr(_kn_spark_expr(_KN_T1)).cast("long")
+                + F.expr(_kn_spark_expr(_KN_T2)).cast("long")
+            ).alias("pkn_micro"),
+        )
+        .orderBy(F.desc("pair_cnt"), "w1", "w2")
+        .limit(_KN_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_bigram_lm_kn_bucketed + docs_ccnet_ppl_score_kn — the 100 TB tiers
+# ---------------------------------------------------------------------------
+# The exact-vocabulary KN tier's int64 guards are load-bearing only
+# because word/bigram type counts grow with the corpus. The production
+# tiers quantize WORDS onto the 2^20 md5 bucket space (the llm_ops13
+# CCNet convention — md5 bucketing has a bit-exact DuckDB twin, so
+# unlike xxhash64 tiers these stay FULLY oracle-paired): every N1+
+# statistic is then structurally <= 2^20 and p_cont's denominator T is
+# <= the observed (b1,b2) type count, so the staged arithmetic can
+# never leave int64 no matter the corpus size. docs_ccnet_ppl_score_kn
+# is the consuming shape: per-language external-LM document scoring
+# (Wenzek et al. 2020 §3.3 split: doc_id % 10 == 0 builds the LM, the
+# rest are scored) with the add-one smoother of the llm_ops13 family
+# upgraded to interpolated KN — the smoother KenLM, and therefore
+# CCNet, actually ships. Unseen contexts back off to the continuation
+# unigram; a 1-micro floor keeps log() defined for fully-unseen
+# bigrams. All LM-side tables (pairs, contexts, continuations, per-lang
+# type totals) are bounded and broadcast; the crawl stream is scored
+# map-side with ZERO LM-construction shuffle from the crawl.
+
+_KNB_B = 1_048_576  # 2^20 word buckets
+
+
+def _knb_bucket(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % _KNB_B
+
+
+def _knb_bucket_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT % {_KNB_B}"
+
+
+def _knb_occurrences(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, b1, b2): one row per bigram occurrence with both
+    words quantized to their md5 bucket."""
+    toks = docs.select(
+        "doc_id",
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+        F.filter(
+            F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), _WS),
+            lambda x: x != "",
+        ).alias("t"),
+    ).where(F.size("t") >= 2)
+    n = F.size("t")
+    bigrams = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.slice("t", 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return toks.select("doc_id", "lang", F.explode(bigrams).alias("s")).select(
+        "doc_id",
+        "lang",
+        _knb_bucket(F.col("s.w1")).alias("b1"),
+        _knb_bucket(F.col("s.w2")).alias("b2"),
+    )
+
+
+_KNB_TOKS_SQL = rf"""toks AS (
+      SELECT doc_id, COALESCE(lang, '') AS lang,
+             list_filter(string_split_regex(lower(trim(COALESCE(text, ''))),
+                  '{_WS}'), x -> x <> '') AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, lang,
+             UNNEST(list_transform(range(len(t) - 1),
+                    i -> {{'w1': t[i+1], 'w2': t[i+2]}})) AS s
+      FROM toks WHERE len(t) >= 2
+    ), bocc AS (
+      SELECT doc_id, lang,
+             {_knb_bucket_sql('s.w1')} AS b1,
+             {_knb_bucket_sql('s.w2')} AS b2
+      FROM bg
+    )"""
+
+_KNB_ORACLE = rf"""
+    WITH {_KNB_TOKS_SQL}, pairs AS (
+      SELECT b1, b2, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+      FROM bocc GROUP BY 1, 2
+    ), stats AS (
+      SELECT b1, b2, pair_cnt,
+             CAST(SUM(pair_cnt) OVER (PARTITION BY b1) AS BIGINT) AS w1_cnt,
+             CAST(COUNT(*) OVER (PARTITION BY b1) AS BIGINT) AS n1p_w1,
+             CAST(COUNT(*) OVER (PARTITION BY b2) AS BIGINT) AS n1p_w2,
+             CAST(COUNT(*) OVER () AS BIGINT) AS t
+      FROM pairs
+    ), pc AS (
+      SELECT *, {_kn_duck_expr(_KN_PC)} AS pc_micro FROM stats
+    )
+    SELECT b1, b2, pair_cnt, w1_cnt, n1p_w1 AS n1p_b1, n1p_w2 AS n1p_b2,
+           CAST({_kn_duck_expr(_KN_T1)}
+                + {_kn_duck_expr(_KN_T2)} AS BIGINT) AS pkn_micro
+    FROM pc
+    ORDER BY pair_cnt DESC, b1, b2
+    LIMIT {_KN_TOP}
+    """
+
+
+@query("corpus_bigram_lm_kn_bucketed", oracle=_KNB_ORACLE)
+def corpus_bigram_lm_kn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-vocabulary KN tier (section comment): the exact tier's
+    staged program over 2^20 md5 word buckets — N1+ stats structurally
+    int64-safe at any corpus size, and still fully oracle-paired."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        _knb_occurrences(docs)
+        .groupBy("b1", "b2")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
+    )
+    stats = pairs.select(
+        "b1",
+        "b2",
+        "pair_cnt",
+        F.sum("pair_cnt").over(W.partitionBy("b1")).cast("long").alias("w1_cnt"),
+        F.count(F.lit(1)).over(W.partitionBy("b1")).cast("long").alias("n1p_w1"),
+        F.count(F.lit(1)).over(W.partitionBy("b2")).cast("long").alias("n1p_w2"),
+    ).crossJoin(
+        F.broadcast(pairs.agg(F.count(F.lit(1)).cast("long").alias("t")))
+    )
+    pc = stats.withColumn("pc_micro", F.expr(_kn_spark_expr(_KN_PC)).cast("long"))
+    return (
+        pc.select(
+            "b1",
+            "b2",
+            "pair_cnt",
+            "w1_cnt",
+            F.col("n1p_w1").alias("n1p_b1"),
+            F.col("n1p_w2").alias("n1p_b2"),
+            (
+                F.expr(_kn_spark_expr(_KN_T1)).cast("long")
+                + F.expr(_kn_spark_expr(_KN_T2)).cast("long")
+            ).alias("pkn_micro"),
+        )
+        .orderBy(F.desc("pair_cnt"), "b1", "b2")
+        .limit(_KN_TOP)
+    )
+
+
+#: per-bigram smoothed probability for the scoring tier — the same
+#: staged stages with stream-side NULL semantics: unseen context backs
+#: off to p_cont; a 1-micro floor keeps ln() defined.
+_KNS_PKN = (
+    "CASE WHEN w1_cnt IS NULL THEN greatest(pc_micro, CAST(1 AS BIGINT))"
+    "  ELSE greatest(({t1}) + ({t2}), CAST(1 AS BIGINT)) END"
+)
+
+_KNS_ORACLE = rf"""
+    WITH {_KNB_TOKS_SQL}, lm12 AS (
+      SELECT lang, b1, b2, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+      FROM bocc WHERE doc_id % 10 = 0 GROUP BY 1, 2, 3
+    ), lm1 AS (
+      SELECT lang, b1, CAST(SUM(pair_cnt) AS BIGINT) AS w1_cnt,
+             CAST(COUNT(*) AS BIGINT) AS n1p_w1
+      FROM lm12 GROUP BY 1, 2
+    ), lmc AS (
+      SELECT lang, b2, CAST(COUNT(*) AS BIGINT) AS n1p_w2
+      FROM lm12 GROUP BY 1, 2
+    ), tt AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS t FROM lm12 GROUP BY 1
+    ), occ AS (
+      SELECT doc_id, lang, b1, b2 FROM bocc WHERE doc_id % 10 <> 0
+    ), joined AS (
+      SELECT o.doc_id, o.lang,
+             COALESCE(l12.pair_cnt, 0) AS pair_cnt,
+             l1.w1_cnt, l1.n1p_w1,
+             COALESCE(lc.n1p_w2, 0) AS n1p_w2, tt.t
+      FROM occ o
+      LEFT JOIN lm12 l12 USING (lang, b1, b2)
+      LEFT JOIN lm1 l1 USING (lang, b1)
+      LEFT JOIN lmc lc USING (lang, b2)
+      JOIN tt USING (lang)
+    ), pc AS (
+      SELECT *, {_kn_duck_expr(_KN_PC)} AS pc_micro FROM joined
+    ), p AS (
+      SELECT doc_id, lang,
+             {_KNS_PKN.format(t1=_kn_duck_expr(_KN_T1), t2=_kn_duck_expr(_KN_T2))}
+               AS pkn_micro
+      FROM pc
+    )
+    SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(round(ROUND(CAST(SUM(CAST(ln(pkn_micro / 1000000.0)
+                     AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*), 4) * 10000)
+                AS BIGINT) AS lp
+    FROM p GROUP BY doc_id, lang
+    ORDER BY doc_id
+    """
+
+
+@query("docs_ccnet_ppl_score_kn", oracle=_KNS_ORACLE)
+def docs_ccnet_ppl_score_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language external-LM document scoring with interpolated KN
+    smoothing (section comment): LM tables from the held-out slice
+    only, all bounded (<= 2^20-keyed) and broadcast; the stream is
+    scored map-side; languages without an LM drop (CCNet semantics)."""
+    occ_all = _knb_occurrences(load_table(spark, sf_dir, "documents"))
+    lm12 = (
+        occ_all.where(F.col("doc_id") % 10 == 0)
+        .groupBy("lang", "b1", "b2")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
+    )
+    lm1 = lm12.groupBy("lang", "b1").agg(
+        F.sum("pair_cnt").cast("long").alias("w1_cnt"),
+        F.count(F.lit(1)).cast("long").alias("n1p_w1"),
+    )
+    lmc = lm12.groupBy("lang", "b2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p_w2")
+    )
+    tt = lm12.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    occ = occ_all.where(F.col("doc_id") % 10 != 0)
+    joined = (
+        occ.join(F.broadcast(lm12), ["lang", "b1", "b2"], "left")
+        .join(F.broadcast(lm1), ["lang", "b1"], "left")
+        .join(F.broadcast(lmc), ["lang", "b2"], "left")
+        .join(F.broadcast(tt), "lang")  # inner: unscoreable langs drop
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("pair_cnt"), F.lit(0)).cast("long").alias("pair_cnt"),
+            "w1_cnt",
+            "n1p_w1",
+            F.coalesce(F.col("n1p_w2"), F.lit(0)).cast("long").alias("n1p_w2"),
+            "t",
+        )
+    )
+    pkn = joined.withColumn(
+        "pc_micro", F.expr(_kn_spark_expr(_KN_PC)).cast("long")
+    ).withColumn(
+        "pkn_micro",
+        F.expr(
+            _KNS_PKN.format(
+                t1=_kn_spark_expr(_KN_T1), t2=_kn_spark_expr(_KN_T2)
+            )
+        ).cast("long"),
+    )
+    return (
+        pkn.groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.round(
+                    F.sum(
+                        F.log(F.col("pkn_micro") / F.lit(1000000.0)).cast(
+                            "decimal(38,15)"
+                        )
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    4,
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity_topk_matryoshka
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = 32  # coarse prefix length (of 64)
+_MRL_CAND = 100  # stage-1 candidates per query
+_MRL_K = 10  # final top-k
+_MRL_NQ = 5  # fixture query set: vec_id < 5 (the E2 convention)
+
+
+def _mrl_frames(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _MRL_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    candidates = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec")
+    )
+    return queries, candidates
+
+
+_MRL_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, e AS qe, e[1:{_MRL_DIMS}] AS qc
+      FROM v WHERE vec_id < {_MRL_NQ}
+    ), c AS (
+      SELECT vec_id AS n_id, e AS ne, e[1:{_MRL_DIMS}] AS nc FROM v
+    ), coarse AS (
+      SELECT q_id, n_id, qe, ne,
+             ROUND(list_dot_product(qc, nc) /
+                   (sqrt(list_dot_product(qc, qc))
+                    * sqrt(list_dot_product(nc, nc))), 6) AS coarse_cosine
+      FROM q JOIN c ON q_id <> n_id
+    ), cand AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY coarse_cosine DESC, n_id) AS crank
+      FROM coarse
+    ), fine AS (
+      SELECT q_id, n_id, coarse_cosine,
+             ROUND(list_dot_product(qe, ne) /
+                   (sqrt(list_dot_product(qe, qe))
+                    * sqrt(list_dot_product(ne, ne))), 6) AS cosine
+      FROM cand WHERE crank <= {_MRL_CAND}
+    ), ranked AS (
+      SELECT q_id, n_id, coarse_cosine, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+      FROM fine
+    )
+    SELECT q_id, n_id, coarse_cosine, cosine, rank
+    FROM ranked WHERE rank <= {_MRL_K}
+    ORDER BY q_id, rank
+    """
+
+
+@query("similarity_topk_matryoshka", oracle=_MRL_ORACLE)
+def similarity_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage Matryoshka retrieval (module comment): coarse cosine on
+    the 32-dim prefix keeps 100 candidates per query; full-dim rescore
+    ranks the final top-10. Queries broadcast; the corpus-wide pass
+    computes 32-dim dots only, and the 64-dim dots run on |Q|*100 rows."""
+    from etl_from_s3_to_postgresql_template_spark.functions.vectors import (
+        as_double_vec,
+        cosine_col,
+    )
+
+    queries, candidates = _mrl_frames(spark, sf_dir)
+    pairs = candidates.crossJoin(F.broadcast(queries)).filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    qc = F.slice(as_double_vec(F.col("q_vec")), 1, _MRL_DIMS)
+    nc = F.slice(as_double_vec(F.col("n_vec")), 1, _MRL_DIMS)
+    coarse = pairs.select(
+        "q_id",
+        "n_id",
+        "q_vec",
+        "n_vec",
+        F.round(cosine_col(qc, nc), 6).alias("coarse_cosine"),
+    )
+    wc = W.partitionBy("q_id").orderBy(F.desc("coarse_cosine"), F.col("n_id"))
+    cand = coarse.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= _MRL_CAND
+    )
+    fine = cand.select(
+        "q_id",
+        "n_id",
+        "coarse_cosine",
+        F.round(
+            cosine_col(as_double_vec(F.col("q_vec")), as_double_vec(F.col("n_vec"))),
+            6,
+        ).alias("cosine"),
+    )
+    wf = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("n_id"))
+    return (
+        fine.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= _MRL_K)
+        .select("q_id", "n_id", "coarse_cosine", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+#: recall floor: measured recall@10 vs brute force is 0.86 (sf0.001) /
+#: 0.88 (sf0.01). The fixture vectors are i.i.d. random — the WORST
+#: case for prefix retrieval, since unlike trained Matryoshka
+#: embeddings no signal concentrates in the leading dims; a 32-of-64
+#: prefix then carries half the inner-product information and the
+#: measured band is the information-theoretic neighborhood, not a tier
+#: defect. Floored at 0.8 — inside one candidate-boundary swap (0.02)
+#: of the band, and a slicing/rescore regression (wrong prefix, missing
+#: rescore) measures <= 0.70 here, well below it.
+_MRL_FLOOR = 0.8
+
+_MRL_GATE_ORACLE = (
+    f"SELECT CAST({_MRL_NQ} AS BIGINT) AS n_queries, TRUE AS recall_ok"
+)
+
+
+@query("similarity_matryoshka_recall_gate", oracle=_MRL_GATE_ORACLE)
+def similarity_matryoshka_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the two-stage Matryoshka tier against the exact
+    brute-force ranking, reduced to one deterministic row (the llm_ops3
+    recall-gate shape, re-declared per the new-module policy). Both
+    tiers are |Q|*k frames at the join, so the gate costs the tiers."""
+    from etl_from_s3_to_postgresql_template_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    queries, candidates = _mrl_frames(spark, sf_dir)
+    exact = brute_force_topk(queries, candidates, k=_MRL_K)
+    approx = similarity_topk_matryoshka(spark, sf_dir)
+    hits = (
+        exact.select("q_id", "n_id")
+        .join(
+            approx.select("q_id", "n_id").withColumn("__hit", F.lit(1)),
+            ["q_id", "n_id"],
+            "left",
+        )
+        .groupBy("q_id")
+        .agg((F.sum("__hit") / F.count(F.lit(1))).alias("recall"))
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (
+            F.avg(F.coalesce(F.col("recall"), F.lit(0.0))) >= F.lit(_MRL_FLOOR)
+        ).alias("recall_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_quality_domain_cut
+# ---------------------------------------------------------------------------
+
+#: classifier hyperparameters — the docs_quality_classifier model
+#: (llm_ops7), re-declared per the new-module policy.
+_DQC_BUCKETS = 2001
+_DQC_BIAS = -0.02
+
+_DQC_ORACLE = rf"""
+    WITH t AS (
+      SELECT doc_id, COALESCE(source, '') AS source,
+             list_filter(string_split_regex(lower(trim(COALESCE(text, ''))),
+                         '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source,
+             CASE WHEN len(toks) = 0 THEN NULL
+                  ELSE {_DQC_BIAS} + list_reduce(list_transform(toks, tok ->
+                       ((('0x' || substr(md5(tok), 1, 8))::BIGINT
+                         % {_DQC_BUCKETS}) - {(_DQC_BUCKETS - 1) // 2})
+                       / {(_DQC_BUCKETS - 1) // 2}.0),
+                       (acc, x) -> acc + x) / len(toks)
+             END AS margin
+      FROM t
+    ), s AS (
+      SELECT doc_id, source,
+             CAST(round(ROUND(margin, 4) * 10000) AS BIGINT) AS score_tk
+      FROM m
+    ), hist AS (
+      SELECT source, score_tk, CAST(COUNT(*) AS BIGINT) AS c
+      FROM s WHERE score_tk IS NOT NULL GROUP BY 1, 2
+    ), cum AS (
+      SELECT source, score_tk,
+             CAST(SUM(c) OVER (PARTITION BY source ORDER BY score_tk DESC)
+                  AS BIGINT) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM hist
+    ), cuts AS (
+      SELECT source,
+             MAX(CASE WHEN cum >= (n + 1) // 2 THEN score_tk END) AS cut_tk
+      FROM cum GROUP BY source
+    )
+    SELECT s.doc_id, s.source, s.score_tk, c.cut_tk,
+           COALESCE(s.score_tk >= c.cut_tk, FALSE) AS kept
+    FROM s LEFT JOIN cuts c USING (source)
+    ORDER BY s.doc_id
+    """
+
+
+@query("docs_quality_domain_cut", oracle=_DQC_ORACLE)
+def docs_quality_domain_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality median cut (module comment): hashed-classifier
+    margin in 1e4 units, per-source median from the score HISTOGRAM
+    (cumulative window on the bounded histogram, never the doc stream),
+    kept iff the doc reaches its own domain's median. One text pass,
+    one histogram shuffle, one broadcast of the per-domain cuts."""
+    from etl_from_s3_to_postgresql_template_spark.functions.text import (
+        hashed_margin_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    margin = hashed_margin_col("text", _DQC_BUCKETS, _DQC_BIAS)
+    base = docs.select(
+        "doc_id",
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        F.round(F.round(margin, 4) * 10000).cast("long").alias("score_tk"),
+    )
+    hist = (
+        base.where(F.col("score_tk").isNotNull())
+        .groupBy("source", "score_tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cum = hist.select(
+        "source",
+        "score_tk",
+        F.sum("c")
+        .over(W.partitionBy("source").orderBy(F.desc("score_tk")))
+        .cast("long")
+        .alias("cum"),
+        F.sum("c").over(W.partitionBy("source")).cast("long").alias("n"),
+    )
+    cuts = cum.groupBy("source").agg(
+        F.max(F.when(F.expr("cum >= (n + 1) div 2"), F.col("score_tk"))).alias(
+            "cut_tk"
+        )
+    )
+    return (
+        base.join(F.broadcast(cuts), "source", "left")
+        .select(
+            "doc_id",
+            "source",
+            "score_tk",
+            "cut_tk",
+            F.coalesce(F.col("score_tk") >= F.col("cut_tk"), F.lit(False)).alias(
+                "kept"
+            ),
+        )
+        .orderBy("doc_id")
+    )
