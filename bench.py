@@ -117,6 +117,15 @@ DOCS_HEAVY = [
     # Bloom merge (the 100 TB deployment shape).
     "corpus_prep_funnel4_bloom",
     "docs_bloom_merge_shards",
+    # second r12 batch (llm_ops15), tracked from their first round: the
+    # Kneser-Ney external-LM document scorer (the CCNet smoother
+    # upgrade; bounded broadcast LM tables, map-side scoring), the
+    # bucketed-vocabulary KN LM (the int64-safe 100 TB tier), and the
+    # Matryoshka two-stage retrieval (prefix-dims coarse pass + |Q|*100
+    # full-dim rescore).
+    "docs_ccnet_ppl_score_kn",
+    "corpus_bigram_lm_kn_bucketed",
+    "similarity_topk_matryoshka",
 ]
 
 # Cross-engine REFERENCE twins (VERDICT r11 item 5): timed for

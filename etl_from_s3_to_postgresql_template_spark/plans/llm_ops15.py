@@ -86,6 +86,7 @@ from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
 __all__ = [
     "corpus_bigram_lm_kn",
     "corpus_bigram_lm_kn_bucketed",
+    "corpus_trigram_lm_kn",
     "docs_ccnet_ppl_score_kn",
     "similarity_topk_matryoshka",
     "similarity_matryoshka_recall_gate",
@@ -220,6 +221,214 @@ def corpus_bigram_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pkn_micro"),
         )
         .orderBy(F.desc("pair_cnt"), "w1", "w2")
+        .limit(_KN_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_trigram_lm_kn — the full KN recursion
+# ---------------------------------------------------------------------------
+# Interpolated KN is defined recursively (Chen & Goodman 1998 §4.1.6):
+# the HIGHEST order discounts raw counts; every lower order discounts
+# CONTINUATION (type) counts — the property that makes KN the smoother
+# of record and what "Kneser-Ney" actually means beyond absolute
+# discounting. Trigram level exercises the full recursion (KenLM's
+# 5-gram is this shape iterated):
+#
+#   p(w3|w1w2) = max(c123 - d, 0)/c12 + d*N1+(w1w2,*)/c12 * p_mid(w3|w2)
+#   p_mid(w3|w2) = max(N1+(*,w2w3) - d, 0)/N1+(*,w2,*)
+#                + d*N1+(w2,*)/N1+(*,w2,*) * p_cont(w3)
+#   p_cont(w3)   = N1+(*,w3) / T_bi
+#
+# Statistics: c123/c12 from the raw trigram counts; N1+(w1w2,*) =
+# trigram types per (w1,w2) context; N1+(*,w2w3) = distinct w1 before
+# the bigram (w2,w3); N1+(*,w2,*) = trigram types with middle w2;
+# N1+(w2,*) = bigram types starting w2; N1+(*,w3)/T_bi = the bigram
+# tier's continuation unigram. Every one is a window over the
+# AGGREGATED trigram/bigram type frames (vocab-bounded, never the
+# corpus) and the corpus is tokenized once — the same scale class as
+# the bigram tier, one extra explode. The integer program stages the
+# recursion bottom-up (pc -> pmid -> ptri), each stage guarded at its
+# int64 bound; the micro truncation error compounds to < 3 micro over
+# the three stages, and the oracle runs the identical program.
+
+_KN3_PMID = (
+    "CASE WHEN ncw2w3 > {max} {div} 1000000"
+    "  THEN {err}('kn3 mid stage would overflow int64')"
+    "  ELSE (1000000 * greatest(4 * ncw2w3 - 3, CAST(0 AS BIGINT)))"
+    "       {div} (4 * nmidw2)"
+    "     + (3 * nw2dot * pc_micro) {div} (4 * nmidw2) END"
+)
+_KN3_PTRI = (
+    "CASE WHEN tri_cnt > {max} {div} 4000000"
+    "  THEN {err}('kn3 top stage would overflow int64')"
+    "  ELSE (1000000 * greatest(4 * tri_cnt - 3, CAST(0 AS BIGINT)))"
+    "       {div} (4 * c12)"
+    "     + (3 * n1p_ctx * pmid_micro) {div} (4 * c12) END"
+)
+
+
+def _kn3_spark(tmpl: str) -> str:
+    body = tmpl.format(max=_BIGMAX, div="div", err="__ERR__")
+    return body.replace("__ERR__('", "CAST(raise_error('").replace(
+        "overflow int64')", "overflow int64') AS BIGINT)"
+    )
+
+
+def _kn3_duck(tmpl: str) -> str:
+    return tmpl.format(max=_BIGMAX, div="//", err="error")
+
+
+_KN3_ORACLE = rf"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(trim(COALESCE(text, ''))),
+                  '{_WS}'), x -> x <> '') AS t
+      FROM documents
+    ), tg AS (
+      SELECT UNNEST(list_transform(range(len(t) - 2),
+             i -> {{'w1': t[i+1], 'w2': t[i+2], 'w3': t[i+3]}})) AS s
+      FROM toks WHERE len(t) >= 3
+    ), tri AS (
+      SELECT s.w1 AS w1, s.w2 AS w2, s.w3 AS w3,
+             CAST(COUNT(*) AS BIGINT) AS tri_cnt
+      FROM tg GROUP BY 1, 2, 3
+    ), bgt AS (
+      SELECT s.w1 AS w1, s.w2 AS w2
+      FROM (
+        SELECT UNNEST(list_transform(range(len(t) - 1),
+               i -> {{'w1': t[i+1], 'w2': t[i+2]}})) AS s
+        FROM toks WHERE len(t) >= 2
+      ) GROUP BY 1, 2
+    ), bstat AS (
+      SELECT w1, w2,
+             CAST(COUNT(*) OVER (PARTITION BY w1) AS BIGINT) AS nw1dot,
+             CAST(COUNT(*) OVER (PARTITION BY w2) AS BIGINT) AS ndotw2,
+             CAST(COUNT(*) OVER () AS BIGINT) AS t_bi
+      FROM bgt
+    ), tstat AS (
+      SELECT w1, w2, w3, tri_cnt,
+             CAST(SUM(tri_cnt) OVER (PARTITION BY w1, w2) AS BIGINT) AS c12,
+             CAST(COUNT(*) OVER (PARTITION BY w1, w2) AS BIGINT) AS n1p_ctx,
+             CAST(COUNT(*) OVER (PARTITION BY w2, w3) AS BIGINT) AS ncw2w3,
+             CAST(COUNT(*) OVER (PARTITION BY w2) AS BIGINT) AS nmidw2
+      FROM tri
+    ), joined AS (
+      SELECT t.*, b2.nw1dot AS nw2dot, b3.ndotw2 AS ndotw3, b3.t_bi
+      FROM tstat t
+      JOIN (SELECT DISTINCT w1, nw1dot FROM bstat) b2 ON t.w2 = b2.w1
+      JOIN (SELECT DISTINCT w2, ndotw2, t_bi FROM bstat) b3 ON t.w3 = b3.w2
+    ), pc AS (
+      SELECT *,
+             CASE WHEN ndotw3 > {_BIGMAX} // 1000000
+                  THEN error('kn3 p_cont stage would overflow int64')
+                  ELSE (1000000 * ndotw3) // t_bi END AS pc_micro
+      FROM joined
+    ), pm AS (
+      SELECT *, {_kn3_duck(_KN3_PMID)} AS pmid_micro FROM pc
+    )
+    SELECT w1, w2, w3, tri_cnt, c12, n1p_ctx, ncw2w3, nmidw2, nw2dot,
+           ndotw3, t_bi,
+           CAST({_kn3_duck(_KN3_PTRI)} AS BIGINT) AS pkn_micro
+    FROM pm
+    ORDER BY tri_cnt DESC, w1, w2, w3
+    LIMIT {_KN_TOP}
+    """
+
+
+@query("corpus_trigram_lm_kn", oracle=_KN3_ORACLE)
+def corpus_trigram_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram interpolated Kneser-Ney (section comment): the full KN
+    recursion — raw counts at the top order, continuation counts below,
+    staged bottom-up in exact integer micro-units. One tokenize, one
+    trigram and one bigram type aggregation; every statistic is a
+    window over those bounded type frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(
+            F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), _WS),
+            lambda x: x != "",
+        ).alias("t")
+    ).localCheckpoint(eager=False)  # feeds the trigram AND bigram subtrees
+    n = F.size("t")
+    tri_structs = F.zip_with(
+        F.zip_with(
+            F.slice("t", 1, n - 2),
+            F.slice("t", 2, n - 2),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        F.slice("t", 3, n - 2),
+        lambda p, c: F.struct(
+            p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
+        ),
+    )
+    tri = (
+        toks.where(n >= 3)
+        .select(F.explode(tri_structs).alias("s"))
+        .groupBy(
+            F.col("s.w1").alias("w1"),
+            F.col("s.w2").alias("w2"),
+            F.col("s.w3").alias("w3"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("tri_cnt"))
+    )
+    bg_structs = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.slice("t", 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bgt = (
+        toks.where(n >= 2)
+        .select(F.explode(bg_structs).alias("s"))
+        .groupBy(F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .drop("_c")
+    )
+    bstat = bgt.select(
+        "w1",
+        "w2",
+        F.count(F.lit(1)).over(W.partitionBy("w1")).cast("long").alias("nw1dot"),
+        F.count(F.lit(1)).over(W.partitionBy("w2")).cast("long").alias("ndotw2"),
+    ).crossJoin(
+        F.broadcast(bgt.agg(F.count(F.lit(1)).cast("long").alias("t_bi")))
+    ).localCheckpoint(eager=False)  # feeds both lower-order join legs
+    tstat = tri.select(
+        "w1",
+        "w2",
+        "w3",
+        "tri_cnt",
+        F.sum("tri_cnt").over(W.partitionBy("w1", "w2")).cast("long").alias("c12"),
+        F.count(F.lit(1)).over(W.partitionBy("w1", "w2")).cast("long").alias("n1p_ctx"),
+        F.count(F.lit(1)).over(W.partitionBy("w2", "w3")).cast("long").alias("ncw2w3"),
+        F.count(F.lit(1)).over(W.partitionBy("w2")).cast("long").alias("nmidw2"),
+    )
+    b2 = bstat.select(F.col("w1").alias("_bw"), "nw1dot").distinct()
+    b3 = bstat.select(F.col("w2").alias("_cw"), "ndotw2", "t_bi").distinct()
+    joined = (
+        tstat.join(b2, tstat.w2 == b2._bw)
+        .join(b3, tstat.w3 == b3._cw)
+        .select(
+            "w1", "w2", "w3", "tri_cnt", "c12", "n1p_ctx", "ncw2w3", "nmidw2",
+            F.col("nw1dot").alias("nw2dot"),
+            F.col("ndotw2").alias("ndotw3"),
+            "t_bi",
+        )
+    )
+    pc = joined.withColumn(
+        "pc_micro",
+        F.expr(
+            f"CASE WHEN ndotw3 > {_BIGMAX} div 1000000"
+            " THEN CAST(raise_error('kn3 p_cont stage would overflow int64') AS BIGINT)"
+            " ELSE (1000000 * ndotw3) div t_bi END"
+        ).cast("long"),
+    )
+    pm = pc.withColumn("pmid_micro", F.expr(_kn3_spark(_KN3_PMID)).cast("long"))
+    return (
+        pm.withColumn("pkn_micro", F.expr(_kn3_spark(_KN3_PTRI)).cast("long"))
+        .select(
+            "w1", "w2", "w3", "tri_cnt", "c12", "n1p_ctx", "ncw2w3", "nmidw2",
+            "nw2dot", "ndotw3", "t_bi", "pkn_micro",
+        )
+        .orderBy(F.desc("tri_cnt"), "w1", "w2", "w3")
         .limit(_KN_TOP)
     )
 

@@ -116,6 +116,74 @@ def test_kn_probability_mass_normalizes():
         assert math.isclose(mass, 1.0, rel_tol=1e-12), (w1, mass)
 
 
+def _py_kn3_stats():
+    tri = Counter()
+    bgt = set()
+    for _, text, *_ in _KN_DOCS:
+        toks = (text or "").lower().split()
+        for a, b, c in zip(toks, toks[1:], toks[2:]):
+            tri[(a, b, c)] += 1
+        for a, b in zip(toks, toks[1:]):
+            bgt.add((a, b))
+    c12 = Counter()
+    n1p_ctx = Counter()
+    ncw2w3 = Counter()
+    nmidw2 = Counter()
+    for (a, b, c), k in tri.items():
+        c12[(a, b)] += k
+        n1p_ctx[(a, b)] += 1
+        ncw2w3[(b, c)] += 1
+        nmidw2[b] += 1
+    nw1dot = Counter()
+    ndotw2 = Counter()
+    for a, b in bgt:
+        nw1dot[a] += 1
+        ndotw2[b] += 1
+    return tri, c12, n1p_ctx, ncw2w3, nmidw2, nw1dot, ndotw2, len(bgt)
+
+
+def test_kn3_matches_oracle_and_float_formula(spark, tmp_path):
+    sf = _write_table(spark, tmp_path, "documents", _KN_DOCS, _DOC_SCHEMA)
+    got = _spark_rows(spark, sf, "corpus_trigram_lm_kn")
+    assert got == _oracle_rows(sf, "corpus_trigram_lm_kn", "documents")
+    tri, c12, n1p_ctx, ncw2w3, nmidw2, nw1dot, ndotw2, t_bi = _py_kn3_stats()
+    d = 0.75
+    for w1, w2, w3, tc, c, nc, nw, nm, n2d, nd3, tb, micro in got:
+        assert (tc, c, nc, nw, nm, n2d, nd3, tb) == (
+            tri[(w1, w2, w3)],
+            c12[(w1, w2)],
+            n1p_ctx[(w1, w2)],
+            ncw2w3[(w2, w3)],
+            nmidw2[w2],
+            nw1dot[w2],
+            ndotw2[w3],
+            t_bi,
+        )
+        pc = nd3 / tb
+        pmid = max(nw - d, 0.0) / nm + d * n2d / nm * pc
+        ptri = max(tc - d, 0.0) / c + d * nc / c * pmid
+        assert abs(micro - ptri * 1e6) <= 3.0, (w1, w2, w3, micro, ptri * 1e6)
+
+
+def test_kn3_mid_level_mass_identity():
+    """sum_w3 p_mid(w3|w2) == 1 + d*(N1+(w2,*) - K)/N1+(*,w2,*), where K
+    is the trigram-observed continuation set of w2 — exactly 1 when every
+    bigram type (w2, w3) also occurs trigram-interior (the padding-free
+    boundary effect, validating the continuation-count recursion)."""
+    _, _, _, ncw2w3, nmidw2, nw1dot, ndotw2, t_bi = _py_kn3_stats()
+    d = 0.75
+    vocab2 = set(ndotw2)
+    for w2 in nmidw2:
+        mass = sum(
+            max(ncw2w3.get((w2, w3), 0) - d, 0.0) / nmidw2[w2]
+            + d * nw1dot[w2] / nmidw2[w2] * (ndotw2[w3] / t_bi)
+            for w3 in vocab2
+        )
+        k = sum(1 for (b, _c) in ncw2w3 if b == w2)
+        want = 1.0 + d * (nw1dot[w2] - k) / nmidw2[w2]
+        assert math.isclose(mass, want, rel_tol=1e-12), (w2, mass, want)
+
+
 def test_kn_bucketed_matches_oracle_planted(spark, tmp_path):
     sf = _write_table(spark, tmp_path, "documents", _KN_DOCS, _DOC_SCHEMA)
     assert _spark_rows(spark, sf, "corpus_bigram_lm_kn_bucketed") == _oracle_rows(

@@ -89,6 +89,19 @@ K_INDEPENDENT = [
     # Bloom merge (per-shard filters OR-merged, third shard probed)
     "corpus_prep_funnel4_bloom",
     "docs_bloom_merge_shards",
+    # round-12 second session (llm_ops15): KN bigram LM exact tier
+    # (windows over the aggregated pairs frame — grows with bigram
+    # TYPES, the contrast the bucketed tier exists to remove), the
+    # 2^20-bucketed KN tier (type-capped), the per-lang KN document
+    # scorer (bounded broadcast LM tables), the Matryoshka two-stage
+    # retrieval (prefix coarse pass + |Q|*100 rescore), and the
+    # per-domain quality median cut (histogram-side window)
+    "corpus_bigram_lm_kn",
+    "corpus_trigram_lm_kn",
+    "corpus_bigram_lm_kn_bucketed",
+    "docs_ccnet_ppl_score_kn",
+    "similarity_topk_matryoshka",
+    "docs_quality_domain_cut",
 ]
 
 
