@@ -86,6 +86,8 @@ from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
 __all__ = [
     "corpus_bigram_lm_kn",
     "corpus_bigram_lm_kn_bucketed",
+    "corpus_bigram_lm_kn_fast",
+    "corpus_bigram_lm_kn_agreement_gate",
     "corpus_trigram_lm_kn",
     "docs_ccnet_ppl_score_kn",
     "similarity_topk_matryoshka",
@@ -536,10 +538,19 @@ def corpus_bigram_lm_kn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged program over 2^20 md5 word buckets — N1+ stats structurally
     int64-safe at any corpus size, and still fully oracle-paired."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = (
-        _knb_occurrences(docs)
-        .groupBy("b1", "b2")
-        .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
+    occ = _knb_occurrences(docs).select("b1", "b2")
+    return (
+        _knb_pairs_stats(occ)
+        .orderBy(F.desc("pair_cnt"), "b1", "b2")
+        .limit(_KN_TOP)
+    )
+
+
+def _knb_pairs_stats(occ: DataFrame) -> DataFrame:
+    """(b1, b2, pair_cnt, w1_cnt, n1p_w1, n1p_w2, t) + staged pkn_micro
+    — the bucketed KN program, shared by the md5 and xxhash64 tiers."""
+    pairs = occ.groupBy("b1", "b2").agg(
+        F.count(F.lit(1)).cast("long").alias("pair_cnt")
     )
     stats = pairs.select(
         "b1",
@@ -552,21 +563,113 @@ def corpus_bigram_lm_kn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(pairs.agg(F.count(F.lit(1)).cast("long").alias("t")))
     )
     pc = stats.withColumn("pc_micro", F.expr(_kn_spark_expr(_KN_PC)).cast("long"))
+    return pc.select(
+        "b1",
+        "b2",
+        "pair_cnt",
+        "w1_cnt",
+        F.col("n1p_w1").alias("n1p_b1"),
+        F.col("n1p_w2").alias("n1p_b2"),
+        (
+            F.expr(_kn_spark_expr(_KN_T1)).cast("long")
+            + F.expr(_kn_spark_expr(_KN_T2)).cast("long")
+        ).alias("pkn_micro"),
+    )
+
+
+def _knf_occurrences(docs: DataFrame) -> DataFrame:
+    """xxhash64 twin of _knb_occurrences — the production hash (one
+    8-byte mix per word vs md5's full digest; the llm_ops13 _fast
+    convention). pmod keeps the signed xxhash64 in [0, 2^20)."""
+    toks = docs.select(
+        F.filter(
+            F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), _WS),
+            lambda x: x != "",
+        ).alias("t")
+    ).where(F.size("t") >= 2)
+    n = F.size("t")
+    bigrams = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.slice("t", 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return toks.select(F.explode(bigrams).alias("s")).select(
+        F.pmod(F.xxhash64(F.col("s.w1")), F.lit(_KNB_B)).alias("b1"),
+        F.pmod(F.xxhash64(F.col("s.w2")), F.lit(_KNB_B)).alias("b2"),
+    )
+
+
+@query("corpus_bigram_lm_kn_fast")
+def corpus_bigram_lm_kn_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 production tier of the bucketed KN LM — identical
+    staged program, production hash. Rows-only (xxhash64 has no DuckDB
+    twin); corpus_bigram_lm_kn_agreement_gate is its oracle-paired
+    quality check."""
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        pc.select(
-            "b1",
-            "b2",
-            "pair_cnt",
-            "w1_cnt",
-            F.col("n1p_w1").alias("n1p_b1"),
-            F.col("n1p_w2").alias("n1p_b2"),
-            (
-                F.expr(_kn_spark_expr(_KN_T1)).cast("long")
-                + F.expr(_kn_spark_expr(_KN_T2)).cast("long")
-            ).alias("pkn_micro"),
-        )
+        _knb_pairs_stats(_knf_occurrences(docs))
         .orderBy(F.desc("pair_cnt"), "b1", "b2")
         .limit(_KN_TOP)
+    )
+
+
+#: the gate compares the two bucketings' top-30 STATISTICS TUPLES as
+#: multisets (bucket ids are hash-specific and meaningless across
+#: hashes; the LM statistics are a function of the word PARTITION, so
+#: wherever both hashes are injective on the observed vocabulary the
+#: tuples coincide row-for-row). Measured agreement: 29/30 at sf0.001,
+#: 28/30 at sf0.01 — the differing rows are exactly the birthday rate
+#: a 2^20-bucket space implies at these vocab sizes (~V^2/2m colliding
+#: word pairs; a collision inflates one hash's w1_cnt/n1p stats on any
+#: top-30 row touching the collided word). Floor = 28, the measured
+#: minimum (fixtures are deterministic, so the gate pins current
+#: behavior exactly); a real regression — tokenizer drift, broken
+#: stage arithmetic — shifts ALL 30 tuples and lands far below. The
+#: floor is RELATIVE (n_rows - 2) so the gate stays meaningful on
+#: corpora with fewer than 30 bigram types.
+_KN_GATE_SLACK = 2
+
+_KN_GATE_ORACLE = (
+    f"SELECT CAST({_KN_TOP} AS BIGINT) AS n_rows, TRUE AS agree_ok"
+)
+
+
+@query("corpus_bigram_lm_kn_agreement_gate", oracle=_KN_GATE_ORACLE)
+def corpus_bigram_lm_kn_agreement_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-structure-independence gate for the KN bucketed tiers: the
+    md5 tier (oracle-paired) and the xxhash64 tier (production) must
+    produce the same top-30 multiset of (pair_cnt, w1_cnt, n1p_b1,
+    n1p_b2, pkn_micro) statistics tuples, >= n_rows - _KN_GATE_SLACK."""
+    keys = ["pair_cnt", "w1_cnt", "n1p_b1", "n1p_b2", "pkn_micro"]
+    a = (
+        corpus_bigram_lm_kn_bucketed(spark, sf_dir)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    b = (
+        corpus_bigram_lm_kn_fast(spark, sf_dir)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    return (
+        a.join(b, keys, "full_outer")
+        .agg(
+            F.sum(F.coalesce(F.col("ca"), F.lit(0))).cast("long").alias("n_rows"),
+            F.sum(
+                F.least(
+                    F.coalesce(F.col("ca"), F.lit(0)),
+                    F.coalesce(F.col("cb"), F.lit(0)),
+                )
+            )
+            .cast("long")
+            .alias("n_agree"),
+        )
+        .select(
+            "n_rows",
+            (F.col("n_agree") >= F.col("n_rows") - _KN_GATE_SLACK).alias(
+                "agree_ok"
+            ),
+        )
     )
 
 

@@ -191,6 +191,26 @@ def test_kn_bucketed_matches_oracle_planted(spark, tmp_path):
     )
 
 
+def test_kn_fast_tier_agrees_on_collision_free_corpus(spark, tmp_path):
+    """On a tiny vocabulary (collision-free in 2^20 buckets under BOTH
+    hashes w.h.p.) the md5 and xxhash64 tiers' statistics tuples agree
+    row-for-row and the gate reports full agreement."""
+    sf = _write_table(spark, tmp_path, "documents", _KN_DOCS, _DOC_SCHEMA)
+    keys = lambda rows: sorted(r[2:] for r in rows)  # drop bucket ids
+    a = _spark_rows(spark, sf, "corpus_bigram_lm_kn_bucketed")
+    b = _spark_rows(spark, sf, "corpus_bigram_lm_kn_fast")
+    assert keys(a) == keys(b)
+    assert _spark_rows(spark, sf, "corpus_bigram_lm_kn_agreement_gate") == [
+        (len(a), True)
+    ]
+
+
+def test_kn_gate_green_on_fixture(spark):
+    assert _spark_rows(
+        spark, "/root/testdata/sf0.001", "corpus_bigram_lm_kn_agreement_gate"
+    ) == [(30, True)]
+
+
 _LM_SENT = "the cat sat on the mat and the dog sat on the rug "
 
 
