@@ -93,6 +93,8 @@ __all__ = [
     "similarity_topk_matryoshka",
     "similarity_matryoshka_recall_gate",
     "docs_quality_domain_cut",
+    "streaming_bloom_paragraph_dedup",
+    "streaming_bloom_dedup_gate",
 ]
 
 # explicit whitespace class — RE2 \s omits \x0B (the repo convention)
@@ -939,6 +941,106 @@ def similarity_matryoshka_recall_gate(spark: SparkSession, sf_dir: str) -> DataF
         (
             F.avg(F.coalesce(F.col("recall"), F.lit(0.0))) >= F.lit(_MRL_FLOOR)
         ).alias("recall_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming_bloom_paragraph_dedup — incremental ingest dedup (E1 x E5)
+# ---------------------------------------------------------------------------
+# The streaming form of the Bloom family: shards arrive over time, each
+# micro-batch probes against the OR-merged filter state of every prior
+# batch, then appends its own packed words table to the state
+# (streaming/bloom_state.py — the docs_bloom_merge_shards associative
+# primitive driven by Structured Streaming; no driver-side state).
+# Rows-only (xxhash64 + streaming); the gate is the oracle-paired
+# check: a Bloom filter has no false negatives, so every paragraph
+# exactly duplicated from a STRICTLY-EARLIER doc_id shard must be
+# flagged (n_missed = 0), with measured false positives among true
+# non-duplicates under 5%. Within-batch duplicates are by-design
+# unflagged (state updates after the probe) and the oracle counts
+# prior-shard duplicates only, from the same doc_id ranges.
+
+
+@query("streaming_bloom_paragraph_dedup")
+def streaming_bloom_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-batch Bloom paragraph dedup (section comment):
+    one row per paragraph (doc_id, pos, dup) drained from the real
+    Structured Streaming run (file source, one shard per trigger,
+    AvailableNow)."""
+    from etl_from_s3_to_postgresql_template_spark.streaming.bloom_state import (
+        run_incremental_bloom_stream,
+    )
+
+    return run_incremental_bloom_stream(spark, sf_dir)
+
+
+_SBLOOM_GATE_ORACLE = """
+    WITH w AS (
+      SELECT COALESCE(MAX(doc_id), 0) // 4 + 1 AS width FROM documents
+    ), pars AS (
+      SELECT doc_id, doc_id // (SELECT width FROM w) AS shard, TRIM(p) AS par
+      FROM (SELECT doc_id, UNNEST(string_split(COALESCE(text, ''), chr(10))) AS p
+            FROM documents)
+      WHERE TRIM(p) <> ''
+    ), firsts AS (
+      SELECT par, MIN(shard) AS first_shard FROM pars GROUP BY par
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(COALESCE(SUM(CASE WHEN f.first_shard < p.shard THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_true_prior_dup,
+           CAST(0 AS BIGINT) AS n_missed,
+           TRUE AS fp_ok
+    FROM pars p JOIN firsts f USING (par)
+    """
+
+
+@query("streaming_bloom_dedup_gate", oracle=_SBLOOM_GATE_ORACLE)
+def streaming_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-paired gate for the streaming Bloom tier: join the
+    drained streaming flags with the exact prior-shard duplicate truth
+    (recomputed batch-side from the same doc_id ranges) — no false
+    negatives, false positives under 5%."""
+    from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+    from etl_from_s3_to_postgresql_template_spark.streaming.bloom_state import (
+        run_incremental_bloom_stream,
+        shard_width,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    width = shard_width(spark, docs.select("doc_id", "text"))
+    text = F.coalesce(F.col("text"), F.lit(""))
+    pars = (
+        docs.select(
+            "doc_id", F.posexplode(F.split(text, "\n", -1)).alias("pos", "raw")
+        )
+        .select(
+            "doc_id",
+            "pos",
+            (F.col("doc_id") / width).cast("long").alias("shard"),
+            F.trim(F.col("raw")).alias("par"),
+        )
+        .where(F.col("par") != "")
+        .localCheckpoint(eager=False)  # feeds the firsts agg AND the join
+    )
+    firsts = pars.groupBy("par").agg(F.min("shard").alias("first_shard"))
+    truth = pars.join(firsts, "par").select(
+        "doc_id", "pos", (F.col("first_shard") < F.col("shard")).alias("is_dup")
+    )
+    flags = run_incremental_bloom_stream(spark, sf_dir)
+    j = truth.join(flags, ["doc_id", "pos"])
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
+        F.coalesce(F.sum(F.col("is_dup").cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_true_prior_dup"),
+        F.coalesce(F.sum((F.col("is_dup") & ~F.col("dup")).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_missed"),
+        F.coalesce(
+            F.sum((F.col("dup") & ~F.col("is_dup")).cast("long")) * 20
+            <= F.sum((~F.col("is_dup")).cast("long")),
+            F.lit(True),
+        ).alias("fp_ok"),
     )
 
 

@@ -303,6 +303,47 @@ def test_matryoshka_gate_green_on_fixture(spark):
 
 
 # ---------------------------------------------------------------------------
+# Streaming incremental Bloom dedup
+# ---------------------------------------------------------------------------
+
+# width = max_id // 4 + 1 = 10: shards [0-9] [10-19] [20-29] [30-39]
+_SBLOOM_DOCS = [
+    (0, "alpha one\nbeta two", "en", "a", 1),
+    (5, "gamma three\nalpha one", "en", "a", 1),  # same-shard dup: unflagged
+    (12, "alpha one", "en", "a", 1),  # dup of shard 0 -> flagged
+    (25, "beta two\nfresh line", "en", "a", 1),  # beta flagged, fresh first
+    (33, "fresh line", "en", "a", 1),  # dup of shard 2 -> flagged
+    (39, "unique tail", "en", "a", 1),
+]
+
+
+def test_streaming_bloom_flags_prior_shard_dups_only(spark, tmp_path):
+    sf = _write_table(spark, tmp_path, "documents", _SBLOOM_DOCS, _DOC_SCHEMA)
+    got = {(r[0], r[1]): r[2] for r in _spark_rows(spark, sf, "streaming_bloom_paragraph_dedup")}
+    want = {
+        (0, 0): False,
+        (0, 1): False,
+        (5, 0): False,
+        (5, 1): False,  # within-batch dup: state updates AFTER the probe
+        (12, 0): True,  # cross-batch dup
+        (25, 0): True,
+        (25, 1): False,
+        (33, 0): True,
+        (39, 0): False,
+    }
+    assert got == want
+    assert _spark_rows(spark, sf, "streaming_bloom_dedup_gate") == [(9, 3, 0, True)]
+    assert _oracle_rows(sf, "streaming_bloom_dedup_gate", "documents") == [
+        (9, 3, 0, True)
+    ]
+
+
+def test_streaming_bloom_gate_green_on_fixture(spark):
+    rows = _spark_rows(spark, "/root/testdata/sf0.001", "streaming_bloom_dedup_gate")
+    assert rows[0][2] == 0 and rows[0][3] is True
+
+
+# ---------------------------------------------------------------------------
 # Domain quality cut
 # ---------------------------------------------------------------------------
 

@@ -99,9 +99,14 @@ K_INDEPENDENT = [
     "corpus_bigram_lm_kn",
     "corpus_trigram_lm_kn",
     "corpus_bigram_lm_kn_bucketed",
+    "corpus_bigram_lm_kn_fast",
     "docs_ccnet_ppl_score_kn",
     "similarity_topk_matryoshka",
     "docs_quality_domain_cut",
+    # streaming incremental Bloom dedup: the whole streaming run
+    # executes at plan construction (stage shards -> stream -> land),
+    # so it MUST be thunk-timed (EAGER_PLANS)
+    "streaming_bloom_paragraph_dedup",
 ]
 
 
@@ -133,6 +138,9 @@ EAGER_PLANS = {
     # r12: same checkpoint+sizing-count shape as the single-shard tiers
     "corpus_prep_funnel4_bloom",
     "docs_bloom_merge_shards",
+    # r12 second session: the streaming run executes eagerly at plan
+    # construction (shard staging + the stream itself)
+    "streaming_bloom_paragraph_dedup",
 }
 
 
