@@ -95,6 +95,8 @@ __all__ = [
     "docs_quality_domain_cut",
     "streaming_bloom_paragraph_dedup",
     "streaming_bloom_dedup_gate",
+    "corpus_unigram_lm_em",
+    "corpus_unigram_em_gate",
 ]
 
 # explicit whitespace class — RE2 \s omits \x0B (the repo convention)
@@ -941,6 +943,73 @@ def similarity_matryoshka_recall_gate(spark: SparkSession, sf_dir: str) -> DataF
         (
             F.avg(F.coalesce(F.col("recall"), F.lit(0.0))) >= F.lit(_MRL_FLOOR)
         ).alias("recall_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_unigram_lm_em — the SentencePiece-unigram trainer step
+# ---------------------------------------------------------------------------
+# The second real-world tokenizer-training algorithm (Kudo 2018),
+# completing the family next to BPE (operators/bpe.py): one
+# distributed EM iteration over the segmentation lattice
+# (operators/unigram.py — forward-backward per distinct word against
+# the broadcast seed inventory, expected counts emitted in integer
+# micro in-kernel so aggregation is exact int64). Iterative float
+# lattice algebra has no SQL twin, so the step is rows-only; the gate
+# pins the two properties EM guarantees and the micro discipline
+# preserves: one step cannot DECREASE the corpus log-likelihood, and
+# the re-estimated distribution stays normalized to within one micro
+# per piece. The pure-Python reference equality test (pytest) pins the
+# lattice itself.
+
+
+def _unigram_frames(spark: SparkSession, sf_dir: str):
+    from etl_from_s3_to_postgresql_template_spark.operators.bpe import (
+        word_frequencies,
+    )
+    from etl_from_s3_to_postgresql_template_spark.operators.unigram import (
+        em_step,
+        seed_pieces,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = word_frequencies(docs, max_vocab=100_000)
+    pieces, total = seed_pieces(wf)
+    return em_step(wf, pieces, total)
+
+
+@query("corpus_unigram_lm_em")
+def corpus_unigram_lm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One unigram-LM EM iteration (section comment): the top-30 pieces
+    by re-estimated probability with their seed counts, seed
+    probabilities, and aggregated expected counts."""
+    piece_frame, _ = _unigram_frames(spark, sf_dir)
+    return (
+        piece_frame.select(
+            "piece", "cnt0", "prob0_micro", "e_micro", "prob1_micro"
+        )
+        .orderBy(F.desc("prob1_micro"), "piece")
+        .limit(30)
+    )
+
+
+_UNIGRAM_GATE_ORACLE = "SELECT TRUE AS ll_improved, TRUE AS norm_ok"
+
+
+@query("corpus_unigram_em_gate", oracle=_UNIGRAM_GATE_ORACLE)
+def corpus_unigram_em_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-paired EM-step gate (section comment): corpus
+    log-likelihood is non-decreasing across the step (integer micro,
+    freq-weighted ln Z per word) and the re-estimated probabilities
+    sum to 1e6 within one micro per piece."""
+    piece_frame, ll_frame = _unigram_frames(spark, sf_dir)
+    norm = piece_frame.agg(
+        F.sum("prob1_micro").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return ll_frame.crossJoin(F.broadcast(norm)).select(
+        (F.col("ll1_micro") >= F.col("ll0_micro")).alias("ll_improved"),
+        (F.abs(F.col("s") - 1_000_000) <= F.col("n")).alias("norm_ok"),
     )
 
 

@@ -347,6 +347,79 @@ def test_matryoshka_gate_green_on_fixture(spark):
 
 
 # ---------------------------------------------------------------------------
+# Unigram-LM EM step
+# ---------------------------------------------------------------------------
+
+
+def _brute_segmentations(word, probs, _memo=None):
+    """All (probability, piece-multiset) pairs by exhaustive recursion —
+    the reference the lattice must reproduce."""
+    out = []
+
+    def rec(i, acc_p, acc_pieces):
+        if i == len(word):
+            out.append((acc_p, tuple(acc_pieces)))
+            return
+        for j in range(i + 1, min(len(word), i + 4) + 1):
+            p = probs.get(word[i:j])
+            if p:
+                rec(j, acc_p * p, acc_pieces + [word[i:j]])
+
+    rec(0, 1.0, [])
+    return out
+
+
+def test_unigram_lattice_matches_brute_force():
+    from collections import Counter
+
+    from etl_from_s3_to_postgresql_template_spark.operators.unigram import _lattice
+
+    probs = {"a": 0.3, "b": 0.2, "ab": 0.25, "ba": 0.15, "aba": 0.1}
+    for word in ("abab", "aba", "bb", "abba"):
+        a, b, z = _lattice(word, probs)
+        segs = _brute_segmentations(word, probs)
+        z_ref = sum(p for p, _ in segs)
+        assert math.isclose(z, z_ref, rel_tol=1e-12), (word, z, z_ref)
+        if z_ref == 0:
+            continue
+        # expected piece counts: lattice a*p*b/z vs brute-force average
+        e_ref = Counter()
+        for p, pieces in segs:
+            for pc in pieces:
+                e_ref[pc] += p / z_ref
+        for pc in probs:
+            e_lat = 0.0
+            n = len(word)
+            for j in range(n):
+                for i in range(j + 1, min(n, j + 4) + 1):
+                    if word[j:i] == pc and probs.get(pc):
+                        e_lat += a[j] * probs[pc] * b[i] / z
+            assert math.isclose(e_lat, e_ref.get(pc, 0.0), rel_tol=1e-12, abs_tol=1e-15), (
+                word,
+                pc,
+            )
+
+
+def test_unigram_em_gate_planted_and_fixture(spark, tmp_path):
+    rows = [
+        (0, "abab abba aba abab bab", "en", "a", 1),
+        (1, "abab aba bb abab", "en", "a", 1),
+    ]
+    sf = _write_table(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    assert _spark_rows(spark, sf, "corpus_unigram_em_gate") == [(True, True)]
+    top = _spark_rows(spark, sf, "corpus_unigram_lm_em")
+    assert 0 < len(top) <= 30
+    # frequent multi-char pieces gain probability mass across the step
+    by_piece = {r[0]: r for r in top}
+    assert "ab" in by_piece
+    piece, cnt0, p0, e, p1 = by_piece["ab"]
+    assert e > 0 and p1 > 0
+    assert _spark_rows(
+        spark, "/root/testdata/sf0.001", "corpus_unigram_em_gate"
+    ) == [(True, True)]
+
+
+# ---------------------------------------------------------------------------
 # Streaming incremental Bloom dedup
 # ---------------------------------------------------------------------------
 

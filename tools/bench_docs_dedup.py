@@ -107,6 +107,9 @@ K_INDEPENDENT = [
     # executes at plan construction (stage shards -> stream -> land),
     # so it MUST be thunk-timed (EAGER_PLANS)
     "streaming_bloom_paragraph_dedup",
+    # unigram-LM EM step: seed-piece collect + E-step materialization
+    # run at construction — thunk-timed
+    "corpus_unigram_lm_em",
 ]
 
 
@@ -139,8 +142,11 @@ EAGER_PLANS = {
     "corpus_prep_funnel4_bloom",
     "docs_bloom_merge_shards",
     # r12 second session: the streaming run executes eagerly at plan
-    # construction (shard staging + the stream itself)
+    # construction (shard staging + the stream itself); the unigram EM
+    # step collects its seed inventory and materializes the E-step
+    # checkpoint at construction
     "streaming_bloom_paragraph_dedup",
+    "corpus_unigram_lm_em",
 }
 
 
