@@ -39,7 +39,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["seed_pieces", "em_step", "MAX_PIECE_LEN"]
+__all__ = ["seed_pieces", "em_step", "viterbi_encode", "MAX_PIECE_LEN"]
 
 MAX_PIECE_LEN = 4
 _MAX_WORD_LEN = 64  # float64 underflow guard: lattice Z > 1e-300 easily
@@ -234,3 +234,86 @@ def em_step(
     )
     ll_frame = ll0.crossJoin(ll1)
     return piece_frame, ll_frame
+
+
+def viterbi_encode(wf: DataFrame, probs: dict[str, float]) -> DataFrame:
+    """Viterbi (max-probability) segmentation of every vocabulary word
+    under a fitted piece distribution — the production ENCODE use of
+    the unigram artifact, symmetric with bpe.py's encode_word. Exact
+    dynamic program per word (log-space scores); ties break toward the
+    SHORTER piece sequence and then the lexicographically smaller
+    sequence, so the output is fully deterministic. Returns (word,
+    freq, pieces [space-joined], n_pieces, score_micro) with
+    score_micro = round(1e6 * log P(best segmentation)); words with an
+    uncoverable character encode as NULL pieces (coverage_ok gates
+    this never happens for corpus-fitted inventories)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_t = StructType(
+        [
+            StructField("pieces", StringType()),
+            StructField("n_pieces", LongType()),
+            StructField("score_micro", LongType()),
+        ]
+    )
+    logp = {p: math.log(v) for p, v in probs.items() if v > 0}
+
+    @pandas_udf(out_t)
+    def encode(words):
+        rows = []
+        for word in words:
+            if not word or len(word) > _MAX_WORD_LEN:
+                rows.append({"pieces": None, "n_pieces": None, "score_micro": None})
+                continue
+            n = len(word)
+            NEG = float("-inf")
+            # best[i] = (score, n_pieces, pieces tuple) — tie-break on
+            # (-score, n_pieces, pieces) minimization
+            best = [(NEG, 0, ())] * (n + 1)
+            best[0] = (0.0, 0, ())
+            for i in range(1, n + 1):
+                cand = None
+                for j in range(max(0, i - MAX_PIECE_LEN), i):
+                    lp = logp.get(word[j:i])
+                    if lp is None or best[j][0] == NEG:
+                        continue
+                    c = (
+                        best[j][0] + lp,
+                        best[j][1] + 1,
+                        best[j][2] + (word[j:i],),
+                    )
+                    if (
+                        cand is None
+                        or c[0] > cand[0]
+                        or (c[0] == cand[0] and (c[1], c[2]) < (cand[1], cand[2]))
+                    ):
+                        cand = c
+                best[i] = cand if cand is not None else (NEG, 0, ())
+            score, k, pieces = best[n]
+            if score == NEG:
+                rows.append({"pieces": None, "n_pieces": None, "score_micro": None})
+            else:
+                rows.append(
+                    {
+                        "pieces": " ".join(pieces),
+                        "n_pieces": k,
+                        "score_micro": int(round(score * 1e6)),
+                    }
+                )
+        return pd.DataFrame(rows)
+
+    enc = encode(F.col("word"))
+    return wf.select(
+        "word",
+        "freq",
+        enc["pieces"].alias("pieces"),
+        enc["n_pieces"].alias("n_pieces"),
+        enc["score_micro"].alias("score_micro"),
+    )

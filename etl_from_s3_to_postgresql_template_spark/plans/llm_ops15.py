@@ -97,6 +97,8 @@ __all__ = [
     "streaming_bloom_dedup_gate",
     "corpus_unigram_lm_em",
     "corpus_unigram_em_gate",
+    "corpus_unigram_encode",
+    "corpus_unigram_encode_gate",
 ]
 
 # explicit whitespace class — RE2 \s omits \x0B (the repo convention)
@@ -975,7 +977,8 @@ def _unigram_frames(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents")
     wf = word_frequencies(docs, max_vocab=100_000)
     pieces, total = seed_pieces(wf)
-    return em_step(wf, pieces, total)
+    piece_frame, ll_frame = em_step(wf, pieces, total)
+    return wf, piece_frame, ll_frame
 
 
 @query("corpus_unigram_lm_em")
@@ -983,7 +986,7 @@ def corpus_unigram_lm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One unigram-LM EM iteration (section comment): the top-30 pieces
     by re-estimated probability with their seed counts, seed
     probabilities, and aggregated expected counts."""
-    piece_frame, _ = _unigram_frames(spark, sf_dir)
+    _, piece_frame, _ = _unigram_frames(spark, sf_dir)
     return (
         piece_frame.select(
             "piece", "cnt0", "prob0_micro", "e_micro", "prob1_micro"
@@ -1002,7 +1005,7 @@ def corpus_unigram_em_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-likelihood is non-decreasing across the step (integer micro,
     freq-weighted ln Z per word) and the re-estimated probabilities
     sum to 1e6 within one micro per piece."""
-    piece_frame, ll_frame = _unigram_frames(spark, sf_dir)
+    _, piece_frame, ll_frame = _unigram_frames(spark, sf_dir)
     norm = piece_frame.agg(
         F.sum("prob1_micro").cast("long").alias("s"),
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1010,6 +1013,60 @@ def corpus_unigram_em_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ll_frame.crossJoin(F.broadcast(norm)).select(
         (F.col("ll1_micro") >= F.col("ll0_micro")).alias("ll_improved"),
         (F.abs(F.col("s") - 1_000_000) <= F.col("n")).alias("norm_ok"),
+    )
+
+
+def _unigram_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_from_s3_to_postgresql_template_spark.operators.unigram import (
+        viterbi_encode,
+    )
+
+    wf, piece_frame, _ = _unigram_frames(spark, sf_dir)
+    probs1 = {
+        r["piece"]: r["prob1_micro"] / 1e6
+        for r in piece_frame.select("piece", "prob1_micro").collect()
+        if r["prob1_micro"] > 0
+    }
+    return viterbi_encode(wf, probs1)
+
+
+@query("corpus_unigram_encode")
+def corpus_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi encoding of the vocabulary under the one-step-fitted
+    unigram distribution (operators/unigram.py::viterbi_encode — the
+    production ENCODE use of the artifact, symmetric with
+    corpus_bpe_encode): the top-30 words by frequency with their best
+    segmentation, piece count, and log-probability in micro."""
+    return (
+        _unigram_encoded(spark, sf_dir)
+        .orderBy(F.desc("freq"), "word")
+        .limit(30)
+    )
+
+
+_UNIGRAM_ENC_GATE_ORACLE = "SELECT TRUE AS coverage_ok, TRUE AS reconstruct_ok"
+
+
+@query("corpus_unigram_encode_gate", oracle=_UNIGRAM_ENC_GATE_ORACLE)
+def corpus_unigram_encode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-paired encoder gate over the FULL vocabulary: every word
+    encodes (single-char coverage makes Viterbi total — coverage_ok)
+    and every segmentation concatenates back to its word verbatim
+    (reconstruct_ok)."""
+    enc = _unigram_encoded(spark, sf_dir)
+    return enc.agg(
+        F.coalesce(
+            F.sum(F.col("pieces").isNull().cast("long")) == 0, F.lit(True)
+        ).alias("coverage_ok"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.concat_ws("", F.split(F.col("pieces"), " ")) != F.col("word")
+                ).cast("long")
+            )
+            == 0,
+            F.lit(True),
+        ).alias("reconstruct_ok"),
     )
 
 

@@ -419,6 +419,37 @@ def test_unigram_em_gate_planted_and_fixture(spark, tmp_path):
     ) == [(True, True)]
 
 
+def test_unigram_viterbi_matches_brute_force_and_reconstructs(spark, tmp_path):
+    from etl_from_s3_to_postgresql_template_spark.operators.unigram import (
+        viterbi_encode,
+    )
+
+    probs = {"a": 0.3, "b": 0.2, "ab": 0.25, "ba": 0.15, "aba": 0.1}
+    wf = spark.createDataFrame(
+        [("abab", 5), ("aba", 3), ("abba", 2), ("bb", 1)], "word string, freq long"
+    )
+    got = {r["word"]: r for r in viterbi_encode(wf, probs).collect()}
+    for word in ("abab", "aba", "abba", "bb"):
+        segs = _brute_segmentations(word, probs)
+        best_p = max(p for p, _ in segs)
+        r = got[word]
+        assert "".join(r["pieces"].split(" ")) == word
+        assert r["score_micro"] == round(math.log(best_p) * 1e6)
+        # tie-break: among max-probability segmentations, fewest pieces
+        # then lexicographically smallest
+        best = min(
+            ((p, s) for p, s in segs if math.isclose(p, best_p, rel_tol=1e-12)),
+            key=lambda ps: (len(ps[1]), ps[1]),
+        )
+        assert tuple(r["pieces"].split(" ")) == best[1], (word, r["pieces"], best)
+    rows = [
+        (0, "abab abba aba abab bab", "en", "a", 1),
+        (1, "abab aba bb abab", "en", "a", 1),
+    ]
+    sf = _write_table(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    assert _spark_rows(spark, sf, "corpus_unigram_encode_gate") == [(True, True)]
+
+
 # ---------------------------------------------------------------------------
 # Streaming incremental Bloom dedup
 # ---------------------------------------------------------------------------

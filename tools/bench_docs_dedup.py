@@ -107,9 +107,10 @@ K_INDEPENDENT = [
     # executes at plan construction (stage shards -> stream -> land),
     # so it MUST be thunk-timed (EAGER_PLANS)
     "streaming_bloom_paragraph_dedup",
-    # unigram-LM EM step: seed-piece collect + E-step materialization
-    # run at construction — thunk-timed
+    # unigram-LM EM step + Viterbi encoder: seed-piece collect + E-step
+    # materialization run at construction — thunk-timed
     "corpus_unigram_lm_em",
+    "corpus_unigram_encode",
 ]
 
 
@@ -147,6 +148,7 @@ EAGER_PLANS = {
     # checkpoint at construction
     "streaming_bloom_paragraph_dedup",
     "corpus_unigram_lm_em",
+    "corpus_unigram_encode",
 }
 
 
