@@ -504,7 +504,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 exact ANN baseline: cosine top-10 for 5 query vectors. The query
     side is broadcast; the big side is never shuffled."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )

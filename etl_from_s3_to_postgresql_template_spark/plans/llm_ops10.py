@@ -583,7 +583,7 @@ def docs_softdedup_weights_hashed(spark: SparkSession, sf_dir: str) -> DataFrame
     shuffles. Estimator property: collisions only ever INCREASE a
     gram's apparent count (count-min bias direction), shrinking as B
     grows; the exact tier is the semantics reference."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     n = _SD_N
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     base = docs.select("doc_id", norm.alias("norm"))

@@ -305,7 +305,7 @@ def _rep_counts_frame(
     for the CJK tier)."""
     from etl_from_s3_to_postgresql_template_spark.functions.gopher_rep import rep_stats_counts
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     tc = F.col("text") if text_col is None else text_col
     base = docs.select("doc_id", rep_stats_counts(tc).alias("r")).select(
         "doc_id", "r.*"

@@ -806,7 +806,7 @@ def corpus_prep_funnel_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges are the dedup key shuffle and the output sort."""
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     kept = (
         _blocklist_frame(spark, docs, carry=("text",))
         .filter(~F.col("blocked"))
@@ -941,7 +941,10 @@ def _cc_assign_buckets(scored: DataFrame) -> DataFrame:
 
     hist = scored.groupBy("lang", "lp").agg(F.count(F.lit(1)).cast("long").alias("c"))
     tot = hist.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
-    cum = hist.join(tot, "lang").withColumn(
+    # explicit hint: tot is <= one row per language, always
+    # broadcastable; estimate-based planning demoted it to a
+    # sort-merge join after the r12 LM restructure (guide 3.1)
+    cum = hist.join(F.broadcast(tot), "lang").withColumn(
         "cum",
         F.sum("c").over(W.partitionBy("lang").orderBy(F.desc("lp"))).cast("long"),
     )
@@ -999,11 +1002,19 @@ def docs_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ON THE HISTOGRAM -> 2 cut rows per language broadcast back onto the
     scored stream. No per-language sort of the document stream at any
     scale."""
-    occ = _cc_bigram_occurrences(load_table(spark, sf_dir, "documents"))
+    occ = _cc_bigram_occurrences(load_table(spark, sf_dir, "documents", parallel=True))
     doc_pairs = occ.groupBy(
         "doc_id", "lang", "w1", "w2"
     ).agg(F.count(F.lit(1)).alias("c"))
-    lm = doc_pairs.groupBy("w1", "w2").agg(F.sum("c").alias("pair_cnt"))
+    # lm feeds the scored join, w1_tot AND vocab — without the lazy
+    # checkpoint each reader re-ran the whole tokenize+explode+pair-agg
+    # chain (3 extra corpus passes, r12). The checkpoint is O(distinct
+    # bigrams), the same order as the aggregation it pins.
+    lm = (
+        doc_pairs.groupBy("w1", "w2")
+        .agg(F.sum("c").alias("pair_cnt"))
+        .localCheckpoint(eager=False)
+    )
     w1_tot = lm.groupBy("w1").agg(F.sum("pair_cnt").alias("w1_cnt"))
     vocab = lm.agg(F.countDistinct("w1").cast("double").alias("v"))
     # decimal accumulation: exact, order-free (the llm_ops2 convention)
@@ -1098,7 +1109,7 @@ def docs_ccnet_ppl_buckets_hashed(spark: SparkSession, sf_dir: str) -> DataFrame
     bigram stream never shuffles — the 100 TB shape. Hash-exact
     cross-engine (identical md5 bucketing both sides); the exact tier
     stays registered beside it as the unbucketed reference."""
-    occ = _cc_bigram_occurrences(load_table(spark, sf_dir, "documents"))
+    occ = _cc_bigram_occurrences(load_table(spark, sf_dir, "documents", parallel=True))
 
     def _bucket(col: F.Column) -> F.Column:
         return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % _CCH_B
@@ -1109,8 +1120,32 @@ def docs_ccnet_ppl_buckets_hashed(spark: SparkSession, sf_dir: str) -> DataFrame
         _bucket(F.concat(F.col("w1"), F.lit(" "), F.col("w2"))).alias("b12"),
         _bucket(F.col("w1")).alias("b1"),
     )
-    lm12 = occ.groupBy("b12").agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
-    lm1 = occ.groupBy("b1").agg(F.count(F.lit(1)).cast("long").alias("w1_cnt"))
+    # ONE pass builds BOTH bucket tables (r12): lm12, lm1 and vocab each
+    # consuming `occ` directly re-ran the tokenize+explode+md5 chain once
+    # per table (3 full corpus passes for the LM build alone). Exploding
+    # each occurrence into its two (table, bucket) keys keeps the counts
+    # byte-identical, partial aggregation still collapses to <= 2*2^20
+    # rows per task before the exchange, and the bounded result is
+    # lazily checkpointed so its three readers share the single pass.
+    kb = occ.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("k"), F.col("b12").alias("b")),
+                F.struct(F.lit(1).alias("k"), F.col("b1").alias("b")),
+            )
+        ).alias("kb")
+    ).select("kb.k", "kb.b")
+    lm = (
+        kb.groupBy("k", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    lm12 = lm.where(F.col("k") == 0).select(
+        F.col("b").alias("b12"), F.col("c").alias("pair_cnt")
+    )
+    lm1 = lm.where(F.col("k") == 1).select(
+        F.col("b").alias("b1"), F.col("c").alias("w1_cnt")
+    )
     vocab = lm1.agg(F.count(F.lit(1)).cast("double").alias("v"))
     avg_lp = F.round(
         F.sum(

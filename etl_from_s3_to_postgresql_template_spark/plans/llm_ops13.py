@@ -165,7 +165,10 @@ def _ccx_assign_buckets(scored: DataFrame) -> DataFrame:
 
     hist = scored.groupBy("lang", "lp").agg(F.count(F.lit(1)).cast("long").alias("c"))
     tot = hist.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
-    cum = hist.join(tot, "lang").withColumn(
+    # explicit hint: tot is <= one row per language, always
+    # broadcastable; estimate-based planning demoted it to a
+    # sort-merge join after the r12 LM restructure (guide 3.1)
+    cum = hist.join(F.broadcast(tot), "lang").withColumn(
         "cum",
         F.sum("c").over(W.partitionBy("lang").orderBy(F.desc("lp"))).cast("long"),
     )
@@ -226,7 +229,7 @@ def docs_ccnet_ppl_score_external(spark: SparkSession, sf_dir: str) -> DataFrame
     scored map-side (left joins, add-one backoff for unseen bigrams).
     At 100 TB the supplied-LM tables are loaded once and broadcast —
     the crawl contributes zero LM-construction shuffle."""
-    occ_all = _ccx_bigram_occurrences(load_table(spark, sf_dir, "documents"))
+    occ_all = _ccx_bigram_occurrences(load_table(spark, sf_dir, "documents", parallel=True))
 
     def _bucket(col: Column) -> Column:
         return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % _CCX_B
@@ -239,8 +242,30 @@ def docs_ccnet_ppl_score_external(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     lm_occ = occ_all.where(F.col("doc_id") % 10 == 0)
     occ = occ_all.where(F.col("doc_id") % 10 != 0)
-    lm12 = lm_occ.groupBy("b12").agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
-    lm1 = lm_occ.groupBy("b1").agg(F.count(F.lit(1)).cast("long").alias("w1_cnt"))
+    # ONE pass over the reference slice builds BOTH bucket tables (r12):
+    # lm12, lm1 and vocab each consuming lm_occ re-ran the tokenize+
+    # explode+md5 chain once per table. Counts are byte-identical; the
+    # bounded (<= 2*2^20 rows) result is lazily checkpointed so its
+    # readers share the single pass (the llm_ops12 hashed-tier shape).
+    kb = lm_occ.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("k"), F.col("b12").alias("b")),
+                F.struct(F.lit(1).alias("k"), F.col("b1").alias("b")),
+            )
+        ).alias("kb")
+    ).select("kb.k", "kb.b")
+    lm = (
+        kb.groupBy("k", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    lm12 = lm.where(F.col("k") == 0).select(
+        F.col("b").alias("b12"), F.col("c").alias("pair_cnt")
+    )
+    lm1 = lm.where(F.col("k") == 1).select(
+        F.col("b").alias("b1"), F.col("c").alias("w1_cnt")
+    )
     vocab = lm1.agg(F.count(F.lit(1)).cast("double").alias("v"))
     # decimal accumulation: exact, order-free (the llm_ops2 convention)
     avg_lp = F.round(
@@ -293,11 +318,27 @@ def _ccx_external_perlang_scored(docs: DataFrame) -> DataFrame:
     )
     lm_occ = occ_all.where(F.col("doc_id") % 10 == 0)
     occ = occ_all.where(F.col("doc_id") % 10 != 0)
-    lm12 = lm_occ.groupBy("lang", "b12").agg(
-        F.count(F.lit(1)).cast("long").alias("pair_cnt")
+    # ONE reference-slice pass builds both per-lang bucket tables (r12 —
+    # the pooled-tier comment above; keys gain the lang column)
+    kb = lm_occ.select(
+        "lang",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("k"), F.col("b12").alias("b")),
+                F.struct(F.lit(1).alias("k"), F.col("b1").alias("b")),
+            )
+        ).alias("kb"),
+    ).select("lang", "kb.k", "kb.b")
+    lm = (
+        kb.groupBy("lang", "k", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    lm1 = lm_occ.groupBy("lang", "b1").agg(
-        F.count(F.lit(1)).cast("long").alias("w1_cnt")
+    lm12 = lm.where(F.col("k") == 0).select(
+        "lang", F.col("b").alias("b12"), F.col("c").alias("pair_cnt")
+    )
+    lm1 = lm.where(F.col("k") == 1).select(
+        "lang", F.col("b").alias("b1"), F.col("c").alias("w1_cnt")
     )
     vocab = lm1.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("v"))
     avg_lp = F.round(
@@ -362,7 +403,7 @@ def docs_ccnet_ppl_score_external_perlang(spark: SparkSession, sf_dir: str) -> D
     bounded and broadcast, stream scored map-side; languages without an
     LM are not scored (CCNet semantics). Terciles are per-language as
     in every tier."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     return _ccx_assign_buckets(_ccx_external_perlang_scored(docs))
 
 
@@ -404,7 +445,7 @@ def docs_ccnet_sample_headmiddle(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept flag is emitted (not filtered) so the oracle checks every
     decision; a production run filters on it — a pure projection, so
     Catalyst collapses the difference."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     bkt = _ccx_assign_buckets(_ccx_external_perlang_scored(docs))
     coin = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -452,8 +493,28 @@ def _ccx_self_lm_buckets(docs_or_occ: DataFrame, bucket) -> DataFrame:
         bucket(F.concat(F.col("w1"), F.lit(" "), F.col("w2"))).alias("b12"),
         bucket(F.col("w1")).alias("b1"),
     )
-    lm12 = occ.groupBy("b12").agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
-    lm1 = occ.groupBy("b1").agg(F.count(F.lit(1)).cast("long").alias("w1_cnt"))
+    # ONE pass builds both bucket tables (r12 — the external-tier comment
+    # above): 3 LM-build evaluations of the tokenize+explode+hash chain
+    # collapse into one bounded, lazily checkpointed count frame
+    kb = occ.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("k"), F.col("b12").alias("b")),
+                F.struct(F.lit(1).alias("k"), F.col("b1").alias("b")),
+            )
+        ).alias("kb")
+    ).select("kb.k", "kb.b")
+    lm = (
+        kb.groupBy("k", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    lm12 = lm.where(F.col("k") == 0).select(
+        F.col("b").alias("b12"), F.col("c").alias("pair_cnt")
+    )
+    lm1 = lm.where(F.col("k") == 1).select(
+        F.col("b").alias("b1"), F.col("c").alias("w1_cnt")
+    )
     vocab = lm1.agg(F.count(F.lit(1)).cast("double").alias("v"))
     avg_lp = F.round(
         F.sum(
@@ -490,7 +551,7 @@ def docs_ccnet_ppl_buckets_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence — same bounded broadcast LM tables, same map-side
     scoring. Rows-only by design; quality gated by
     docs_ccnet_ppl_agreement_gate."""
-    return _ccx_self_lm_buckets(load_table(spark, sf_dir, "documents"), _bucket_fast)
+    return _ccx_self_lm_buckets(load_table(spark, sf_dir, "documents", parallel=True), _bucket_fast)
 
 
 _CCA_GATE_ORACLE = rf"""
@@ -531,7 +592,7 @@ def docs_ccnet_ppl_agreement_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     The registered tiers keep B fixed because the md5 oracle twin
     bakes B into cross-engine SQL; the gate's contract is the driver
     fixture scales."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     # one tokenize+bigram-explode pass feeds BOTH tiers (checkpointed:
     # two consuming subtrees would otherwise re-run it — the llm_ops5/6
     # multi-subtree precedent)
@@ -608,6 +669,11 @@ def _bf_flag_probe(
 ) -> DataFrame:
     """Append might_contain as `dup`: k broadcast joins + bit tests —
     whole-stage codegen, the probe stream never shuffles here."""
+    # each of the k broadcast builds evaluates its own copy of the words
+    # subtree (the per-j renames defeat exchange reuse) — 7 full passes
+    # of the reference-paragraph explode+agg without this lazy
+    # checkpoint of the <= m/64-row table (r12)
+    words = words.localCheckpoint(eager=False)
     out = probe_pars
     for j, pos in enumerate(_bf_positions(F.col("par"), bits)):
         out = out.withColumn(f"_p{j}", pos)
@@ -633,7 +699,7 @@ def docs_bloom_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary (doc_id, n_paragraphs, n_flagged_dup). Rows-only by design
     (xxhash64 has no SQL twin); quality is oracle-gated by
     docs_bloom_paragraph_dedup_gate."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     # checkpointed: the sizing count, the filter build, and the probe all
     # consume the paragraph frame
     pars = _paragraphs(docs).localCheckpoint(eager=False)
@@ -663,7 +729,7 @@ def docs_bloom_paragraph_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     their own output rows: the paragraph stream carries positions, the
     removals regroup per doc as position lists, and the one
     text-bearing exchange is the doc-level join-back + output sort."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     pars = _paragraphs(docs).localCheckpoint(eager=False)
     ref = pars.where(F.col("doc_id") % 2 == 0)
     bits = _bf_bits_for(ref.count())
@@ -723,7 +789,7 @@ def docs_bloom_paragraph_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFra
     counts independently) must be flagged (n_missed = 0), and measured
     false positives among true non-duplicates stay under 5% (target
     fpp at fixture load ~1e-10)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     pars = _paragraphs(docs).localCheckpoint(eager=False)
     ref_pars = pars.where(F.col("doc_id") % 2 == 0)
     bits = _bf_bits_for(ref_pars.count())

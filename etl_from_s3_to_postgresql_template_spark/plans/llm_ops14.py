@@ -163,6 +163,11 @@ def _bf_flag_probe(
 ) -> DataFrame:
     """Append might_contain as `dup`: k broadcast joins + bit tests —
     whole-stage codegen, the probe stream never shuffles here."""
+    # each of the k broadcast builds evaluates its own copy of the words
+    # subtree (the per-j renames defeat exchange reuse) — 7 full passes
+    # of the reference-paragraph explode+agg without this lazy
+    # checkpoint of the <= m/64-row table (r12)
+    words = words.localCheckpoint(eager=False)
     out = probe_pars
     for j, pos in enumerate(_bf_positions(F.col("par"), bits)):
         out = out.withColumn(f"_p{j}", pos)
@@ -226,11 +231,29 @@ def _perlang_scored(lm_occ: DataFrame, occ: DataFrame) -> DataFrame:
     tables from lm_occ only, bounded ((lang, bucket) keys, <= 2^20 rows
     per lang table union) and broadcast; occ scored map-side; languages
     without an LM drop (inner vocab join, CCNet semantics)."""
-    lm12 = lm_occ.groupBy("lang", "b12").agg(
-        F.count(F.lit(1)).cast("long").alias("pair_cnt")
+    # ONE reference pass builds both per-lang bucket tables (r12): lm12,
+    # lm1 and vocab each consuming lm_occ re-ran its tokenize+explode+md5
+    # chain once per table. Counts byte-identical; the bounded result is
+    # lazily checkpointed so its readers share the single pass.
+    kb = lm_occ.select(
+        "lang",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("k"), F.col("b12").alias("b")),
+                F.struct(F.lit(1).alias("k"), F.col("b1").alias("b")),
+            )
+        ).alias("kb"),
+    ).select("lang", "kb.k", "kb.b")
+    lm = (
+        kb.groupBy("lang", "k", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    lm1 = lm_occ.groupBy("lang", "b1").agg(
-        F.count(F.lit(1)).cast("long").alias("w1_cnt")
+    lm12 = lm.where(F.col("k") == 0).select(
+        "lang", F.col("b").alias("b12"), F.col("c").alias("pair_cnt")
+    )
+    lm1 = lm.where(F.col("k") == 1).select(
+        "lang", F.col("b").alias("b1"), F.col("c").alias("w1_cnt")
     )
     vocab = lm1.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("v"))
     # decimal accumulation: exact, order-free (the llm_ops2 convention)
@@ -260,7 +283,10 @@ def _assign_buckets(scored: DataFrame) -> DataFrame:
 
     hist = scored.groupBy("lang", "lp").agg(F.count(F.lit(1)).cast("long").alias("c"))
     tot = hist.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
-    cum = hist.join(tot, "lang").withColumn(
+    # explicit hint: tot is <= one row per language, always
+    # broadcastable; estimate-based planning demoted it to a
+    # sort-merge join after the r12 LM restructure (guide 3.1)
+    cum = hist.join(F.broadcast(tot), "lang").withColumn(
         "cum",
         F.sum("c").over(W.partitionBy("lang").orderBy(F.desc("lp"))).cast("long"),
     )

@@ -199,10 +199,13 @@ def corpus_bigram_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("t", 2, n - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    # pairs feeds the window stats AND the broadcast total — the lazy
+    # checkpoint shares one corpus pass between them (r12)
     pairs = (
         toks.select(F.explode(bigrams).alias("s"))
         .groupBy(F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
         .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
+        .localCheckpoint(eager=False)
     )
     stats = pairs.select(
         "w1",
@@ -350,7 +353,7 @@ def corpus_trigram_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged bottom-up in exact integer micro-units. One tokenize, one
     trigram and one bigram type aggregation; every statistic is a
     window over those bounded type frames."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     toks = docs.select(
         F.filter(
             F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), _WS),
@@ -543,7 +546,7 @@ def corpus_bigram_lm_kn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed-vocabulary KN tier (section comment): the exact tier's
     staged program over 2^20 md5 word buckets — N1+ stats structurally
     int64-safe at any corpus size, and still fully oracle-paired."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     occ = _knb_occurrences(docs).select("b1", "b2")
     return (
         _knb_pairs_stats(occ)
@@ -555,8 +558,12 @@ def corpus_bigram_lm_kn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _knb_pairs_stats(occ: DataFrame) -> DataFrame:
     """(b1, b2, pair_cnt, w1_cnt, n1p_w1, n1p_w2, t) + staged pkn_micro
     — the bucketed KN program, shared by the md5 and xxhash64 tiers."""
-    pairs = occ.groupBy("b1", "b2").agg(
-        F.count(F.lit(1)).cast("long").alias("pair_cnt")
+    # pairs feeds the window stats AND the broadcast total — the lazy
+    # checkpoint shares one corpus pass between them (r12)
+    pairs = (
+        occ.groupBy("b1", "b2")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
+        .localCheckpoint(eager=False)
     )
     stats = pairs.select(
         "b1",
@@ -735,11 +742,16 @@ def docs_ccnet_ppl_score_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothing (section comment): LM tables from the held-out slice
     only, all bounded (<= 2^20-keyed) and broadcast; the stream is
     scored map-side; languages without an LM drop (CCNet semantics)."""
-    occ_all = _knb_occurrences(load_table(spark, sf_dir, "documents"))
+    occ_all = _knb_occurrences(load_table(spark, sf_dir, "documents", parallel=True))
+    # lm12 feeds its own broadcast AND the lm1/lmc/tt derivations — each
+    # a separate broadcast build that re-ran the reference slice's
+    # tokenize+explode+md5 chain (4 extra passes, r12). The lazy
+    # checkpoint pins the bounded (<= 2^20-keyed) table once.
     lm12 = (
         occ_all.where(F.col("doc_id") % 10 == 0)
         .groupBy("lang", "b1", "b2")
         .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
+        .localCheckpoint(eager=False)
     )
     lm1 = lm12.groupBy("lang", "b1").agg(
         F.sum("pair_cnt").cast("long").alias("w1_cnt"),
@@ -809,7 +821,7 @@ _MRL_NQ = 5  # fixture query set: vec_id < 5 (the E2 convention)
 
 
 def _mrl_frames(spark: SparkSession, sf_dir: str):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
     queries = emb.filter(F.col("vec_id") < _MRL_NQ).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )

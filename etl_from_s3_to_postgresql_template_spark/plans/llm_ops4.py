@@ -310,7 +310,7 @@ def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference scope note: the reference pipeline has no dedup at all
     (etl_pipeline.py drops exact-duplicate rows only via pandas
     drop_duplicates, line ~430); this is north-star E1 surface."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     n = 8
     # Positioned 8-grams via ONE anchored-lookahead regexp_extract_all
     # over lowercased whitespace-normalized text (the shingles_col trick,
@@ -328,7 +328,6 @@ def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram_strs = F.when(
         F.length(norm) > 0, F.regexp_extract_all(norm, F.lit(pat), F.lit(1))
     ).otherwise(F.array().cast("array<string>"))
-    with_g = docs.select("doc_id", gram_strs.alias("g")).where(F.size("g") >= 1)
     # 8-byte xxhash64 gram keys, not md5 strings: the key is INTERNAL
     # (output never exposes it), the gram shuffle is this query's dominant
     # cost (~100M rows at 500k docs), and the narrow key cuts both the
@@ -336,8 +335,15 @@ def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stance as dedup_exact_hashed; the oracle keys grams by their string
     # value, so results agree except under a 64-bit collision (expected
     # <<1 even at the 500k-doc stress scale).
-    grams = with_g.select(
-        "doc_id", F.posexplode("g").alias("pos0", "gs")
+    #
+    # posexplode the EXPRESSION, not a projected alias (r12): with the
+    # alias form, InferFiltersFromGenerate + pushdown rewrote the plan to
+    # evaluate the regex chain 4x per row (size>=1 from the old explicit
+    # where, inferred size>0 + isnotnull, then the projection itself);
+    # explode drops empty/null arrays anyway, and the direct form plans
+    # exactly ONE regexp_extract_all per row (plans/r12 before/after).
+    grams = docs.select(
+        "doc_id", F.posexplode(gram_strs).alias("pos0", "gs")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), F.xxhash64("gs").alias("gm"))
     # Cross-doc test as a whole-partition window over the gram key
     # (min(doc_id) != max(doc_id)  <=>  >=2 distinct docs): the gram

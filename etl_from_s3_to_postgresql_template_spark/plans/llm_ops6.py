@@ -181,7 +181,7 @@ def winnowing_fingerprint_frame(
 
     if hash_tier not in ("md5", "fast64"):
         raise ValueError(f"unknown hash_tier {hash_tier!r} (md5 | fast64)")
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     src = docs.select("doc_id", norm.alias("norm"))
 

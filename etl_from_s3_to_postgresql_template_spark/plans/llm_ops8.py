@@ -155,7 +155,7 @@ def docs_exactsubstr_clean(
     report of what was capped — no silent caps. At the 100k default the
     fixtures and the 500k stress corpus never trigger it (oracle
     unchanged); planted pathological test in tests/test_llm_ops8.py."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     n = _ESS_N
     # edge-trim AFTER collapsing: "\tfoo" must tokenize as ['foo'], not
     # ['', 'foo'] — F.trim strips 0x20 only, so collapse first, then trim

@@ -127,7 +127,7 @@ _DSIR_WEIGHTS_ORACLE = f"""
 
 def _dsir_weights_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc (doc_id, n_feats, logw_micro) — the shared DSIR core."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     base = docs.select("doc_id", "lang", F.lower(F.trim("text")).alias("norm"))
     toks = base.where(F.length("norm") > 0).select(
         "doc_id", "lang", F.split("norm", r"\s+").alias("t")
@@ -200,25 +200,48 @@ def _dsir_weights_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shift")
     )
+    # Score pass (r12): the OUTER-exploded twin of `feats` — exactly one
+    # all-null feature row survives for a doc with no features (empty or
+    # null text), so the per-doc aggregate covers EVERY doc and the old
+    # corpus-scale re-attach (a doc_id sort-merge join + a third
+    # documents scan) disappears: 2 exchanges + 2 sorts out of the plan.
+    # lam covers every bucket the fit observed (the fit runs over the
+    # same corpus), so the now-LEFT join hits on every non-null feature
+    # — identical sums — while null features fall through with a null
+    # lam/feat that the null-skipping aggregates ignore.
+    to = base.select(
+        "doc_id", F.when(F.length("norm") > 0, F.split("norm", r"\s+")).alias("t")
+    )
+    feats_o = (
+        to.select("doc_id", F.explode_outer(z).alias("s"))
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.array(
+                    F.col("s.w"),
+                    F.when(
+                        F.col("s.nx").isNotNull(),
+                        F.concat(F.col("s.w"), F.lit(" "), F.col("s.nx")),
+                    ),
+                )
+            ).alias("feat"),
+        )
+    )
     sc = (
-        fb.join(F.broadcast(lam), "b")
+        feats_o.select("doc_id", "feat", bucket.alias("b"))
+        .join(F.broadcast(lam), "b", "left")
         .groupBy("doc_id")
         .agg(
             F.sum("lam").alias("s"),
-            F.count(F.lit(1)).alias("nf"),
+            F.count("feat").alias("nf"),
         )
     )
-    return (
-        base.select("doc_id")
-        .join(sc, "doc_id", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "doc_id",
-            F.coalesce(F.col("nf"), F.lit(0)).cast("long").alias("n_feats"),
-            F.coalesce(F.col("s") + F.col("nf") * F.col("shift"), F.lit(0))
-            .cast("long")
-            .alias("logw_micro"),
-        )
+    return sc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        F.col("nf").cast("long").alias("n_feats"),
+        F.coalesce(F.col("s") + F.col("nf") * F.col("shift"), F.lit(0))
+        .cast("long")
+        .alias("logw_micro"),
     )
 
 

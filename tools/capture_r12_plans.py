@@ -1,0 +1,43 @@
+"""Capture `.explain("formatted")` for benched queries -> plans/r12/.
+
+Usage: python tools/capture_r12_plans.py before|after [name ...]
+Writes plans/r12/<query>_<suffix>.txt for each benched query (default: the
+full bench list). Explain output is pre-AQE (isFinalPlan=false) at sf0.001 —
+the same planning surface the optimization round's claims reference.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import DOCS_HEAVY, HEADLINE, HEAVY  # noqa: E402
+from etl_from_s3_to_postgresql_template_spark.plans import QUERIES  # noqa: E402
+from etl_from_s3_to_postgresql_template_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+OUT = "/root/repo/plans/r12"
+
+
+def main() -> None:
+    suffix = sys.argv[1]
+    names = sys.argv[2:] or (HEADLINE + HEAVY + DOCS_HEAVY)
+    os.makedirs(OUT, exist_ok=True)
+    spark = get_spark("capture-r12-plans")
+    for name in names:
+        try:
+            df = QUERIES[name](spark, SF)
+            plan = spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # pragma: no cover - capture tool only
+            plan = f"EXPLAIN FAILED: {exc}"
+        with open(os.path.join(OUT, f"{name}_{suffix}.txt"), "w") as fh:
+            fh.write(plan)
+        print(name, "ok" if not plan.startswith("EXPLAIN FAILED") else "FAILED")
+
+
+if __name__ == "__main__":
+    main()
