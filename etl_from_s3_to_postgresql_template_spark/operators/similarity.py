@@ -55,7 +55,15 @@ def fit_ivf_centroids(
     train = train_src.limit(max_train_rows).select(
         array_to_vector(as_double_vec(F.col(n_vec))).alias("features")
     )
-    km = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
+    # KMeans re-evaluates its input once per iteration; without the
+    # persist the limit+projection chain re-scanned the source ~20x
+    # (measured 33 MB input for a 2 MB table, r12). Same seed, same
+    # sample, same centroids — output unchanged.
+    train = train.persist()
+    try:
+        km = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
+    finally:
+        train.unpersist()
     return [list(map(float, c)) for c in km.clusterCenters()]
 
 

@@ -269,18 +269,38 @@ def docs_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = freq.agg(
         F.floor(F.log(F.sum("c")) * 1e6 + 0.5).cast("long").alias("logn")
     )
+    # Score pass (r12): OUTER-exploded twin of `grams` — explode_outer
+    # keeps exactly one null-gram row per gram-less doc, so the per-doc
+    # aggregate covers EVERY doc and the corpus-scale doc_id re-attach
+    # join (+ a third documents scan) disappears. lam covers every gh
+    # the fit observed, so the LEFT join hits on every real gram; null
+    # gh rows pass through unmatched and the null-skipping aggregates
+    # ignore them.
+    grams_o = base.select(
+        "doc_id",
+        F.explode_outer(
+            F.when(
+                F.length("norm") > 0,
+                F.regexp_extract_all(F.col("norm"), F.lit(pat), F.lit(1)),
+            )
+        ).alias("gs"),
+    ).select(
+        "doc_id",
+        "gs",
+        # xxhash64(NULL) is a seed constant, not NULL — null out the
+        # gram-less rows' key explicitly so they can never match lam
+        F.when(F.col("gs").isNotNull(), F.xxhash64("gs")).alias("gh"),
+    )
     sc = (
-        grams.join(lam, "gh")
+        grams_o.join(lam, "gh", "left")
         .groupBy("doc_id")
-        .agg(F.sum("lam").alias("s"), F.count(F.lit(1)).alias("nf"))
+        .agg(F.sum("lam").alias("s"), F.count("gs").alias("nf"))
     )
     return (
-        base.select("doc_id")
-        .join(sc, "doc_id", "left")
-        .crossJoin(F.broadcast(tot))
+        sc.crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
-            F.coalesce(F.col("nf"), F.lit(0)).cast("long").alias("n_grams"),
+            F.col("nf").cast("long").alias("n_grams"),
             F.coalesce(F.col("s") - F.col("nf") * F.col("logn"), F.lit(0))
             .cast("long")
             .alias("logp_micro"),
@@ -610,18 +630,38 @@ def docs_softdedup_weights_hashed(spark: SparkSession, sf_dir: str) -> DataFrame
     tot = freq.agg(
         F.floor(F.log(F.sum("c")) * 1e6 + 0.5).cast("long").alias("logn")
     )
+    # Score pass (r12): OUTER-exploded twin of `grams` — explode_outer
+    # keeps exactly one null-gram row for a doc with no grams (empty or
+    # sub-n-token text), so the per-doc aggregate covers EVERY doc and
+    # the corpus-scale doc_id re-attach join (+ a third documents scan)
+    # disappears. lam covers every bucket the fit observed, so the LEFT
+    # join hits on every real gram; null grams fall through with null
+    # lam/gs that the null-skipping aggregates ignore.
+    grams_o = base.select(
+        "doc_id",
+        F.explode_outer(
+            F.when(
+                F.length("norm") > 0,
+                F.regexp_extract_all(F.col("norm"), F.lit(pat), F.lit(1)),
+            )
+        ).alias("gs"),
+    ).select(
+        "doc_id",
+        "gs",
+        (
+            F.conv(F.substring(F.md5("gs"), 1, 8), 16, 10).cast("long") % _SDH_B
+        ).alias("b"),
+    )
     sc = (
-        grams.join(F.broadcast(lam), "b")
+        grams_o.join(F.broadcast(lam), "b", "left")
         .groupBy("doc_id")
-        .agg(F.sum("lam").alias("s"), F.count(F.lit(1)).alias("nf"))
+        .agg(F.sum("lam").alias("s"), F.count("gs").alias("nf"))
     )
     return (
-        base.select("doc_id")
-        .join(sc, "doc_id", "left")
-        .crossJoin(F.broadcast(tot))
+        sc.crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
-            F.coalesce(F.col("nf"), F.lit(0)).cast("long").alias("n_grams"),
+            F.col("nf").cast("long").alias("n_grams"),
             F.coalesce(F.col("s") - F.col("nf") * F.col("logn"), F.lit(0))
             .cast("long")
             .alias("logp_micro"),

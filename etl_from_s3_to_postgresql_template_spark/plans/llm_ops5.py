@@ -344,7 +344,15 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_encode,
     )
 
-    quant = _leakage_quantized(spark, sf_dir).select("vec_id", "q")
+    # quant feeds the PQ encode, the query slice AND the exact-rerank
+    # vector fetch — the lazy checkpoint runs the int8 quantize kernel
+    # once instead of once per consumer (r12; the winnowing pair-join
+    # precedent)
+    quant = (
+        _leakage_quantized(spark, sf_dir)
+        .select("vec_id", "q")
+        .localCheckpoint(eager=False)
+    )
     # encode: vectorized per-subspace argmin (operators/intquant.py — the
     # expression-tree form is interpreted HOF eval, measured bottleneck)
     enc = pq_encode(quant, _PQ_CB).select(F.col("vec_id").alias("n_id"), "codes")
@@ -522,7 +530,15 @@ def similarity_ivfpq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     approx = similarity_topk_ivfpq(spark, sf_dir).select("q_id", "n_id")
 
-    quant = _leakage_quantized(spark, sf_dir).select("vec_id", "q")
+    # quant feeds the PQ encode, the query slice AND the exact-rerank
+    # vector fetch — the lazy checkpoint runs the int8 quantize kernel
+    # once instead of once per consumer (r12; the winnowing pair-join
+    # precedent)
+    quant = (
+        _leakage_quantized(spark, sf_dir)
+        .select("vec_id", "q")
+        .localCheckpoint(eager=False)
+    )
     qry = quant.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("q").alias("qq")
     )

@@ -1433,10 +1433,12 @@ def corpus_prep_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_loser", F.lit(True))
     )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # clf is a 1:1 per-doc projection of documents (every doc_id, exactly
+    # once), so it IS the spine — the old `docs LEFT JOIN clf` was a
+    # self-join of the same table costing one more corpus-wide
+    # exchange+sort leg for nothing (r12)
     flags = (
-        docs.join(clf, "doc_id", "left")
-        .join(chs, "doc_id", "left")
+        clf.join(chs, "doc_id", "left")
         .join(losers, "doc_id", "left")
         .select(
             F.coalesce("ok_clf", F.lit(False)).alias("ok_clf"),

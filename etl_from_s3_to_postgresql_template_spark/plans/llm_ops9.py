@@ -452,21 +452,37 @@ def docs_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("doc_id", "is_holdout", F.xxhash64("gs").alias("gm"))
     hold = grams.where("is_holdout").select("gm").distinct()
-    hits = (
-        grams.where(~F.col("is_holdout"))
-        .join(hold, "gm", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("gm").alias("n_shared"))
+    # Train pass (r12): OUTER-exploded gram stream — one null-gram row
+    # survives per gram-less train doc, so the per-doc aggregate covers
+    # EVERY train doc and the corpus-scale doc_id re-attach join (+ a
+    # third documents scan) disappears. The semi-join becomes a left
+    # join against the same distinct hold set (no row multiplication)
+    # with the distinct-count conditioned on a match — identical counts.
+    train_grams = base.where(~F.col("is_holdout")).select(
+        "doc_id",
+        F.explode_outer(
+            F.when(
+                F.length("norm") > 0,
+                F.regexp_extract_all(F.col("norm"), F.lit(pat), F.lit(1)),
+            )
+        ).alias("gs"),
+    ).select(
+        "doc_id",
+        # xxhash64(NULL) is a seed constant, not NULL — null out the
+        # gram-less rows' key so they can never match the hold set
+        F.when(F.col("gs").isNotNull(), F.xxhash64("gs")).alias("gm"),
     )
+    hit_mark = hold.select("gm", F.lit(True).alias("_hit"))
     return (
-        base.where(~F.col("is_holdout"))
-        .join(hits, "doc_id", "left")
+        train_grams.join(hit_mark, "gm", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct(F.when(F.col("_hit"), F.col("gm"))).alias("n_shared")
+        )
         .select(
             "doc_id",
-            F.coalesce(F.col("n_shared"), F.lit(0))
-            .cast("long")
-            .alias("n_contaminated_grams"),
-            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+            F.col("n_shared").cast("long").alias("n_contaminated_grams"),
+            (F.col("n_shared") > 0).alias("contaminated"),
         )
         .orderBy("doc_id")
     )
