@@ -165,9 +165,12 @@ def _bf_flag_probe(
     whole-stage codegen, the probe stream never shuffles here."""
     # each of the k broadcast builds evaluates its own copy of the words
     # subtree (the per-j renames defeat exchange reuse) — 7 full passes
-    # of the reference-paragraph explode+agg without this lazy
-    # checkpoint of the <= m/64-row table (r12)
-    words = words.localCheckpoint(eager=False)
+    # of the reference-paragraph explode+agg without this checkpoint of
+    # the <= m/64-row table. EAGER: the k broadcast jobs can launch
+    # concurrently, and a lazy checkpoint materializing under a
+    # concurrent first action lets the others compute from lineage
+    # (byte-measured at 500k docs: the 7 passes survived eager=False)
+    words = words.localCheckpoint(eager=True)
     out = probe_pars
     for j, pos in enumerate(_bf_positions(F.col("par"), bits)):
         out = out.withColumn(f"_p{j}", pos)
