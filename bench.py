@@ -126,6 +126,12 @@ DOCS_HEAVY = [
     "docs_ccnet_ppl_score_kn",
     "corpus_bigram_lm_kn_bucketed",
     "similarity_topk_matryoshka",
+    # r13 additions (VERDICT r12 item 1): the two ANN scale-path tiers
+    # whose interpreted HOF fold chains were this round's biggest known
+    # unbenched cost (builder-measured 3.3 / 6.5 s per pass at sf0.1);
+    # now Arrow fold kernels + hoisted norms — tracked from this round.
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
 ]
 
 # Cross-engine REFERENCE twins (VERDICT r11 item 5): timed for

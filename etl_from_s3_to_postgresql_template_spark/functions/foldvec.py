@@ -81,6 +81,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     StructField,
@@ -92,6 +93,8 @@ __all__ = [
     "fold_cosine_col",
     "make_fold_cosine_udf",
     "make_cell_best_udf",
+    "make_lsh_sketch_udf",
+    "make_ivf_lists_udf",
 ]
 
 _NAN = float("nan")
@@ -176,6 +179,119 @@ def cell_best_cos(cb: Column) -> Column:
     unknown" and keep the row on the conservative side of any prune
     (similarity_range_query maps it to theta = pi)."""
     return F.coalesce(cb["cos"], F.when(cb["cell"].isNotNull(), F.lit(_NAN)))
+
+
+def make_lsh_sketch_udf(planes: Sequence[Sequence[float]]):
+    """pandas_udf twin of the sign-LSH sketch expression
+    (operators/similarity.py::_sketch_col) PLUS the row's hoisted norm:
+    per row x, ``bit_k = int(fold(x * p_k) > 0)`` for every hyperplane
+    and ``nrm = sqrt(fold(x * x))`` — each fold a column sweep in the
+    exact IEEE add order of the expression form (module docstring), so
+    bits and norm are bit-identical to ``(dot_col(as_double_vec(x), p_k)
+    > 0).cast("int")`` / ``norm_col(as_double_vec(x))``.
+
+    Why a kernel and not the expression (r13, measured): 16 planes x 64
+    dims as Column arithmetic is ~6k py4j calls per plan build (2.5 s of
+    the old 3.3 s per bench pass was plan construction) and an
+    interpreted zip_with+aggregate pair per plane per row at execution;
+    one Arrow batch computes all 16 folds vectorized. Null mirror: a
+    NULL array or a width other than the planes' yields NULL bits and a
+    NULL norm — exactly the expression twin (zip_with length padding
+    nulls the fold). NaN cannot reach a bit decision for float32 inputs
+    (the partial-NaN impossibility note above), and numpy and Spark
+    agree NaN > 0 is false regardless."""
+    P = np.asarray([[float(x) for x in p] for p in planes], dtype=np.float64)
+    n_planes, dim = P.shape
+
+    @pandas_udf(
+        StructType(
+            [
+                StructField("sk", ArrayType(IntegerType())),
+                StructField("nrm", DoubleType()),
+            ]
+        )
+    )
+    def sketch(xs: pd.Series) -> pd.DataFrame:
+        n = len(xs)
+        xv = xs.to_numpy()
+        ok = np.fromiter(
+            (xv[i] is not None and len(xv[i]) == dim for i in range(n)),
+            dtype=bool,
+            count=n,
+        )
+        sk_out: list = [None] * n
+        nrm_out = np.full(n, np.nan)
+        idx = np.nonzero(ok)[0]
+        if len(idx):
+            xm = np.stack([np.asarray(xv[i], dtype=np.float64) for i in idx])
+            bits = np.empty((len(idx), n_planes), dtype=np.int32)
+            for k in range(n_planes):
+                bits[:, k] = (_seq_fold_matrix(xm * P[k]) > 0).astype(np.int32)
+            nrm_out[idx] = np.sqrt(_seq_fold_matrix(xm * xm))
+            for j, i in enumerate(idx):
+                sk_out[i] = bits[j].tolist()
+        df = pd.DataFrame({"sk": sk_out, "nrm": nrm_out})
+        df.loc[~ok, "nrm"] = None
+        return df
+
+    return sketch
+
+
+def make_ivf_lists_udf(centroids: Sequence[Sequence[float]]):
+    """pandas_udf twin of the IVF coarse-assignment expression
+    (operators/similarity.py::ivf_topk's ``nearest_lists``) PLUS the
+    row's hoisted norm: per row x, ``d2_i = fold((x - c_i) * (x - c_i))``
+    against every centroid — the exact products and add order of the
+    zip_with-subtract / dot_col twin — and the full centroid index list
+    sorted by ``(d2, list_id)`` ascending, which is precisely
+    ``array_sort`` over (d2, list_id) structs (a STABLE argsort on d2
+    breaks ties to the smaller index). Callers slice the first
+    ``n_probe`` / first 1 entries JVM-side. Norm as in
+    :func:`make_lsh_sketch_udf`.
+
+    Null mirror: the expression twin gives every centroid a NULL d2 for
+    a NULL/width-mismatched row, and array_sort on all-equal keys falls
+    through to list_id — i.e. the identity order — so the kernel emits
+    ``[0..L-1]`` with a NULL norm for such rows (fixture-unreachable;
+    pinned here so the swap is a pure substitution)."""
+    C = np.asarray([[float(x) for x in c] for c in centroids], dtype=np.float64)
+    n_lists, dim = C.shape
+
+    @pandas_udf(
+        StructType(
+            [
+                StructField("lists", ArrayType(IntegerType())),
+                StructField("nrm", DoubleType()),
+            ]
+        )
+    )
+    def nearest(xs: pd.Series) -> pd.DataFrame:
+        n = len(xs)
+        xv = xs.to_numpy()
+        ok = np.fromiter(
+            (xv[i] is not None and len(xv[i]) == dim for i in range(n)),
+            dtype=bool,
+            count=n,
+        )
+        ident = list(range(n_lists))
+        lists_out: list = [ident] * n
+        nrm_out = np.full(n, np.nan)
+        idx = np.nonzero(ok)[0]
+        if len(idx):
+            xm = np.stack([np.asarray(xv[i], dtype=np.float64) for i in idx])
+            d2 = np.empty((len(idx), n_lists))
+            for i in range(n_lists):
+                diff = xm - C[i]
+                d2[:, i] = _seq_fold_matrix(diff * diff)
+            order = np.argsort(d2, axis=1, kind="stable")
+            nrm_out[idx] = np.sqrt(_seq_fold_matrix(xm * xm))
+            for j, i in enumerate(idx):
+                lists_out[i] = order[j].tolist()
+        df = pd.DataFrame({"lists": lists_out, "nrm": nrm_out})
+        df.loc[~ok, "nrm"] = None
+        return df
+
+    return nearest
 
 
 def make_cell_best_udf(unit_centroids: Sequence[Sequence[float]]):

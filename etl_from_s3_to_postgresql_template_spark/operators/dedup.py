@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from etl_from_s3_to_postgresql_template_spark.functions.text import normalize_text_col, shingles_col, tokens_col
 from etl_from_s3_to_postgresql_template_spark.util import spread_partitions
+from etl_from_s3_to_postgresql_template_spark.util import shared_subtree, shared_subtree_eager
 
 __all__ = [
     "dedup_exact_by_hash",
@@ -445,10 +446,10 @@ def connected_components(
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .localCheckpoint(eager=True)
+        .transform(shared_subtree_eager)
     )
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp")).localCheckpoint(
-        eager=True
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp")).transform(
+        shared_subtree_eager
     )
     for _ in range(max_iterations):
         msgs = edges.join(labels, edges.src == labels.id).select(
@@ -463,7 +464,7 @@ def connected_components(
             .unionByName(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"), F.min("prev").alias("prev"))
-        ).localCheckpoint(eager=True)
+        ).transform(shared_subtree_eager)
         changed = new_labels.filter(F.col("comp") != F.col("prev")).limit(1).count()
         labels = new_labels.select("id", "comp")
         if changed == 0:
@@ -499,7 +500,7 @@ def _star_components(
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
-        .localCheckpoint(eager=True)
+        .transform(shared_subtree_eager)
     )
 
     def signature(e: DataFrame) -> tuple:
@@ -535,7 +536,7 @@ def _star_components(
             .unionByName(attach.select(F.col("src"), F.col("m").alias("dst")))
             .filter(F.col("src") != F.col("dst"))
             .dropDuplicates(["src", "dst"])
-            .localCheckpoint(eager=True)
+            .transform(shared_subtree_eager)
         )
         new_sig = signature(small)
         edges = small

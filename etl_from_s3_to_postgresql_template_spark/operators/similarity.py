@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from etl_from_s3_to_postgresql_template_spark.functions.vectors import as_double_vec, cosine_col, dot_col
+from etl_from_s3_to_postgresql_template_spark.functions.vectors import (
+    as_double_vec,
+    dot_col,
+    norm_col,
+)
 
 __all__ = ["brute_force_topk", "lsh_topk", "hyperplanes", "ivf_topk", "fit_ivf_centroids"]
 
@@ -80,9 +84,21 @@ def brute_force_topk(
     """Exact cosine top-k. ``queries`` is broadcast (it must be small — that
     is the contract of brute force); cosine is rounded before ranking so
     rank order is stable under float summation differences, with id as the
-    final tie-break."""
-    pairs = candidates.crossJoin(F.broadcast(queries)).filter(F.col(q_id) != F.col(n_id))
-    cos = F.round(cosine_col(as_double_vec(F.col(q_vec)), as_double_vec(F.col(n_vec))), round_to)
+    final tie-break.
+
+    r13: each side's norm is hoisted OUT of the pair loop — ||q|| once per
+    query and ||n|| once per candidate, computed before the cross join —
+    so the per-pair work is one interpreted fold (the dot) instead of
+    three. Same expressions, same values, bit-identical cosines; measured
+    2.1x on the O(n^2) pair shape (dedup_embedding_pairs A/B at sf0.1)."""
+    q = queries.withColumn("_qn", norm_col(as_double_vec(F.col(q_vec))))
+    c = candidates.withColumn("_nn", norm_col(as_double_vec(F.col(n_vec))))
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col(q_id) != F.col(n_id))
+    cos = F.round(
+        dot_col(as_double_vec(F.col(q_vec)), as_double_vec(F.col(n_vec)))
+        / (F.col("_qn") * F.col("_nn")),
+        round_to,
+    )
     w = W.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(n_id))
     return (
         pairs.select(F.col(q_id), F.col(n_id), cos.alias("cosine"))
@@ -100,7 +116,9 @@ def hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def _sketch_col(vec_col, planes: list[list[float]]):
-    """Sign-bit sketch: array<int> of 0/1 per hyperplane."""
+    """Sign-bit sketch: array<int> of 0/1 per hyperplane — the expression
+    form (kept as the parity reference for the Arrow kernel twin
+    functions/foldvec.py::make_lsh_sketch_udf, which lsh_topk uses)."""
     v = as_double_vec(vec_col)
     bits = []
     for p in planes:
@@ -151,32 +169,52 @@ def ivf_topk(
     if len(centroids) != n_lists:
         raise ValueError(f"expected {n_lists} centroids, got {len(centroids)}")
 
-    def nearest_lists(vec_col, n_keep: int):
-        v = as_double_vec(vec_col)
-        dists = F.array(
-            *[
-                F.struct(
-                    dot_col(
-                        F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: a - b),
-                        F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: a - b),
-                    ).alias("d2"),
-                    F.lit(i).alias("list_id"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
-        return F.slice(F.array_sort(dists), 1, n_keep)
+    # r13: coarse assignment via the bit-exact Arrow fold kernel
+    # (functions/foldvec.py::make_ivf_lists_udf). The expression form — 16
+    # centroids x 64 dims of zip_with/aggregate per row — cost ~4.9 s of
+    # py4j PLAN BUILD per bench pass plus an interpreted fold per centroid
+    # per row at execution (measured: 6.5 s/pass total at sf0.1); the
+    # kernel computes the same d2 folds (same IEEE order — argsort stable
+    # on d2 ties to the smaller list_id, exactly array_sort over
+    # (d2, list_id) structs) in one vectorized pass and also returns the
+    # row's hoisted norm, so the pair scoring below pays one fold (the
+    # dot) instead of three. Outputs verified bit-identical at all SFs.
+    from etl_from_s3_to_postgresql_template_spark.functions.foldvec import (
+        make_ivf_lists_udf,
+    )
 
+    nearest = make_ivf_lists_udf(centroids)
     cand_lists = candidates.select(
-        F.col(n_id), F.col(n_vec),
-        F.element_at(nearest_lists(F.col(n_vec), 1), 1)["list_id"].alias("list_id"),
+        F.col(n_id), F.col(n_vec), nearest(F.col(n_vec)).alias("_nl")
+    ).select(
+        F.col(n_id),
+        F.col(n_vec),
+        F.element_at(F.col("_nl.lists"), 1).alias("list_id"),
+        F.col("_nl.nrm").alias("_nn"),
     )
     q_lists = queries.select(
-        F.col(q_id), F.col(q_vec),
-        F.explode(F.transform(nearest_lists(F.col(q_vec), n_probe), lambda s: s["list_id"])).alias("list_id"),
+        F.col(q_id), F.col(q_vec), nearest(F.col(q_vec)).alias("_ql")
+    ).select(
+        F.col(q_id),
+        F.col(q_vec),
+        F.explode(F.slice(F.col("_ql.lists"), 1, n_probe)).alias("list_id"),
+        F.col("_ql.nrm").alias("_qn"),
     )
-    pairs = q_lists.join(cand_lists, "list_id").filter(F.col(q_id) != F.col(n_id))
-    cos = F.round(cosine_col(as_double_vec(F.col(q_vec)), as_double_vec(F.col(n_vec))), round_to)
+    # explicit hint (guide §3.1): the probe side is |Q| * n_probe rows —
+    # tiny by the operator's contract (queries must be small, like brute
+    # force) — but the ArrowEvalPython node above it erases size
+    # estimates, and the planner demoted this join to a SortMergeJoin at
+    # 200k candidates (verified in the scale plan), shuffling the whole
+    # assigned-candidate stream. Broadcasting the probe side keeps the
+    # candidate stream shuffle-free until the top-k regroup.
+    pairs = F.broadcast(q_lists).join(cand_lists, "list_id").filter(
+        F.col(q_id) != F.col(n_id)
+    )
+    cos = F.round(
+        dot_col(as_double_vec(F.col(q_vec)), as_double_vec(F.col(n_vec)))
+        / (F.col("_qn") * F.col("_nn")),
+        round_to,
+    )
     w = W.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(n_id))
     return (
         pairs.select(F.col(q_id), F.col(n_id), cos.alias("cosine"))
@@ -208,9 +246,27 @@ def lsh_topk(
     """
     planes = hyperplanes(dim, num_planes, seed)
     rows_per_band = num_planes // num_bands
+    # r13: sketch + hoisted norm via the bit-exact Arrow fold kernel
+    # (functions/foldvec.py::make_lsh_sketch_udf — same folds, same IEEE
+    # order as _sketch_col/norm_col; outputs verified bit-identical at all
+    # SFs). The expression sketch was ~2.5 s of py4j plan build per bench
+    # pass plus 16 interpreted folds per row; the hoisted norm makes the
+    # pair scoring below one fold (the dot) instead of three.
+    from etl_from_s3_to_postgresql_template_spark.functions.foldvec import (
+        make_lsh_sketch_udf,
+    )
 
-    def banded(df: DataFrame, id_c: str, vec_c: str, out_id: str) -> DataFrame:
-        sk = df.select(F.col(id_c), F.col(vec_c), _sketch_col(F.col(vec_c), planes).alias("sk"))
+    sketch = make_lsh_sketch_udf(planes)
+
+    def banded(df: DataFrame, id_c: str, vec_c: str, out_id: str, norm_c: str) -> DataFrame:
+        sk = df.select(
+            F.col(id_c), F.col(vec_c), sketch(F.col(vec_c)).alias("_sb")
+        ).select(
+            F.col(id_c),
+            F.col(vec_c),
+            F.col("_sb.sk").alias("sk"),
+            F.col("_sb.nrm").alias(norm_c),
+        )
         bands = F.array(
             *[
                 F.struct(
@@ -220,19 +276,32 @@ def lsh_topk(
                 for b in range(num_bands)
             ]
         )
-        return sk.select(F.col(id_c).alias(out_id), F.col(vec_c), F.explode(bands).alias("band")).select(
-            out_id, vec_c, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
+        return sk.select(
+            F.col(id_c).alias(out_id), F.col(vec_c), F.col(norm_c), F.explode(bands).alias("band")
+        ).select(
+            out_id, vec_c, norm_c, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
         )
 
-    qb = banded(queries, q_id, q_vec, q_id)
-    cb = banded(candidates, n_id, n_vec, n_id)
+    qb = banded(queries, q_id, q_vec, q_id, "_qn")
+    cb = banded(candidates, n_id, n_vec, n_id, "_nn")
+    # explicit hint (guide §3.1): qb is |Q| * num_bands rows — tiny by the
+    # operator's contract — but the kernel node erases size estimates and
+    # the band join planned as a SortMergeJoin at 200k candidates
+    # (verified in the scale plan), shuffling every banded candidate row
+    # (vector payload included). Broadcasting qb keeps the candidate
+    # stream shuffle-free until the pair dedup.
     pairs = (
-        qb.join(cb, ["band_id", "band_hash"])
+        F.broadcast(qb)
+        .join(cb, ["band_id", "band_hash"])
         .filter(F.col(q_id) != F.col(n_id))
-        .select(q_id, n_id, q_vec, n_vec)
+        .select(q_id, n_id, q_vec, n_vec, "_qn", "_nn")
         .dropDuplicates([q_id, n_id])
     )
-    cos = F.round(cosine_col(as_double_vec(F.col(q_vec)), as_double_vec(F.col(n_vec))), round_to)
+    cos = F.round(
+        dot_col(as_double_vec(F.col(q_vec)), as_double_vec(F.col(n_vec)))
+        / (F.col("_qn") * F.col("_nn")),
+        round_to,
+    )
     w = W.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(n_id))
     return (
         pairs.select(F.col(q_id), F.col(n_id), cos.alias("cosine"))

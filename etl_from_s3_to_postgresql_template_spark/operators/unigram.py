@@ -38,6 +38,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from etl_from_s3_to_postgresql_template_spark.util import shared_subtree, shared_subtree_eager
 
 __all__ = ["seed_pieces", "em_step", "viterbi_encode", "MAX_PIECE_LEN"]
 
@@ -181,7 +182,7 @@ def em_step(
 
         return ll
 
-    wfc = wf.localCheckpoint(eager=False)  # E-step + two ll passes consume it
+    wfc = wf.transform(shared_subtree)  # E-step + two ll passes consume it
     exploded = (
         wfc.select(F.explode(_make_expected(probs0)("word", "freq")).alias("s"))
         .select(F.col("s.piece").alias("piece"), F.col("s.e").alias("e"))
@@ -219,7 +220,7 @@ def em_step(
         .drop("_etot")
         # the probs1 collect below materializes this checkpoint, so the
         # caller's consumption of piece_frame does NOT re-run the E-step
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     probs1 = {
         r["piece"]: r["prob1_micro"] / 1e6

@@ -534,15 +534,28 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mechanical: corpus-scale input raises before any pair is enumerated.
     The filter uses the UNROUNDED cosine (both engines), so boundary values
     can't flip membership."""
-    from etl_from_s3_to_postgresql_template_spark.functions.vectors import as_double_vec, cosine_col
+    from etl_from_s3_to_postgresql_template_spark.functions.vectors import (
+        as_double_vec,
+        dot_col,
+        norm_col,
+    )
     from etl_from_s3_to_postgresql_template_spark.operators.guards import assert_fixture_scale
 
     emb = assert_fixture_scale(
         load_table(spark, sf_dir, "embeddings"), "dedup_embedding_pairs"
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), as_double_vec(F.col("embedding")).alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), as_double_vec(F.col("embedding")).alias("eb"))
-    cos = cosine_col(F.col("ea"), F.col("eb"))
+    # r13: hoist each side's norm out of the O(n^2) pair loop — the pair
+    # filter previously re-evaluated three interpreted 64-wide folds per
+    # candidate pair; now it pays one (the dot). Same expressions, same
+    # values, bit-identical cosines (oracle hash-exact at all three SFs);
+    # measured 70 -> 33 s at sf0.1 (2000 vectors, ~2M pairs).
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), as_double_vec(F.col("embedding")).alias("ea")
+    ).withColumn("_na", norm_col(F.col("ea")))
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), as_double_vec(F.col("embedding")).alias("eb")
+    ).withColumn("_nb", norm_col(F.col("eb")))
+    cos = dot_col(F.col("ea"), F.col("eb")) / (F.col("_na") * F.col("_nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .filter(cos >= 0.3)

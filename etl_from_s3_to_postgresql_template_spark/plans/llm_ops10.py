@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from etl_from_s3_to_postgresql_template_spark.plans.registry import query
 from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+from etl_from_s3_to_postgresql_template_spark.util import shared_subtree, shared_subtree_eager
 
 __all__ = [
     "docs_line_dedup",
@@ -261,7 +262,7 @@ def docs_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = (
         grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     lam = freq.select(
         "gh", F.floor(F.log("c") * 1e6 + 0.5).cast("long").alias("lam")
@@ -417,9 +418,28 @@ def _bpe_count_frame(docs: DataFrame, merges) -> DataFrame:
 
     norm = _bpe_norm_col("text")
     base = docs.select("doc_id", norm.alias("norm"))
-    words = base.select(
-        "doc_id", F.explode(F.split("norm", " ", -1)).alias("w")
-    ).where(F.length("w") > 0)
+    # Keep one w=NULL row per wordless doc (r13, the F4/r12 outer-explode
+    # rule): the per-doc aggregate below then covers EVERY document and
+    # the former `base JOIN per_doc` re-attach — a second scan of the
+    # corpus plus a doc_id sort-merge join whose only job was restoring
+    # wordless docs — disappears. Spelled as an INNER explode over a
+    # NULL-sentinel array rather than explode_outer: outer Generate drops
+    # out of whole-stage codegen and measured ~18% slower at 500k docs
+    # (warm A/B: old-join 11.8 s, explode_outer 13.9, this form 11.9 —
+    # equal per-pass wall with one scan and zero joins instead of two
+    # scans and a corpus-wide SMJ). The NULL row is inert in every
+    # aggregate: count(w) skips it, sum(length(NULL)) and the NULL-keyed
+    # cache miss's ntok_of(NULL) are NULL (sum skips), and the final
+    # coalesce(.., 0) restores the zeros the join-back produced. Results
+    # hash-exact vs the oracle at all three SFs.
+    arr = F.coalesce(
+        F.array_remove(F.split("norm", " ", -1), ""),
+        F.array().cast("array<string>"),
+    )
+    padded = F.when(
+        F.size(arr) == 0, F.array(F.lit(None).cast("string"))
+    ).otherwise(arr)
+    words = base.select("doc_id", F.explode(padded).alias("w"))
 
     def ntok_of(col):
         enc = _bpe_apply_merges(
@@ -431,11 +451,11 @@ def _bpe_count_frame(docs: DataFrame, merges) -> DataFrame:
     cache = word_frequencies(docs, "text", _BPE_CACHE_WORDS).select(
         F.col("word").alias("w"), ntok_of(F.col("word")).alias("ntok_c")
     )
-    per_doc = (
+    return (
         words.join(F.broadcast(cache), "w", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("nw"),
+            F.count(F.col("w")).alias("nw"),
             F.sum(F.length("w")).alias("nsym"),
             # coalesce evaluates the chain ONLY on cache misses (codegen
             # short-circuits), and only here — single chain reference
@@ -443,10 +463,6 @@ def _bpe_count_frame(docs: DataFrame, merges) -> DataFrame:
                 "ntk"
             ),
         )
-    )
-    return (
-        base.select("doc_id")
-        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("nw"), F.lit(0)).cast("long").alias("n_words"),
@@ -622,7 +638,7 @@ def docs_softdedup_weights_hashed(spark: SparkSession, sf_dir: str) -> DataFrame
     freq = (
         grams.groupBy("b")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     lam = freq.select(
         "b", F.floor(F.log("c") * 1e6 + 0.5).cast("long").alias("lam")

@@ -62,6 +62,7 @@ from pyspark.sql import functions as F
 
 from etl_from_s3_to_postgresql_template_spark.plans.registry import query
 from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+from etl_from_s3_to_postgresql_template_spark.util import shared_subtree, shared_subtree_eager
 
 __all__ = [
     "docs_gopher_repetition",
@@ -1064,7 +1065,7 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     loc = part.mapInPandas(
         _local_scan, "doc_id long, n_tok long, pid int, local_cum long"
-    ).localCheckpoint(eager=False)
+    ).transform(shared_subtree)
     tot = loc.groupBy("pid").agg(F.max("local_cum").alias("ptot"))
     from pyspark.sql import Window as W
 

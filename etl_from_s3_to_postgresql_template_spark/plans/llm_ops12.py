@@ -61,6 +61,7 @@ from pyspark.sql import functions as F
 
 from etl_from_s3_to_postgresql_template_spark.plans.registry import query
 from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+from etl_from_s3_to_postgresql_template_spark.util import shared_subtree, shared_subtree_eager
 
 __all__ = [
     "docs_url_normalize_dedup",
@@ -1013,7 +1014,7 @@ def docs_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = (
         doc_pairs.groupBy("w1", "w2")
         .agg(F.sum("c").alias("pair_cnt"))
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     w1_tot = lm.groupBy("w1").agg(F.sum("pair_cnt").alias("w1_cnt"))
     vocab = lm.agg(F.countDistinct("w1").cast("double").alias("v"))
@@ -1038,7 +1039,7 @@ def docs_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id", "lang")
         .agg(F.round(avg_lp * 10000).cast("long").alias("lp"))
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     return _cc_assign_buckets(scored)
 
@@ -1138,7 +1139,7 @@ def docs_ccnet_ppl_buckets_hashed(spark: SparkSession, sf_dir: str) -> DataFrame
     lm = (
         kb.groupBy("k", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     lm12 = lm.where(F.col("k") == 0).select(
         F.col("b").alias("b12"), F.col("c").alias("pair_cnt")
@@ -1162,6 +1163,6 @@ def docs_ccnet_ppl_buckets_hashed(spark: SparkSession, sf_dir: str) -> DataFrame
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id", "lang")
         .agg(F.round(avg_lp * 10000).cast("long").alias("lp"))
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     return _cc_assign_buckets(scored)

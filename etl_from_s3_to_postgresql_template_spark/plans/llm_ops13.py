@@ -76,6 +76,7 @@ from etl_from_s3_to_postgresql_template_spark.functions.dates import (
 )
 from etl_from_s3_to_postgresql_template_spark.plans.registry import query
 from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+from etl_from_s3_to_postgresql_template_spark.util import shared_subtree, shared_subtree_eager
 
 __all__ = [
     "docs_ccnet_ppl_score_external",
@@ -258,7 +259,7 @@ def docs_ccnet_ppl_score_external(spark: SparkSession, sf_dir: str) -> DataFrame
     lm = (
         kb.groupBy("k", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     lm12 = lm.where(F.col("k") == 0).select(
         F.col("b").alias("b12"), F.col("c").alias("pair_cnt")
@@ -286,7 +287,7 @@ def docs_ccnet_ppl_score_external(spark: SparkSession, sf_dir: str) -> DataFrame
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id", "lang")
         .agg(F.round(avg_lp * 10000).cast("long").alias("lp"))
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     return _ccx_assign_buckets(scored)
 
@@ -332,7 +333,7 @@ def _ccx_external_perlang_scored(docs: DataFrame) -> DataFrame:
     lm = (
         kb.groupBy("lang", "k", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     lm12 = lm.where(F.col("k") == 0).select(
         "lang", F.col("b").alias("b12"), F.col("c").alias("pair_cnt")
@@ -357,7 +358,7 @@ def _ccx_external_perlang_scored(docs: DataFrame) -> DataFrame:
         .join(F.broadcast(vocab), "lang")  # inner: unscoreable langs drop
         .groupBy("doc_id", "lang")
         .agg(F.round(avg_lp * 10000).cast("long").alias("lp"))
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
 
 
@@ -507,7 +508,7 @@ def _ccx_self_lm_buckets(docs_or_occ: DataFrame, bucket) -> DataFrame:
     lm = (
         kb.groupBy("k", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     lm12 = lm.where(F.col("k") == 0).select(
         F.col("b").alias("b12"), F.col("c").alias("pair_cnt")
@@ -531,7 +532,7 @@ def _ccx_self_lm_buckets(docs_or_occ: DataFrame, bucket) -> DataFrame:
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id", "lang")
         .agg(F.round(avg_lp * 10000).cast("long").alias("lp"))
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     return _ccx_assign_buckets(scored)
 
@@ -596,7 +597,7 @@ def docs_ccnet_ppl_agreement_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     # one tokenize+bigram-explode pass feeds BOTH tiers (checkpointed:
     # two consuming subtrees would otherwise re-run it — the llm_ops5/6
     # multi-subtree precedent)
-    occ = _ccx_bigram_occurrences(docs).localCheckpoint(eager=False)
+    occ = _ccx_bigram_occurrences(docs).transform(shared_subtree)
     fast = _ccx_self_lm_buckets(occ, _bucket_fast).select(
         "doc_id", F.col("bucket").alias("b_fast")
     )
@@ -665,7 +666,10 @@ def _bf_words(ref_pars: DataFrame, bits: int = _BF_MIN_BITS) -> DataFrame:
 
 
 def _bf_flag_probe(
-    probe_pars: DataFrame, words: DataFrame, bits: int = _BF_MIN_BITS
+    probe_pars: DataFrame,
+    words: DataFrame,
+    bits: int = _BF_MIN_BITS,
+    n_ref: int = 0,
 ) -> DataFrame:
     """Append might_contain as `dup`: k broadcast joins + bit tests —
     whole-stage codegen, the probe stream never shuffles here."""
@@ -675,8 +679,20 @@ def _bf_flag_probe(
     # the <= m/64-row table. EAGER: the k broadcast jobs can launch
     # concurrently, and a lazy checkpoint materializing under a
     # concurrent first action lets the others compute from lineage
-    # (byte-measured at 500k docs: the 7 passes survived eager=False)
-    words = words.localCheckpoint(eager=True)
+    # (byte-measured at 500k docs: the 7 passes survived eager=False).
+    # SIZE-GATED (r13): the eager materialization is itself a Spark job
+    # fired once per plan construction, and below ~10^5 reference
+    # paragraphs the 7 rebuilds it saves are cheaper than the job it
+    # costs (driver bench r12: docs_bloom_paragraph_dedup 0.66 -> 1.44 s
+    # at sf0.1, where the whole rebuild is a few-ms agg). Callers thread
+    # the reference-shard paragraph count they already computed for
+    # _bf_bits_for; past the threshold the r12 500k A/B stands (eager
+    # 3.1-3.7 s vs none 7.1-15.9 s). The threshold is the m floor's
+    # capacity (16n > 2^20): a filter bigger than the floor means the
+    # reference shard is big enough that 7 explode+agg rebuilds dominate
+    # one checkpoint job.
+    if n_ref * 16 > _BF_MIN_BITS:
+        words = words.transform(shared_subtree_eager)
     out = probe_pars
     for j, pos in enumerate(_bf_positions(F.col("par"), bits)):
         out = out.withColumn(f"_p{j}", pos)
@@ -705,11 +721,12 @@ def docs_bloom_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallel=True)
     # checkpointed: the sizing count, the filter build, and the probe all
     # consume the paragraph frame
-    pars = _paragraphs(docs).localCheckpoint(eager=False)
+    pars = _paragraphs(docs).transform(shared_subtree)
     ref = pars.where(F.col("doc_id") % 2 == 0)
-    bits = _bf_bits_for(ref.count())  # bounded scalar action, sizes m
+    n_ref = ref.count()  # bounded scalar action, sizes m
+    bits = _bf_bits_for(n_ref)
     words = _bf_words(ref, bits)
-    probe = _bf_flag_probe(pars.where(F.col("doc_id") % 2 == 1), words, bits)
+    probe = _bf_flag_probe(pars.where(F.col("doc_id") % 2 == 1), words, bits, n_ref)
     return (
         probe.groupBy("doc_id")
         .agg(
@@ -733,11 +750,12 @@ def docs_bloom_paragraph_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     removals regroup per doc as position lists, and the one
     text-bearing exchange is the doc-level join-back + output sort."""
     docs = load_table(spark, sf_dir, "documents", parallel=True)
-    pars = _paragraphs(docs).localCheckpoint(eager=False)
+    pars = _paragraphs(docs).transform(shared_subtree)
     ref = pars.where(F.col("doc_id") % 2 == 0)
-    bits = _bf_bits_for(ref.count())
+    n_ref = ref.count()
+    bits = _bf_bits_for(n_ref)
     words = _bf_words(ref, bits)
-    probe = _bf_flag_probe(pars.where(F.col("doc_id") % 2 == 1), words, bits)
+    probe = _bf_flag_probe(pars.where(F.col("doc_id") % 2 == 1), words, bits, n_ref)
     stats = probe.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
         F.sum(F.col("dup").cast("long")).cast("long").alias("n_removed"),
@@ -793,11 +811,12 @@ def docs_bloom_paragraph_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFra
     false positives among true non-duplicates stay under 5% (target
     fpp at fixture load ~1e-10)."""
     docs = load_table(spark, sf_dir, "documents", parallel=True)
-    pars = _paragraphs(docs).localCheckpoint(eager=False)
+    pars = _paragraphs(docs).transform(shared_subtree)
     ref_pars = pars.where(F.col("doc_id") % 2 == 0)
-    bits = _bf_bits_for(ref_pars.count())
+    n_ref = ref_pars.count()
+    bits = _bf_bits_for(n_ref)
     words = _bf_words(ref_pars, bits)
-    probe = _bf_flag_probe(pars.where(F.col("doc_id") % 2 == 1), words, bits)
+    probe = _bf_flag_probe(pars.where(F.col("doc_id") % 2 == 1), words, bits, n_ref)
     # no broadcast hint: the distinct reference TEXT frame grows with the
     # corpus (unlike the 128 KB words table) — let Spark's size-based
     # planning fall back to a shuffle join past the threshold (review r11)

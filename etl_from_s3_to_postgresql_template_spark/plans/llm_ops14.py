@@ -80,6 +80,7 @@ from pyspark.sql import functions as F
 
 from etl_from_s3_to_postgresql_template_spark.plans.registry import query
 from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+from etl_from_s3_to_postgresql_template_spark.util import shared_subtree, shared_subtree_eager
 
 __all__ = [
     "corpus_prep_funnel4",
@@ -159,7 +160,10 @@ def _bf_merge_words(*words: DataFrame) -> DataFrame:
 
 
 def _bf_flag_probe(
-    probe_pars: DataFrame, words: DataFrame, bits: int = _BF_MIN_BITS
+    probe_pars: DataFrame,
+    words: DataFrame,
+    bits: int = _BF_MIN_BITS,
+    n_ref: int = 0,
 ) -> DataFrame:
     """Append might_contain as `dup`: k broadcast joins + bit tests —
     whole-stage codegen, the probe stream never shuffles here."""
@@ -169,8 +173,17 @@ def _bf_flag_probe(
     # the <= m/64-row table. EAGER: the k broadcast jobs can launch
     # concurrently, and a lazy checkpoint materializing under a
     # concurrent first action lets the others compute from lineage
-    # (byte-measured at 500k docs: the 7 passes survived eager=False)
-    words = words.localCheckpoint(eager=True)
+    # (byte-measured at 500k docs: the 7 passes survived eager=False).
+    # UNCONDITIONAL here, unlike llm_ops13 (r13): this module's words
+    # subtrees are deeper — the shard-merge words table carries a union +
+    # second groupBy, and the funnel's probe nests under further
+    # checkpointed stages — and an A/B with the llm_ops13 size gate
+    # applied here regressed BOTH benched tiers at sf0.1
+    # (corpus_prep_funnel4_bloom 3.04 -> 4.46 s, docs_bloom_merge_shards
+    # 0.80 -> 1.03 s), so 7 rebuilds cost more than one eager job even at
+    # fixture scale. n_ref is accepted for signature parity with
+    # llm_ops13's probe (callers thread the count they already took).
+    words = words.transform(shared_subtree_eager)
     out = probe_pars
     for j, pos in enumerate(_bf_positions(F.col("par"), bits)):
         out = out.withColumn(f"_p{j}", pos)
@@ -250,7 +263,7 @@ def _perlang_scored(lm_occ: DataFrame, occ: DataFrame) -> DataFrame:
     lm = (
         kb.groupBy("lang", "k", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     lm12 = lm.where(F.col("k") == 0).select(
         "lang", F.col("b").alias("b12"), F.col("c").alias("pair_cnt")
@@ -341,7 +354,7 @@ def _f4_cleaned(docs: DataFrame, exact: bool) -> DataFrame:
     False probes the Bloom filter (no corpus-to-corpus join)."""
     # checkpointed: ref build (and Bloom sizing count) + probe both
     # consume the paragraph frame (the llm_ops5/6 multi-subtree rule)
-    pars = _paragraphs(docs).localCheckpoint(eager=False)
+    pars = _paragraphs(docs).transform(shared_subtree)
     ref = pars.where(F.col("doc_id") % 2 == 0)
     probe_pars = pars.where(F.col("doc_id") % 2 == 1)
     if exact:
@@ -354,8 +367,9 @@ def _f4_cleaned(docs: DataFrame, exact: bool) -> DataFrame:
             "left",
         ).select("doc_id", "pos", "par", F.col("_rpar").isNotNull().alias("dup"))
     else:
-        bits = _bf_bits_for(ref.count())  # bounded scalar action, sizes m
-        probe = _bf_flag_probe(probe_pars, _bf_words(ref, bits), bits)
+        n_ref = ref.count()  # bounded scalar action, sizes m
+        bits = _bf_bits_for(n_ref)
+        probe = _bf_flag_probe(probe_pars, _bf_words(ref, bits), bits, n_ref)
     stats = probe.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
         F.sum(F.col("dup").cast("long")).cast("long").alias("n_removed"),
@@ -390,12 +404,12 @@ def _f4_pipeline(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
     (a production run filters on `kept` — a pure projection away)."""
     docs = load_table(spark, sf_dir, "documents")
     # checkpointed: cleaned feeds the scoring subtree AND the output row
-    cleaned = _f4_cleaned(docs, exact).localCheckpoint(eager=False)
+    cleaned = _f4_cleaned(docs, exact).transform(shared_subtree)
     # LM from the reference shard's RAW text; stream = CLEANED text
     lm_occ = _bucketed_occ(_bigram_occurrences(docs.where(F.col("doc_id") % 2 == 0)))
     occ = _bucketed_occ(_bigram_occurrences(cleaned, "cleaned_text"))
     # checkpointed: scored feeds the histogram AND the assignment join
-    scored = _perlang_scored(lm_occ, occ).localCheckpoint(eager=False)
+    scored = _perlang_scored(lm_occ, occ).transform(shared_subtree)
     bkt = _assign_buckets(scored).select(
         "doc_id",
         "lp",
@@ -636,14 +650,15 @@ def _merge_probe(docs: DataFrame) -> DataFrame:
     """Shared core: per-shard filters over doc_id % 3 in (0, 1) built
     independently at a shared m, OR-merged, probed by doc_id % 3 == 2.
     Returns the probe paragraph frame with the `dup` flag."""
-    pars = _paragraphs(docs).localCheckpoint(eager=False)
+    pars = _paragraphs(docs).transform(shared_subtree)
     shard_a = pars.where(F.col("doc_id") % 3 == 0)
     shard_b = pars.where(F.col("doc_id") % 3 == 1)
     # shards that merge must share m, sized for the UNION load — one
     # bounded scalar count over the combined reference shards
-    bits = _bf_bits_for(pars.where(F.col("doc_id") % 3 != 2).count())
+    n_ref = pars.where(F.col("doc_id") % 3 != 2).count()
+    bits = _bf_bits_for(n_ref)
     merged = _bf_merge_words(_bf_words(shard_a, bits), _bf_words(shard_b, bits))
-    return _bf_flag_probe(pars.where(F.col("doc_id") % 3 == 2), merged, bits)
+    return _bf_flag_probe(pars.where(F.col("doc_id") % 3 == 2), merged, bits, n_ref)
 
 
 @query("docs_bloom_merge_shards")
@@ -695,7 +710,7 @@ def docs_bloom_merge_shards_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits), and measured false positives among true non-duplicates stay
     under 5%."""
     docs = load_table(spark, sf_dir, "documents")
-    pars = _paragraphs(docs).localCheckpoint(eager=False)
+    pars = _paragraphs(docs).transform(shared_subtree)
     probe = _merge_probe(docs)
     # no broadcast hint: the distinct reference TEXT frame grows with
     # the corpus — size-based planning decides (llm_ops13 convention)

@@ -82,6 +82,7 @@ from pyspark.sql import functions as F
 
 from etl_from_s3_to_postgresql_template_spark.plans.registry import query
 from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+from etl_from_s3_to_postgresql_template_spark.util import shared_subtree, shared_subtree_eager
 
 __all__ = [
     "corpus_bigram_lm_kn",
@@ -205,7 +206,7 @@ def corpus_bigram_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(F.explode(bigrams).alias("s"))
         .groupBy(F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
         .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     stats = pairs.select(
         "w1",
@@ -359,7 +360,7 @@ def corpus_trigram_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), _WS),
             lambda x: x != "",
         ).alias("t")
-    ).localCheckpoint(eager=False)  # feeds the trigram AND bigram subtrees
+    ).transform(shared_subtree)  # feeds the trigram AND bigram subtrees
     n = F.size("t")
     tri_structs = F.zip_with(
         F.zip_with(
@@ -401,7 +402,7 @@ def corpus_trigram_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(W.partitionBy("w2")).cast("long").alias("ndotw2"),
     ).crossJoin(
         F.broadcast(bgt.agg(F.count(F.lit(1)).cast("long").alias("t_bi")))
-    ).localCheckpoint(eager=False)  # feeds both lower-order join legs
+    ).transform(shared_subtree)  # feeds both lower-order join legs
     tstat = tri.select(
         "w1",
         "w2",
@@ -563,7 +564,7 @@ def _knb_pairs_stats(occ: DataFrame) -> DataFrame:
     pairs = (
         occ.groupBy("b1", "b2")
         .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     stats = pairs.select(
         "b1",
@@ -751,7 +752,7 @@ def docs_ccnet_ppl_score_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
         occ_all.where(F.col("doc_id") % 10 == 0)
         .groupBy("lang", "b1", "b2")
         .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     lm1 = lm12.groupBy("lang", "b1").agg(
         F.sum("pair_cnt").cast("long").alias("w1_cnt"),
@@ -815,6 +816,7 @@ def docs_ccnet_ppl_score_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MRL_DIMS = 32  # coarse prefix length (of 64)
+_MRL_FULL_DIM = 64  # full embedding width (the embeddings fixture)
 _MRL_CAND = 100  # stage-1 candidates per query
 _MRL_K = 10  # final top-k
 _MRL_NQ = 5  # fixture query set: vec_id < 5 (the E2 convention)
@@ -876,20 +878,37 @@ def similarity_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_from_s3_to_postgresql_template_spark.functions.vectors import (
         as_double_vec,
         cosine_col,
+        dot_col,
+        norm_col,
     )
 
     queries, candidates = _mrl_frames(spark, sf_dir)
-    pairs = candidates.crossJoin(F.broadcast(queries)).filter(
-        F.col("q_id") != F.col("n_id")
-    )
-    qc = F.slice(as_double_vec(F.col("q_vec")), 1, _MRL_DIMS)
-    nc = F.slice(as_double_vec(F.col("n_vec")), 1, _MRL_DIMS)
+    # r13: hoist each side's 32-dim prefix slice AND its norm out of the
+    # |Q|*N coarse pair loop — the old form re-sliced both vectors and
+    # re-folded both norms per PAIR (five interpreted folds + two slices
+    # per pair); now the corpus-wide pass pays one fold (the prefix dot)
+    # per pair. Same expressions, same values — bit-identical cosines
+    # (oracle hash-exact at all three SFs).
+    q = queries.select(
+        "q_id",
+        "q_vec",
+        F.slice(as_double_vec(F.col("q_vec")), 1, _MRL_DIMS).alias("_qc"),
+    ).withColumn("_qcn", norm_col(F.col("_qc")))
+    c = candidates.select(
+        "n_id",
+        "n_vec",
+        F.slice(as_double_vec(F.col("n_vec")), 1, _MRL_DIMS).alias("_nc"),
+    ).withColumn("_ncn", norm_col(F.col("_nc")))
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("n_id"))
     coarse = pairs.select(
         "q_id",
         "n_id",
         "q_vec",
         "n_vec",
-        F.round(cosine_col(qc, nc), 6).alias("coarse_cosine"),
+        F.round(
+            dot_col(F.col("_qc"), F.col("_nc")) / (F.col("_qcn") * F.col("_ncn")),
+            6,
+        ).alias("coarse_cosine"),
     )
     wc = W.partitionBy("q_id").orderBy(F.desc("coarse_cosine"), F.col("n_id"))
     cand = coarse.withColumn("crank", F.row_number().over(wc)).filter(
@@ -1158,7 +1177,7 @@ def streaming_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trim(F.col("raw")).alias("par"),
         )
         .where(F.col("par") != "")
-        .localCheckpoint(eager=False)  # feeds the firsts agg AND the join
+        .transform(shared_subtree)  # feeds the firsts agg AND the join
     )
     firsts = pars.groupBy("par").agg(F.min("shard").alias("first_shard"))
     truth = pars.join(firsts, "par").select(

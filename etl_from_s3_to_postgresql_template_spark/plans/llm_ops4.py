@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from etl_from_s3_to_postgresql_template_spark.plans.money import _dsum
 from etl_from_s3_to_postgresql_template_spark.plans.registry import query
 from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+from etl_from_s3_to_postgresql_template_spark.util import shared_subtree, shared_subtree_eager
 
 __all__ = [
     "window_rank_suite",
@@ -524,7 +525,7 @@ def _leak_blocked_pairs(
     # localCheckpoint (lazy): hold and train both derive from the same
     # quantize+assign mapInPandas — one materialization instead of one
     # per branch (the kernel is the expensive pass at scaled k).
-    d = _leak_assigned(spark, sf_dir, centroids=centroids).localCheckpoint(eager=False)
+    d = _leak_assigned(spark, sf_dir, centroids=centroids).transform(shared_subtree)
     train = d.where(~F.col("is_holdout")).select(
         F.col("vec_id").alias("train_id"),
         F.col("q").alias("qt"),

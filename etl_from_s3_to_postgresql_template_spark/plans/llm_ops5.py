@@ -37,6 +37,7 @@ from etl_from_s3_to_postgresql_template_spark.plans.llm_ops4 import (
 )
 from etl_from_s3_to_postgresql_template_spark.plans.registry import query
 from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+from etl_from_s3_to_postgresql_template_spark.util import shared_subtree, shared_subtree_eager
 
 __all__ = [
     "dedup_semantic_clusters",
@@ -127,7 +128,7 @@ def semantic_dedup_frame(
     a = (
         _leak_assigned(spark, sf_dir, centroids=centroids)
         .select("vec_id", "q", "nrm", F.element_at("lids", 1).cast("long").alias("cluster_id"))
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     paired = a
     if max_cell_size is not None:
@@ -351,7 +352,7 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     quant = (
         _leakage_quantized(spark, sf_dir)
         .select("vec_id", "q")
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     # encode: vectorized per-subspace argmin (operators/intquant.py — the
     # expression-tree form is interpreted HOF eval, measured bottleneck)
@@ -537,7 +538,7 @@ def similarity_ivfpq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     quant = (
         _leakage_quantized(spark, sf_dir)
         .select("vec_id", "q")
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     qry = quant.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("q").alias("qq")

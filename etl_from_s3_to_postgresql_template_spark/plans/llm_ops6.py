@@ -36,6 +36,7 @@ from pyspark.sql import Window as W
 
 from etl_from_s3_to_postgresql_template_spark.plans.registry import query
 from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+from etl_from_s3_to_postgresql_template_spark.util import shared_subtree, shared_subtree_eager
 
 __all__ = [
     "doc_winnowing_fingerprints",
@@ -336,7 +337,7 @@ def dedup_winnowing_pairs(
         winnowing_fingerprint_frame(spark, sf_dir, hash_tier=hash_tier)
         .select("doc_id", "fp_hash")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     bw = W.partitionBy("fp_hash")
     ok = (

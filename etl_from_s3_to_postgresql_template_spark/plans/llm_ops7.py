@@ -60,6 +60,7 @@ from pyspark.sql.window import Window as W
 
 from etl_from_s3_to_postgresql_template_spark.plans.registry import query
 from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+from etl_from_s3_to_postgresql_template_spark.util import shared_subtree, shared_subtree_eager
 
 __all__ = [
     "docs_quality_classifier",
@@ -228,7 +229,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
         # lazy localCheckpoint: the hashed shingle frame feeds the token
         # explode AND both verify legs — one evaluation, not three
-    ).localCheckpoint(eager=False)
+    ).transform(shared_subtree)
     tok = sh.select("doc_id", F.explode("s").alias("g"))
     freq = tok.groupBy("g").agg(F.count("*").alias("cnt"))
     by_rarity = (
@@ -250,7 +251,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lazy localCheckpoint: the prefix build (freq join + per-doc sort)
         # feeds BOTH self-join legs — without it the whole subtree runs
         # twice (the llm_ops6 winnowing lesson, measured 2x at 500k docs)
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     a = prefix.select(
         F.col("doc_id").alias("id_a"), F.col("n").alias("na"), "g"
@@ -409,7 +410,7 @@ def similarity_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.acos(_clamp(_cbcos)))
             .alias("theta_cx"),
         )
-        .localCheckpoint(eager=False)  # one assignment pass feeds summary + members
+        .transform(shared_subtree)  # one assignment pass feeds summary + members
     )
 
     cell_summary = assigned.groupBy("cell").agg(F.max("theta_cx").alias("max_theta"))
@@ -703,9 +704,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = int(head[0]["d"])
     dec = "decimal(38,0)"
     # one kernel pass feeds the n / first-moment / Gram aggregates
-    parts = gram_moments_int(emb, "embedding", unit=_COV_UNIT).localCheckpoint(
-        eager=False
-    )
+    parts = gram_moments_int(emb, "embedding", unit=_COV_UNIT).transform(shared_subtree)
     n_tot = parts.agg(F.sum("n").cast(dec).alias("n"))
     s = (
         parts.select(F.posexplode("s").alias("i0", "sv"))
@@ -1120,7 +1119,7 @@ def _bm25_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("toks").cast("long").alias("dl"),
             *[_tf(t).alias(f"tf{i + 1}") for i, t in enumerate(_BM25_TERMS)],
         )
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     # null-text parity: dl carries the -1 size(null) sentinel, so
     # sum(dl) matches the old sum(size(toks)) exactly; the df sums guard
@@ -1223,7 +1222,7 @@ def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     one corpus scan feeds both scorers (shared frame, lazy-checkpointed),
     each ranking is a window over score-surviving rows, and the fusion is
     a full outer join of two <= 50-row frames."""
-    scored = _bm25_scored_frame(spark, sf_dir).localCheckpoint(eager=False)
+    scored = _bm25_scored_frame(spark, sf_dir).transform(shared_subtree)
     wa = W.orderBy(F.desc("bm25"), F.col("doc_id"))
     wb = W.orderBy(F.desc("tfidf"), F.col("doc_id"))
     ra = (
@@ -1317,7 +1316,7 @@ def docs_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lazy localCheckpoint: the chunk-hash kernel feeds both the
         # hash-count aggregate and the join-back leg — one evaluation,
         # not two (the llm_ops6 rule for frames with multiple consumers)
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     g = c.groupBy("h").agg(F.count("*").alias("cnt"))
     dup = F.sum((F.col("cnt") > 1).cast("int")).cast("long")
@@ -1522,8 +1521,8 @@ def corpus_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # lazy localCheckpoint: the double-cast corpus is scanned k times (one
     # per selection round) — materialize the cast once
-    v = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("e")).localCheckpoint(
-        eager=False
+    v = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("e")).transform(
+        shared_subtree
     )
     seed_rows = v.orderBy("vec_id").limit(1).collect()
     if not seed_rows:  # empty-input contract: nothing to select
@@ -1895,7 +1894,7 @@ def similarity_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hv = (
         _hashing_vectorizer_frame(spark, sf_dir)
         .select("doc_id", "vec")
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     q = hv.filter(F.col("doc_id") < _DOCSIM_NQ).select(
         F.col("doc_id").alias("q_id"), F.col("vec").alias("qv")

@@ -48,6 +48,7 @@ from pyspark.sql.window import Window as W
 
 from etl_from_s3_to_postgresql_template_spark.plans.registry import query
 from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+from etl_from_s3_to_postgresql_template_spark.util import shared_subtree, shared_subtree_eager
 
 __all__ = [
     "docs_exactsubstr_clean",
@@ -181,7 +182,7 @@ def docs_exactsubstr_clean(
         # exchange; the lazy checkpoint materializes the windowed frame
         # ONCE for its two consumers (interval path + capped report)
         .withColumn("hit_cnt", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     capped = (
         hits.where(F.col("hit_cnt") > max_hits_per_doc)

@@ -60,6 +60,7 @@ from pyspark.sql.window import Window as W
 
 from etl_from_s3_to_postgresql_template_spark.plans.registry import query
 from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+from etl_from_s3_to_postgresql_template_spark.util import shared_subtree, shared_subtree_eager
 
 __all__ = [
     "dsir_importance_weights",
@@ -184,7 +185,7 @@ def _dsir_weights_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("lang") == _DSIR_TARGET, F.lit(1))).alias("cp"),
             F.count(F.lit(1)).alias("cq"),
         )
-        .localCheckpoint(eager=False)
+        .transform(shared_subtree)
     )
     lam = bc.select(
         "b",

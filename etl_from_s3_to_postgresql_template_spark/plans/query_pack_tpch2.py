@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from etl_from_s3_to_postgresql_template_spark.plans.money import _dec, _dsum
 from etl_from_s3_to_postgresql_template_spark.plans.registry import query
 from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
+from etl_from_s3_to_postgresql_template_spark.util import shared_subtree, shared_subtree_eager
 
 
 @query(
@@ -306,7 +307,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(_dec(F.col("l_extendedprice"))).alias("part_value"))
     )
-    per_part = per_part.localCheckpoint(eager=False)  # both legs below reuse it
+    per_part = per_part.transform(shared_subtree)  # both legs below reuse it
     total = per_part.agg(
         (F.sum("part_value") * F.lit("0.0001").cast("decimal(7,4)")).alias("threshold")
     )
@@ -384,7 +385,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_revenue"))
     )
-    revenue = revenue.localCheckpoint(eager=False)  # max leg + join leg reuse
+    revenue = revenue.transform(shared_subtree)  # max leg + join leg reuse
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         revenue.join(F.broadcast(max_rev))
@@ -475,7 +476,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey", "o_orderstatus")
     )
-    late = late.localCheckpoint(eager=False)  # probe leg + anti leg reuse
+    late = late.transform(shared_subtree)  # probe leg + anti leg reuse
     l2 = l.select(F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey"))
     l3 = late.select(F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey"))
     base = late.where(F.col("o_orderstatus") == "F")

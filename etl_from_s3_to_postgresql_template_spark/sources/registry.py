@@ -95,10 +95,36 @@ _SCAN_FLOOR_BYTES = 256 * 1024
 #: one ~128 MB split per core: a file under maxPartitionBytes * parallelism
 #: can never feed every core from its natural splits
 _SCAN_SPLIT_BYTES = 128 * 1024 * 1024
+#: target COMPRESSED bytes per repartitioned task. r12 pinned the width to
+#: defaultParallelism, which fanned a ~600 KB parquet file into 32 tasks of
+#: ~20 KB each — so small that the 8-core driver bench beat the 32-core run
+#: on ~15 flagged queries (PERF_r12 scaling block: scheduling overhead per
+#: tiny task exceeded the compute it carried). Width now scales with input
+#: size and is CAPPED by defaultParallelism, so a bigger box never gets a
+#: WIDER fan-out of the same small file — it just stops being the
+#: constraint. 128 KB compressed (~1-2 MB of text) per task measured best
+#: in a same-session min-of-2 A/B over the nine heaviest flagged queries
+#: at sf0.1 (32k: 10.75 s, 64k: 9.39, 128k: 8.38, dp-pin: 8.98), and its
+#: ~5-way fan-out of the fixtures means an 8-core run fans out exactly as
+#: wide as a 32-core run (the PERF_r12 inversion gone by construction).
+_SCAN_PART_BYTES = 128 * 1024
+
+
+def _env_bytes(var: str, default: int) -> int:
+    """Parse an integer byte-count env override; a malformed value falls
+    back to the default instead of raising at plan-build time inside
+    every load_table(parallel=True) site (ADVICE r12)."""
+    raw = os.environ.get(var)
+    if not raw:
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        return default
 
 
 def _parallelize_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
-    """Round-robin-repartition a small unsplittable scan to full
+    """Round-robin-repartition a small unsplittable scan to size-derived
     parallelism (module docstring). Local-path sizes only: a non-local
     path is cluster-scale input whose scans split naturally."""
     try:
@@ -106,10 +132,11 @@ def _parallelize_small_scan(spark: SparkSession, df: DataFrame, path: str) -> Da
     except OSError:
         return df
     dp = spark.sparkContext.defaultParallelism
-    limit_env = os.environ.get("SPARK_GRAFT_SMALL_SCAN_BYTES")
-    limit = int(limit_env) if limit_env else _SCAN_SPLIT_BYTES * dp
+    limit = _env_bytes("SPARK_GRAFT_SMALL_SCAN_BYTES", _SCAN_SPLIT_BYTES * dp)
     if dp > 1 and _SCAN_FLOOR_BYTES <= size < limit:
-        return df.repartition(dp)
+        per_part = max(1, _env_bytes("SPARK_GRAFT_SCAN_PART_BYTES", _SCAN_PART_BYTES))
+        width = min(dp, max(2, (size + per_part - 1) // per_part))
+        return df.repartition(width)
     return df
 
 

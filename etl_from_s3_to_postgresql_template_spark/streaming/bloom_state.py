@@ -40,6 +40,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from etl_from_s3_to_postgresql_template_spark.util import shared_subtree, shared_subtree_eager
 
 __all__ = ["run_incremental_bloom_stream", "N_SHARDS", "BF_K"]
 
@@ -113,10 +114,26 @@ def run_incremental_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_from_s3_to_postgresql_template_spark.sources.registry import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    width = shard_width(spark, docs)
-    # size m for the full expected load (module comment): one bounded
-    # count action at stream setup; all batches share this m
-    bits = _bits_for(_paragraphs(docs).count())
+    # ONE setup pass (r13): max(doc_id) for the shard width and the
+    # paragraph count for m used to be two separate scan+action pairs
+    # (shard_width's collect + _paragraphs(docs).count()); the paragraph
+    # count folds into the same aggregate as the doc-local
+    # size(filter(trim(split)))) — identical to counting _paragraphs rows
+    # (both count non-empty trimmed lines; NULL text coalesces to '').
+    text = F.coalesce(F.col("text"), F.lit(""))
+    n_pars_col = F.size(
+        F.filter(
+            F.transform(F.split(text, "\n", -1), lambda s: F.trim(s)),
+            lambda x: x != "",
+        )
+    )
+    setup = docs.agg(
+        F.max("doc_id").alias("mx"), F.sum(n_pars_col).alias("npars")
+    ).collect()[0]
+    width = (setup["mx"] or 0) // N_SHARDS + 1
+    # size m for the full expected load (module comment); all batches
+    # share this m
+    bits = _bits_for(int(setup["npars"] or 0))
     base = tempfile.mkdtemp(prefix="sbloom_")
     src, state, out, ckpt = (
         f"{base}/src",
@@ -126,21 +143,31 @@ def run_incremental_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(src)
     # stage shard files: lexicographic names AND increasing mtimes so
-    # either FileStreamSource ordering policy yields doc_id order
+    # either FileStreamSource ordering policy yields doc_id order. ONE
+    # partitionBy write (r13) instead of N_SHARDS filtered scans — the
+    # shard column lives in the directory name, so each moved part file
+    # carries exactly (doc_id, text), the same bytes the per-shard
+    # coalesce(1) writes produced.
+    tmp = f"{base}/stage"
+    (
+        docs.withColumn("shard", (F.col("doc_id") / width).cast("long"))
+        .repartition(N_SHARDS, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(tmp)
+    )
     for s in range(N_SHARDS):
-        tmp = f"{base}/stage_{s}"
-        docs.where((F.col("doc_id") / width).cast("long") == s).coalesce(
-            1
-        ).write.mode("overwrite").parquet(tmp)
-        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        sdir = f"{tmp}/shard={s}"
+        parts = [p for p in os.listdir(sdir) if p.endswith(".parquet")]
+        assert len(parts) == 1, parts  # one task per shard by construction
         dst = f"{src}/shard_{s}.parquet"
-        shutil.move(f"{tmp}/{part}", dst)
+        shutil.move(f"{sdir}/{parts[0]}", dst)
         os.utime(dst, (1_000_000_000 + s, 1_000_000_000 + s))
-        shutil.rmtree(tmp)
+    shutil.rmtree(tmp)
 
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        pars = _paragraphs(batch_df).localCheckpoint(eager=False)
+        pars = _paragraphs(batch_df).transform(shared_subtree)
         if os.path.exists(state):
             merged = (
                 sess.read.parquet(state)
