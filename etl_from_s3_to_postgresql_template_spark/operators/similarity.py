@@ -183,7 +183,14 @@ def ivf_topk(
         make_ivf_lists_udf,
     )
 
-    nearest = make_ivf_lists_udf(centroids)
+    # asNondeterministic (guide §4.4): the inner join on list_id infers an
+    # isnotnull(element_at(lists, 1)) filter, and pushing it below the
+    # candidate projection made the optimizer evaluate the kernel TWICE
+    # per candidate row (two ArrowEvalPython nodes, seen in the r13 plan
+    # capture). The kernel is pure — the marker is only an optimizer
+    # fence against duplication; the candidate filters (none) and query
+    # filters (vec_id bounds) already sit below the kernel.
+    nearest = make_ivf_lists_udf(centroids).asNondeterministic()
     cand_lists = candidates.select(
         F.col(n_id), F.col(n_vec), nearest(F.col(n_vec)).alias("_nl")
     ).select(
